@@ -1,0 +1,222 @@
+"""Typed configuration tree (composition root: ``EngineConfig``).
+
+TPU-native analog of the reference's config system
+(``vllm/config/`` — 33 dataclasses composing ``VllmConfig``,
+ref: vllm/config/vllm.py). We keep the same decomposition (model /
+cache / scheduler / parallel / quant) but only fields that drive real
+behavior here. Every config is a frozen-ish dataclass whose hash keys
+the jit/compile cache (ref analog: config-hash keyed torch.compile
+artifacts, vllm/compilation/caching.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Literal
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+# Dtypes are strings (not jnp dtypes) so configs stay hashable/serializable.
+DType = Literal["bfloat16", "float32", "float16"]
+
+
+@dataclass
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Mirrors what the reference derives from a HF ``config.json``
+    (ref: vllm/config/model.py); populated either directly (tests) or by
+    ``vllm_tpu.loader.hf_config.model_config_from_hf``.
+    """
+
+    model: str = ""  # path or HF id (informational)
+    architecture: str = "LlamaForCausalLM"
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int | None = None  # defaults to hidden_size // num_heads
+    rope_theta: float = 10000.0
+    rope_scaling: dict[str, Any] | None = None
+    rms_norm_eps: float = 1e-5
+    max_model_len: int = 2048
+    dtype: DType = "bfloat16"
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # Qwen2-style qkv bias
+    mlp_bias: bool = False
+    sliding_window: int | None = None
+    # MoE (mixtral/qwen2-moe style); 0 experts == dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int | None = None
+    num_shared_experts: int = 0
+    # logit softcap (gemma2-style); None == disabled
+    logit_softcap: float | None = None
+    hf_config: dict[str, Any] = field(default_factory=dict, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_heads
+        assert self.num_heads % self.num_kv_heads == 0, (
+            "num_heads must be divisible by num_kv_heads")
+
+    @property
+    def num_qo_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+# Cache dtype surface mirrors the reference's CacheDType
+# (ref: vllm/config/cache.py:19-35): auto/bf16 plus quantized modes.
+CacheDType = Literal["auto", "bfloat16", "fp8", "int8", "int4"]
+
+
+@dataclass
+class CacheConfig:
+    """Paged-KV-cache geometry and quantization.
+
+    ``block_size`` is tokens per KV block (ref default 16; we default to
+    a TPU-friendly 32: KV blocks of 32 tokens x 128 head_dim tile
+    cleanly into VMEM).
+    """
+
+    block_size: int = 32
+    num_gpu_blocks: int | None = None  # None => derived from memory
+    gpu_memory_utilization: float = 0.9
+    cache_dtype: CacheDType = "auto"
+    enable_prefix_caching: bool = True
+    # sha256 is the reference default hash for prefix blocks
+    # (ref: vllm/config/cache.py:39 PrefixCachingHashAlgo).
+    prefix_caching_hash_algo: Literal["sha256", "builtin"] = "builtin"
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.cache_dtype in ("fp8", "int8", "int4")
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching knobs.
+
+    Mirrors ref vllm/config/scheduler.py: one token-budget loop, no
+    prefill/decode phases (design note ref: vllm/v1/core/sched/
+    scheduler.py:442-451); chunked prefill on by default.
+    """
+
+    max_num_batched_tokens: int = 2048
+    max_num_seqs: int = 64
+    enable_chunked_prefill: bool = True
+    long_prefill_token_threshold: int = 0  # 0 == no per-req chunk cap
+    policy: Literal["fcfs", "priority"] = "fcfs"
+
+
+# ---------------------------------------------------------------------------
+# Parallel
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh axes. The reference builds NCCL process groups per strategy
+    (ref: vllm/distributed/parallel_state.py:1742); on TPU these become
+    named axes of one ``jax.sharding.Mesh`` and XLA inserts the
+    collectives.
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return (self.tensor_parallel_size * self.data_parallel_size *
+                self.pipeline_parallel_size)
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+# Weight-quant method names we support (subset of the reference's 38-name
+# QuantizationMethods registry, ref: vllm/model_executor/layers/
+# quantization/__init__.py:12-47). "inc" covers AutoRound exports.
+QuantMethod = Literal[
+    "gptq", "awq", "auto_round", "compressed-tensors",
+    "fp8", "int8", "w8a8_int8", None,
+]
+
+
+@dataclass
+class QuantizationConfig:
+    """Weight quantization scheme resolved from the checkpoint.
+
+    ``bits``/``group_size``/``sym`` follow the GPTQ/AWQ/AutoRound
+    group-quant convention (ref: auto_gptq.py AutoGPTQConfig:97).
+    """
+
+    method: QuantMethod = None
+    bits: int = 4
+    group_size: int = 128
+    sym: bool = True
+    desc_act: bool = False  # g_idx activation reordering (GPTQ)
+    lm_head_quantized: bool = False
+    # raw checkpoint quantization_config dict for format-specific fields
+    raw: dict[str, Any] = field(default_factory=dict, repr=False)
+
+    @property
+    def enabled(self) -> bool:
+        return self.method is not None
+
+
+# ---------------------------------------------------------------------------
+# Composition root
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EngineConfig:
+    """Everything the engine needs; analog of the reference VllmConfig
+    (ref: vllm/config/vllm.py)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    quant: QuantizationConfig = field(default_factory=QuantizationConfig)
+    seed: int = 0
+
+    def __post_init__(self) -> None:
+        # Scheduler must be able to schedule at least one full decode
+        # round for all running seqs.
+        if self.scheduler.max_num_batched_tokens < self.scheduler.max_num_seqs:
+            self.scheduler.max_num_batched_tokens = self.scheduler.max_num_seqs
+
+    @property
+    def max_blocks_per_req(self) -> int:
+        from vllm_tpu.utils import cdiv
+        return cdiv(self.model.max_model_len, self.cache.block_size)
+
+    def compile_key(self) -> str:
+        """Stable hash over everything that affects compiled programs."""
+        def enc(o: Any) -> Any:
+            if dataclasses.is_dataclass(o) and not isinstance(o, type):
+                return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
+            return o
+        blob = json.dumps(enc(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]

@@ -1,0 +1,181 @@
+"""Global KV-block pool: free list + content-addressed prefix cache.
+
+Behavioral parity with the reference BlockPool (ref:
+vllm/v1/core/block_pool.py ``BlockPool:143``, ``cache_full_blocks():225``)
+with a simpler O(1) LRU: Python dicts preserve insertion order, so the
+free queue is an ordered dict block_id -> block (append = insert,
+pop-LRU = first key, arbitrary removal = del).
+
+Invariants:
+- a block is in the free queue iff ref_cnt == 0
+- a free block may still carry a hash and stay in the prefix cache
+  (lazy eviction: the hash is dropped only when the block is reallocated)
+- block 0 is the null block (never allocated, never cached); keeps
+  block-table padding benign on device.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from dataclasses import dataclass, field
+from typing import Optional
+
+BlockHash = bytes
+
+
+def hash_block_tokens(
+    parent_hash: Optional[BlockHash],
+    token_ids: tuple[int, ...],
+    extra_key: Optional[tuple] = None,
+    algo: str = "builtin",
+) -> BlockHash:
+    """Chained content hash of one full block.
+
+    h_i = H(h_{i-1}, tokens_i, extra) — the chain makes a block hash
+    cover its whole prefix (ref: vllm/v1/core/kv_cache_utils.py block
+    hashing). ``extra_key`` carries anything that changes KV content for
+    identical tokens (e.g. LoRA name, mm hashes).
+    """
+    key = (parent_hash, token_ids, extra_key)
+    if algo == "builtin":
+        # Fast path for tests/dev. Collision risk accepted like the
+        # reference's PYTHONHASHSEED-keyed builtin mode.
+        return hash(key).to_bytes(8, "little", signed=True)
+    blob = pickle.dumps(key, protocol=pickle.HIGHEST_PROTOCOL)
+    return hashlib.sha256(blob).digest()
+
+
+@dataclass
+class KVCacheBlock:
+    block_id: int
+    ref_cnt: int = 0
+    block_hash: Optional[BlockHash] = None
+
+    def __repr__(self) -> str:
+        h = self.block_hash.hex()[:8] if self.block_hash else None
+        return f"Block({self.block_id}, ref={self.ref_cnt}, hash={h})"
+
+
+@dataclass
+class PrefixCacheStats:
+    queries: int = 0
+    hits: int = 0  # in blocks
+    evictions: int = 0
+
+    @property
+    def hit_rate(self) -> float:
+        return self.hits / self.queries if self.queries else 0.0
+
+
+class BlockPool:
+
+    def __init__(self, num_blocks: int, enable_caching: bool = True) -> None:
+        assert num_blocks >= 2, "need >= 2 blocks (one is the null block)"
+        self.num_blocks = num_blocks
+        self.enable_caching = enable_caching
+        self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
+        # Null block: permanently ref'd, id 0.
+        self.null_block = self.blocks[0]
+        self.null_block.ref_cnt = 1
+        # LRU free queue (insertion-ordered dict as O(1) deque+set).
+        self._free: dict[int, KVCacheBlock] = {
+            b.block_id: b for b in self.blocks[1:]
+        }
+        # Content-addressed cache: hash -> block. The reference keys
+        # {hash: {block_id: block}} to tolerate duplicate-content blocks;
+        # we keep one canonical block per hash (duplicates just don't
+        # get cached — same behavior the ref converges to after dedup).
+        self._cache: dict[BlockHash, KVCacheBlock] = {}
+        self.stats = PrefixCacheStats()
+
+    # -- queries -----------------------------------------------------
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self._free)
+
+    def get_cached_block(self, h: BlockHash) -> Optional[KVCacheBlock]:
+        return self._cache.get(h)
+
+    # -- allocation --------------------------------------------------
+    def get_new_blocks(self, num: int) -> list[KVCacheBlock]:
+        """Pop ``num`` LRU free blocks; evicts their cache entries."""
+        if num > len(self._free):
+            raise RuntimeError(
+                f"cannot allocate {num} blocks ({len(self._free)} free)")
+        out = []
+        it = iter(self._free)
+        ids = [next(it) for _ in range(num)]
+        for bid in ids:
+            block = self._free.pop(bid)
+            self._maybe_evict(block)
+            block.ref_cnt = 1
+            out.append(block)
+        return out
+
+    def _maybe_evict(self, block: KVCacheBlock) -> None:
+        h = block.block_hash
+        if h is not None:
+            cur = self._cache.get(h)
+            if cur is block:
+                del self._cache[h]
+                self.stats.evictions += 1
+            block.block_hash = None
+
+    def touch(self, blocks: list[KVCacheBlock]) -> None:
+        """Take a reference on cached blocks (prefix-cache hit path)."""
+        for b in blocks:
+            if b.ref_cnt == 0:
+                del self._free[b.block_id]
+            b.ref_cnt += 1
+
+    def free_blocks(self, blocks: list[KVCacheBlock]) -> None:
+        """Drop a reference; ref==0 blocks go to the free-queue tail.
+
+        Caller passes blocks in eviction-priority order (the KV manager
+        frees a request's blocks in *reverse* order so that the tail of
+        a sequence — least likely to be a shared prefix — evicts first,
+        matching ref kv_cache_manager free ordering).
+        """
+        for b in blocks:
+            if b is self.null_block:
+                continue
+            assert b.ref_cnt > 0, f"double free of {b}"
+            b.ref_cnt -= 1
+            if b.ref_cnt == 0:
+                self._free[b.block_id] = b
+
+    # -- prefix caching ----------------------------------------------
+    def cache_full_blocks(
+        self,
+        blocks: list[KVCacheBlock],
+        block_hashes: list[BlockHash],
+        num_cached_blocks: int,
+        num_full_blocks: int,
+    ) -> None:
+        """Register hashes for blocks [num_cached, num_full) of a request."""
+        if not self.enable_caching:
+            return
+        assert num_full_blocks <= len(block_hashes)
+        for i in range(num_cached_blocks, num_full_blocks):
+            block, h = blocks[i], block_hashes[i]
+            if block.block_hash is not None:
+                continue  # already cached (shared prefix)
+            if h in self._cache:
+                continue  # another block already canonical for this content
+            block.block_hash = h
+            self._cache[h] = block
+
+    def reset_prefix_cache(self) -> bool:
+        """Drop all cache entries; fails if any block is in use."""
+        in_use = self.num_blocks - 1 - len(self._free)
+        if in_use > 0:
+            return False
+        for b in self._free.values():
+            b.block_hash = None
+        self._cache.clear()
+        return True
+
+    @property
+    def usage(self) -> float:
+        return 1.0 - len(self._free) / (self.num_blocks - 1)

@@ -1,0 +1,186 @@
+"""Per-request paged-KV allocation on top of BlockPool.
+
+Behavioral parity with the reference KVCacheManager (ref:
+vllm/v1/core/kv_cache_manager.py ``KVCacheManager:117``,
+``get_computed_blocks():229``, ``allocate_slots():344``) for the
+full-attention single-group case (sliding-window/hybrid groups arrive
+with the models that need them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from vllm_tpu.core.block_pool import (BlockHash, BlockPool, KVCacheBlock,
+                                      hash_block_tokens)
+from vllm_tpu.core.request import Request
+from vllm_tpu.utils import cdiv
+
+
+@dataclass
+class KVCacheBlocks:
+    """Result wrapper so callers never touch raw block objects."""
+    blocks: list[KVCacheBlock]
+
+    def get_block_ids(self) -> list[int]:
+        return [b.block_id for b in self.blocks]
+
+    def __add__(self, other: "KVCacheBlocks") -> "KVCacheBlocks":
+        return KVCacheBlocks(self.blocks + other.blocks)
+
+    def __len__(self) -> int:
+        return len(self.blocks)
+
+
+class KVCacheManager:
+
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        enable_caching: bool = True,
+        hash_algo: str = "builtin",
+    ) -> None:
+        self.block_size = block_size
+        self.enable_caching = enable_caching
+        self.hash_algo = hash_algo
+        self.block_pool = BlockPool(num_blocks, enable_caching)
+        # request_id -> blocks owned by that request (ordered).
+        self.req_to_blocks: dict[str, list[KVCacheBlock]] = {}
+        # request_id -> chained hashes of its full blocks (cached
+        # incrementally; hash i covers tokens [0, (i+1)*block_size)).
+        self.req_to_block_hashes: dict[str, list[BlockHash]] = {}
+        # number of this request's blocks already registered in the
+        # prefix cache.
+        self.num_cached_blocks: dict[str, int] = {}
+
+    # -- hashing -----------------------------------------------------
+    def _update_block_hashes(self, request: Request) -> list[BlockHash]:
+        """Extend the request's hash chain over all *full* blocks."""
+        hashes = self.req_to_block_hashes.setdefault(request.request_id, [])
+        tokens = request.all_token_ids
+        num_full = len(tokens) // self.block_size
+        extra = (request.lora_name, ) if request.lora_name else None
+        while len(hashes) < num_full:
+            i = len(hashes)
+            parent = hashes[-1] if hashes else None
+            chunk = tuple(tokens[i * self.block_size:(i + 1) *
+                                 self.block_size])
+            hashes.append(
+                hash_block_tokens(parent, chunk, extra, self.hash_algo))
+        return hashes
+
+    # -- scheduler API ----------------------------------------------
+    def get_computed_blocks(
+            self, request: Request) -> tuple[KVCacheBlocks, int]:
+        """Longest cached prefix for a new/resumed request.
+
+        Returns blocks (not yet ref'd — allocate_slots takes the refs)
+        and the number of computed tokens they cover. Never returns the
+        whole prompt: at least one token must run through the model so
+        it produces logits (same truncation as ref
+        kv_cache_manager.py get_computed_blocks).
+        """
+        if not self.enable_caching or request.num_computed_tokens > 0:
+            return KVCacheBlocks([]), 0
+        hashes = self._update_block_hashes(request)
+        # Only prompt blocks are eligible (a fresh request has no output).
+        max_cache_hit_tokens = request.num_tokens - 1
+        blocks: list[KVCacheBlock] = []
+        # Stats are counted in blocks (both queries and hits), matching
+        # the reference's PrefixCacheStats semantics.
+        num_eligible = min(len(hashes),
+                           max_cache_hit_tokens // self.block_size)
+        self.block_pool.stats.queries += num_eligible
+        for i, h in enumerate(hashes):
+            if (i + 1) * self.block_size > max_cache_hit_tokens:
+                break
+            block = self.block_pool.get_cached_block(h)
+            if block is None:
+                break
+            blocks.append(block)
+        self.block_pool.stats.hits += len(blocks)
+        return KVCacheBlocks(blocks), len(blocks) * self.block_size
+
+    def allocate_slots(
+        self,
+        request: Request,
+        num_new_tokens: int,
+        new_computed_blocks: Optional[KVCacheBlocks] = None,
+        num_lookahead_tokens: int = 0,
+    ) -> Optional[KVCacheBlocks]:
+        """Ensure the request owns blocks for its next ``num_new_tokens``
+        (+ speculative lookahead). Returns the newly allocated blocks,
+        or None if the pool can't satisfy the demand (caller preempts).
+        """
+        assert num_new_tokens > 0
+        new_computed = new_computed_blocks.blocks if new_computed_blocks else []
+        req_blocks = self.req_to_blocks.setdefault(request.request_id, [])
+
+        num_computed_tokens = (request.num_computed_tokens +
+                               len(new_computed) * self.block_size)
+        total_tokens = (num_computed_tokens + num_new_tokens +
+                        num_lookahead_tokens)
+        num_required_blocks = cdiv(total_tokens, self.block_size)
+        num_new_blocks = (num_required_blocks - len(req_blocks) -
+                          len(new_computed))
+
+        # Availability check: freshly touched computed blocks with
+        # ref 0 would come out of the free pool too.
+        num_evictable_computed = sum(1 for b in new_computed
+                                     if b.ref_cnt == 0)
+        if (num_new_blocks >
+                self.block_pool.num_free_blocks - num_evictable_computed):
+            return None
+
+        # Take refs on the prefix-hit blocks and append them.
+        if new_computed:
+            self.block_pool.touch(new_computed)
+            req_blocks.extend(new_computed)
+            self.num_cached_blocks[request.request_id] = (
+                self.num_cached_blocks.get(request.request_id, 0) +
+                len(new_computed))
+
+        new_blocks: list[KVCacheBlock] = []
+        if num_new_blocks > 0:
+            new_blocks = self.block_pool.get_new_blocks(num_new_blocks)
+            req_blocks.extend(new_blocks)
+
+        # Register hashes for blocks that become full this step
+        # (speculative/lookahead tokens are unverified — never cached,
+        # same rule as ref allocate_slots).
+        if self.enable_caching:
+            num_full_after = (num_computed_tokens +
+                              num_new_tokens) // self.block_size
+            # Cap by tokens that actually exist (lookahead excluded).
+            num_full_after = min(num_full_after,
+                                 request.num_tokens // self.block_size)
+            hashes = self._update_block_hashes(request)
+            num_cached = self.num_cached_blocks.get(request.request_id, 0)
+            if num_full_after > num_cached:
+                self.block_pool.cache_full_blocks(req_blocks, hashes,
+                                                  num_cached, num_full_after)
+                self.num_cached_blocks[
+                    request.request_id] = num_full_after
+        return KVCacheBlocks(new_blocks)
+
+    def free(self, request: Request) -> None:
+        """Release all blocks. Reverse order => sequence tails evict
+        before shared prefixes."""
+        blocks = self.req_to_blocks.pop(request.request_id, [])
+        self.num_cached_blocks.pop(request.request_id, None)
+        self.block_pool.free_blocks(list(reversed(blocks)))
+
+    def free_block_hashes(self, request: Request) -> None:
+        self.req_to_block_hashes.pop(request.request_id, None)
+
+    def get_block_ids(self, request_id: str) -> list[int]:
+        return [b.block_id for b in self.req_to_blocks.get(request_id, [])]
+
+    @property
+    def usage(self) -> float:
+        return self.block_pool.usage
+
+    def reset_prefix_cache(self) -> bool:
+        return self.block_pool.reset_prefix_cache()

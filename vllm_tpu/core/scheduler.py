@@ -1,0 +1,345 @@
+"""Continuous-batching scheduler: one token-budget loop.
+
+Behavioral parity with the reference scheduler (ref:
+vllm/v1/core/sched/scheduler.py ``Scheduler:69``, ``schedule():440``,
+``update_from_output():1679``): there are no prefill/decode phases —
+each step hands every scheduled request a token budget slice
+(``num_computed_tokens .. num_computed_tokens + num_new_tokens``), which
+uniformly expresses chunked prefill, decode, and speculative
+verification (design note ref: scheduler.py:442-451).
+
+Device-free: the scheduler sees token counts and block ids only.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable, Optional
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_tpu.core.request import Request, RequestStatus
+from vllm_tpu.core.sched_output import (CachedRequestData, EngineCoreOutput,
+                                        ModelRunnerOutput, NewRequestData,
+                                        SchedulerOutput, SchedulerStats)
+from vllm_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+
+class Scheduler:
+
+    def __init__(self, config: EngineConfig, num_blocks: int) -> None:
+        self.config = config
+        self.max_num_seqs = config.scheduler.max_num_seqs
+        self.max_num_batched_tokens = config.scheduler.max_num_batched_tokens
+        self.long_prefill_token_threshold = (
+            config.scheduler.long_prefill_token_threshold)
+        self.enable_chunked_prefill = config.scheduler.enable_chunked_prefill
+        self.max_model_len = config.model.max_model_len
+        self.block_size = config.cache.block_size
+
+        self.kv_cache_manager = KVCacheManager(
+            num_blocks=num_blocks,
+            block_size=config.cache.block_size,
+            enable_caching=config.cache.enable_prefix_caching,
+            hash_algo=config.cache.prefix_caching_hash_algo,
+        )
+
+        self.requests: dict[str, Request] = {}
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+        # Finished/aborted between steps; the runner purges these rows.
+        self.finished_req_ids: set[str] = set()
+        self.num_preemptions = 0
+
+    # -- request lifecycle -------------------------------------------
+    def add_request(self, request: Request) -> None:
+        if request.num_prompt_tokens >= self.max_model_len:
+            raise ValueError(
+                f"prompt ({request.num_prompt_tokens} tokens) >= "
+                f"max_model_len ({self.max_model_len})")
+        self.requests[request.request_id] = request
+        self.waiting.append(request)
+
+    def finish_requests(self, request_ids: Iterable[str],
+                        status: RequestStatus) -> None:
+        """External finish (abort / stop-string hit in the detokenizer)."""
+        for req_id in request_ids:
+            request = self.requests.get(req_id)
+            if request is None or request.is_finished:
+                continue
+            if request.status == RequestStatus.RUNNING:
+                self.running.remove(request)
+            else:
+                try:
+                    self.waiting.remove(request)
+                except ValueError:
+                    pass
+            request.status = status
+            self._free_request(request)
+
+    def _free_request(self, request: Request) -> None:
+        self.kv_cache_manager.free(request)
+        self.kv_cache_manager.free_block_hashes(request)
+        self.finished_req_ids.add(request.request_id)
+        del self.requests[request.request_id]
+
+    # -- scheduling ---------------------------------------------------
+    def schedule(self) -> SchedulerOutput:
+        out = SchedulerOutput()
+        out.finished_req_ids = self.finished_req_ids
+        self.finished_req_ids = set()
+
+        token_budget = self.max_num_batched_tokens
+        preempted_this_step: set[str] = set()
+
+        # Phase 1: running requests (decode / ongoing chunked prefill /
+        # spec verification). Iterate a copy: preemption mutates the list.
+        req_index = 0
+        while req_index < len(self.running) and token_budget > 0:
+            request = self.running[req_index]
+            num_new_tokens = (request.num_tokens_with_spec -
+                              request.num_computed_tokens)
+            if (self.long_prefill_token_threshold > 0
+                    and num_new_tokens > self.long_prefill_token_threshold):
+                num_new_tokens = self.long_prefill_token_threshold
+            num_new_tokens = min(num_new_tokens, token_budget)
+            # Clamp to model length (leave room for sampled token slot).
+            num_new_tokens = min(
+                num_new_tokens,
+                self.max_model_len - request.num_computed_tokens)
+            if num_new_tokens <= 0:
+                req_index += 1
+                continue
+
+            # Spec tokens actually scheduled this step.
+            num_spec_scheduled = max(
+                0, request.num_computed_tokens + num_new_tokens -
+                request.num_tokens)
+
+            # Allocate, preempting not-yet-scheduled requests if needed.
+            # Victims always come from self.running[req_index:]: requests
+            # already scheduled this step must not be rolled back.
+            while True:
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    request, num_new_tokens)
+                if new_blocks is not None:
+                    break
+                victim = self._find_preemption_victim(req_index)
+                self._preempt(victim, preempted_this_step)
+                if victim is request:
+                    break
+            if new_blocks is None:
+                # request itself was preempted; running[req_index] is now
+                # the next request.
+                continue
+
+            out.scheduled_cached_reqs.append(
+                CachedRequestData(
+                    req_id=request.request_id,
+                    new_block_ids=new_blocks.get_block_ids(),
+                    num_computed_tokens=request.num_computed_tokens,
+                    new_token_ids=request.all_token_ids[
+                        request.num_computed_tokens:
+                        request.num_computed_tokens + num_new_tokens],
+                ))
+            out.num_scheduled_tokens[request.request_id] = num_new_tokens
+            token_budget -= num_new_tokens
+            if num_spec_scheduled > 0:
+                out.scheduled_spec_decode_tokens[request.request_id] = (
+                    request.spec_token_ids[:num_spec_scheduled])
+            req_index += 1
+
+        # Phase 2: waiting queue (new + resumed requests). Skipped if we
+        # preempted: admitting while evicting would thrash.
+        if not preempted_this_step:
+            while (self.waiting and token_budget > 0
+                   and len(self.running) < self.max_num_seqs):
+                request = self.waiting[0]
+                resumed = request.status == RequestStatus.PREEMPTED
+
+                # Prefix-cache lookup (fresh requests only).
+                new_computed_blocks, num_cached_tokens = (
+                    self.kv_cache_manager.get_computed_blocks(request))
+                num_new_tokens = request.num_tokens - max(
+                    request.num_computed_tokens, num_cached_tokens)
+                if (self.long_prefill_token_threshold > 0 and num_new_tokens
+                        > self.long_prefill_token_threshold):
+                    num_new_tokens = self.long_prefill_token_threshold
+                if num_new_tokens > token_budget:
+                    if not self.enable_chunked_prefill:
+                        break  # entire prompt must fit the budget
+                    num_new_tokens = token_budget
+                assert num_new_tokens > 0
+
+                new_blocks = self.kv_cache_manager.allocate_slots(
+                    request, num_new_tokens, new_computed_blocks)
+                if new_blocks is None:
+                    break  # no space; keep waiting
+
+                self.waiting.popleft()
+                request.status = RequestStatus.RUNNING
+                request.num_computed_tokens = max(request.num_computed_tokens,
+                                                  num_cached_tokens)
+                self.running.append(request)
+
+                if resumed:
+                    # Runner rebuilt state is included in NewRequestData
+                    # with all tokens produced so far.
+                    out.scheduled_new_reqs.append(
+                        NewRequestData(
+                            req_id=request.request_id,
+                            prompt_token_ids=list(request.all_token_ids),
+                            block_ids=self.kv_cache_manager.get_block_ids(
+                                request.request_id),
+                            num_computed_tokens=request.num_computed_tokens,
+                            sampling_params=request.sampling_params,
+                        ))
+                else:
+                    out.scheduled_new_reqs.append(
+                        NewRequestData(
+                            req_id=request.request_id,
+                            prompt_token_ids=request.prompt_token_ids,
+                            block_ids=self.kv_cache_manager.get_block_ids(
+                                request.request_id),
+                            num_computed_tokens=request.num_computed_tokens,
+                            sampling_params=request.sampling_params,
+                        ))
+                out.num_scheduled_tokens[request.request_id] = num_new_tokens
+                token_budget -= num_new_tokens
+
+        out.total_num_scheduled_tokens = sum(
+            out.num_scheduled_tokens.values())
+        out.preempted_req_ids = preempted_this_step
+        return out
+
+    def _find_preemption_victim(self, req_index: int) -> Request:
+        # FCFS: newest request loses. Priority policy: highest priority
+        # value (= lowest urgency), then newest arrival. Only requests
+        # not yet scheduled this step are eligible.
+        candidates = self.running[req_index:]
+        assert candidates, "allocate failed with no preemptable requests"
+        if self.config.scheduler.policy == "priority":
+            return max(candidates,
+                       key=lambda r: (r.priority, r.arrival_time))
+        return candidates[-1]
+
+    def _preempt(self, request: Request,
+                 preempted_this_step: set[str]) -> None:
+        logger.debug("preempting %s", request.request_id)
+        self.running.remove(request)
+        self.kv_cache_manager.free(request)
+        request.status = RequestStatus.PREEMPTED
+        request.num_computed_tokens = 0
+        request.spec_token_ids = []
+        request.num_preemptions += 1
+        self.num_preemptions += 1
+        preempted_this_step.add(request.request_id)
+        # Head of the waiting queue: preempted requests resume first.
+        self.waiting.appendleft(request)
+
+    # -- post-execution ----------------------------------------------
+    def update_from_output(
+        self,
+        scheduler_output: SchedulerOutput,
+        runner_output: ModelRunnerOutput,
+    ) -> list[EngineCoreOutput]:
+        outputs: list[EngineCoreOutput] = []
+        num_scheduled = scheduler_output.num_scheduled_tokens
+        spec_scheduled = scheduler_output.scheduled_spec_decode_tokens
+
+        for i, req_id in enumerate(runner_output.req_ids):
+            request = self.requests.get(req_id)
+            if request is None:
+                continue  # aborted mid-flight
+            sched_tokens = num_scheduled.get(req_id)
+            if sched_tokens is None:
+                continue
+
+            sampled = runner_output.sampled_token_ids[i]
+            spec_toks = spec_scheduled.get(req_id, [])
+            if spec_toks:
+                # Spec verification: sampled includes the bonus token.
+                # num_accepted drafts => computed advances by
+                # sched_tokens - (num_drafts - num_accepted).
+                num_accepted = len(sampled) - 1
+                num_rejected = len(spec_toks) - num_accepted
+                request.num_computed_tokens += sched_tokens - num_rejected
+            else:
+                request.num_computed_tokens += sched_tokens
+            request.spec_token_ids = []
+
+            new_token_ids: list[int] = []
+            finished = False
+            if request.num_computed_tokens >= request.num_tokens:
+                # The forward covered all existing tokens => `sampled`
+                # are genuinely new output tokens.
+                for tok in sampled:
+                    request.append_output_token_ids([tok])
+                    new_token_ids.append(tok)
+                    finished = self._check_stop(request, tok)
+                    if finished:
+                        break
+
+            if runner_output.spec_token_ids is not None and not finished:
+                request.spec_token_ids = runner_output.spec_token_ids[i]
+
+            if new_token_ids or finished:
+                outputs.append(
+                    EngineCoreOutput(
+                        req_id=req_id,
+                        new_token_ids=new_token_ids,
+                        finished=finished,
+                        finish_reason=request.get_finished_reason(),
+                        stop_reason=request.stop_reason,
+                        new_logprobs=(runner_output.logprobs[i]
+                                      if runner_output.logprobs else None),
+                    ))
+            if finished:
+                self.running.remove(request)
+                self._free_request(request)
+        return outputs
+
+    def _check_stop(self, request: Request, last_token: int) -> bool:
+        sp = request.sampling_params
+        if request.num_output_tokens >= sp.min_tokens:
+            if not sp.ignore_eos and last_token in self._eos_ids(request):
+                request.status = RequestStatus.FINISHED_STOPPED
+                request.stop_reason = last_token
+                return True
+            if last_token in sp.stop_token_ids:
+                request.status = RequestStatus.FINISHED_STOPPED
+                request.stop_reason = last_token
+                return True
+        if request.num_output_tokens >= sp.max_tokens:
+            request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return True
+        if request.num_tokens >= self.max_model_len:
+            request.status = RequestStatus.FINISHED_LENGTH_CAPPED
+            return True
+        return False
+
+    def _eos_ids(self, request: Request) -> tuple[int, ...]:
+        eos = getattr(request.sampling_params, "_eos_token_ids", None)
+        if eos is None:
+            eos = getattr(self.config.model, "eos_token_ids", None) or ()
+        return tuple(eos) if eos else ()
+
+    # -- introspection -----------------------------------------------
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.running or self.waiting)
+
+    def get_num_unfinished_requests(self) -> int:
+        return len(self.running) + len(self.waiting)
+
+    def make_stats(self) -> SchedulerStats:
+        st = self.kv_cache_manager.block_pool.stats
+        return SchedulerStats(
+            num_running_reqs=len(self.running),
+            num_waiting_reqs=len(self.waiting),
+            kv_cache_usage=self.kv_cache_manager.usage,
+            prefix_cache_queries=st.queries,
+            prefix_cache_hits=st.hits,
+            num_preemptions=self.num_preemptions,
+        )
