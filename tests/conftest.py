@@ -10,13 +10,22 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient env routes JAX at a TPU (axon): tests
+# must be host-runnable. Set VLLM_TPU_TEST_ON_TPU=1 to run on real HW.
+if os.environ.get("VLLM_TPU_TEST_ON_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+
+# Full-precision matmuls for numerical parity tests (JAX's default
+# CPU/TPU matmul precision is bf16-class, ~1e-3 error at dim 64).
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")

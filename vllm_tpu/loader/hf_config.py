@@ -1,0 +1,73 @@
+"""HF ``config.json`` -> ModelConfig.
+
+Ref analog: vllm/config/model.py deriving from transformers configs.
+Reads the json directly (no transformers import needed on this path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from vllm_tpu.config import ModelConfig
+
+SUPPORTED_ARCHS = {
+    "LlamaForCausalLM": "llama",
+    "Qwen2ForCausalLM": "llama",  # llama + attention_bias
+    "MistralForCausalLM": "llama",  # llama + sliding_window
+    "TinyLlamaForCausalLM": "llama",
+    "Qwen3ForCausalLM": "llama",  # + qk-norm (handled in model)
+    "MixtralForCausalLM": "mixtral",
+    "Qwen2MoeForCausalLM": "qwen2_moe",
+}
+
+
+def load_hf_config_dict(model_path: str) -> dict[str, Any]:
+    path = os.path.join(model_path, "config.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def model_config_from_hf(
+    model_path: str,
+    max_model_len: int | None = None,
+    dtype: str = "bfloat16",
+) -> ModelConfig:
+    hf = load_hf_config_dict(model_path)
+    arch = hf.get("architectures", ["LlamaForCausalLM"])[0]
+    if arch not in SUPPORTED_ARCHS:
+        raise ValueError(
+            f"unsupported architecture {arch}; supported: "
+            f"{sorted(SUPPORTED_ARCHS)}")
+    num_heads = hf["num_attention_heads"]
+    max_pos = hf.get("max_position_embeddings", 2048)
+    cfg = ModelConfig(
+        model=model_path,
+        architecture=arch,
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=num_heads,
+        num_kv_heads=hf.get("num_key_value_heads", num_heads),
+        head_dim=hf.get("head_dim"),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        max_model_len=min(max_model_len or max_pos, max_pos),
+        dtype=dtype,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        attention_bias=(arch == "Qwen2ForCausalLM"
+                        or hf.get("attention_bias", False)),
+        sliding_window=(hf.get("sliding_window")
+                        if hf.get("use_sliding_window", True) else None),
+        hf_config=hf,
+    )
+    # Surface EOS for the scheduler's stop check.
+    eos = hf.get("eos_token_id")
+    if eos is not None:
+        cfg.eos_token_ids = eos if isinstance(eos, list) else [eos]  # type: ignore[attr-defined]
+    else:
+        cfg.eos_token_ids = []  # type: ignore[attr-defined]
+    return cfg

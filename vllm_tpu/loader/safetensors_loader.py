@@ -1,0 +1,145 @@
+"""HF safetensors checkpoint -> vllm_tpu param pytree.
+
+Ref analog: vllm/model_executor/model_loader/default_loader.py
+(safetensors streaming) + each model's ``load_weights`` stacking
+q/k/v -> qkv and gate/up -> gate_up (ref: llama.py load_weights
+stacked_params_mapping).
+
+Weight-layout convention: our linears store [in_features, out_features]
+(x @ W, no transpose at run time); HF stores [out, in] so dense weights
+transpose once at load. Fusion happens eagerly on host numpy arrays —
+memory cost is one layer at a time (we stream tensor-by-tensor).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+
+from vllm_tpu.config import ModelConfig, QuantizationConfig
+from vllm_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+# HF name suffix -> (our leaf name, slot index in fusion group)
+_FUSED = {
+    "self_attn.q_proj": ("qkv_proj", 0),
+    "self_attn.k_proj": ("qkv_proj", 1),
+    "self_attn.v_proj": ("qkv_proj", 2),
+    "mlp.gate_proj": ("gate_up_proj", 0),
+    "mlp.up_proj": ("gate_up_proj", 1),
+}
+_DIRECT = {
+    "self_attn.o_proj": "o_proj",
+    "mlp.down_proj": "down_proj",
+}
+
+
+def _iter_safetensors(model_path: str):
+    """Yield (name, numpy array) across all shards."""
+    from safetensors import safe_open
+    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {model_path}")
+    index = os.path.join(model_path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            wmap = json.load(f)["weight_map"]
+        shards = sorted(set(wmap.values()))
+        files = [os.path.join(model_path, s) for s in shards]
+    for fn in files:
+        with safe_open(fn, framework="np") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def load_llama_params(
+    model_path: str,
+    cfg: ModelConfig,
+    quant: QuantizationConfig | None = None,
+) -> dict:
+    """Load a Llama-family checkpoint into the functional pytree.
+
+    Quantized checkpoints (GPTQ/AWQ/AutoRound) route through
+    vllm_tpu.quant.loader instead; this handles fp16/bf16.
+    """
+    import jax.numpy as jnp
+
+    if quant is not None and quant.enabled:
+        from vllm_tpu.quant.loader import load_quantized_llama_params
+        return load_quantized_llama_params(model_path, cfg, quant)
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    # Fusion staging: (layer, leaf) -> {slot: np.ndarray}
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+
+    def to_jax(a: np.ndarray):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            else:
+                mod, _, kind = tail.rpartition(".")  # kind: weight|bias
+                if mod in _DIRECT:
+                    leaf = layer.setdefault(_DIRECT[mod], {})
+                    if kind == "weight":
+                        leaf["weight"] = to_jax(w.T)
+                    else:
+                        leaf["bias"] = to_jax(w)
+                elif mod in _FUSED:
+                    leaf_name, slot = _FUSED[mod]
+                    pending.setdefault((li, leaf_name, kind),
+                                       {})[slot] = w
+                else:
+                    logger.warning("unmapped weight %s", name)
+        elif name.startswith("model.rotary_emb"):
+            pass  # computed, not loaded
+        else:
+            logger.warning("unmapped weight %s", name)
+
+    # Finish fusions: concat along output dim then transpose.
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        assert len(slots) == n_slots, (
+            f"layer {li} {leaf_name}.{kind}: missing parts "
+            f"{set(range(n_slots)) - set(slots)}")
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        if kind == "weight":
+            leaf["weight"] = to_jax(cat.T)
+        else:
+            leaf["bias"] = to_jax(cat)
+
+    _validate(params, cfg)
+    return params
+
+
+def _validate(params: dict, cfg: ModelConfig) -> None:
+    assert "embed_tokens" in params, "missing embed_tokens"
+    assert "norm" in params, "missing final norm"
+    if not cfg.tie_word_embeddings:
+        assert "lm_head" in params, "missing lm_head"
+    for i, layer in enumerate(params["layers"]):
+        for k in ("input_layernorm", "qkv_proj", "o_proj",
+                  "post_attention_layernorm", "gate_up_proj", "down_proj"):
+            assert k in layer, f"layer {i} missing {k}"

@@ -1,0 +1,174 @@
+"""Llama-family decoder, TPU-first functional JAX.
+
+Covers LlamaForCausalLM and config-compatible families (TinyLlama,
+Llama-2/3, Qwen2 via attention_bias, Mistral via sliding_window).
+Capability parity target: ref vllm/model_executor/models/llama.py
+(LlamaForCausalLM:447 / LlamaModel:345 / LlamaAttention:123 /
+LlamaMLP:80) — but written as pure functions over a param pytree:
+
+- no nn.Module graph: ``forward(params, cfg, ...)`` is jit/pjit'd whole
+- QKV and gate/up projections are pre-fused at load time (analog of
+  MergedColumnParallelLinear / QKVParallelLinear, ref linear.py:661,
+  1022) — one MXU matmul each
+- KV write-through + ragged paged attention against the paged cache
+- quantized layers swap their param leaf; the code path is identical
+  (see ops/linear.py dispatch)
+
+Param pytree schema (dense leaves; quantized leaves swap
+weight -> qweight/scales[/qzeros]):
+
+    embed_tokens: {"weight": [V, E]}
+    layers[i]:
+      input_layernorm:          [E]
+      qkv_proj:  {"weight": [E, (H+2*KH)*Dh], "bias"?}
+      o_proj:    {"weight": [H*Dh, E]}
+      post_attention_layernorm: [E]
+      gate_up_proj: {"weight": [E, 2*I]}
+      down_proj:    {"weight": [I, E]}
+    norm: [E]
+    lm_head: {"weight": [E, V]}   (absent when tie_word_embeddings)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_tpu.config import ModelConfig
+from vllm_tpu.ops.attention import ragged_paged_attention_xla
+from vllm_tpu.ops.kv_cache import write_kv_xla
+from vllm_tpu.ops.layers import (apply_rope, rms_norm, rope_cos_sin,
+                                 silu_and_mul)
+from vllm_tpu.ops.linear import linear
+from vllm_tpu.ops.metadata import AttentionMetadata
+
+
+def _attention(
+    cfg: ModelConfig,
+    layer: dict,
+    x: jax.Array,  # [T, E]
+    cos: jax.Array,
+    sin: jax.Array,
+    kv_cache: jax.Array,
+    meta: AttentionMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    T = x.shape[0]
+    H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    qkv = linear(layer["qkv_proj"], x)  # [T, (H+2KH)*D]
+    q, k, v = jnp.split(qkv, [H * D, (H + KH) * D], axis=-1)
+    q = q.reshape(T, H, D)
+    k = k.reshape(T, KH, D)
+    v = v.reshape(T, KH, D)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # Write-through first, then attend over the whole [0, seq_len)
+    # prefix from the cache — current tokens included (unified
+    # prefill/decode contract, see ops/attention.py).
+    kv_cache = write_kv_xla(kv_cache, k, v, meta.slot_mapping)
+
+    out = ragged_paged_attention_xla(
+        q,
+        kv_cache,
+        meta.block_tables,
+        meta.query_start_loc,
+        meta.seq_lens,
+        sm_scale=float(D**-0.5),
+        sliding_window=cfg.sliding_window,
+    )
+    return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
+
+
+def _mlp(layer: dict, x: jax.Array) -> jax.Array:
+    return linear(layer["down_proj"],
+                  silu_and_mul(linear(layer["gate_up_proj"], x)))
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [T]
+    positions: jax.Array,  # [T]
+    kv_caches: list[jax.Array],
+    meta: AttentionMetadata,
+) -> tuple[jax.Array, list[jax.Array]]:
+    """Returns (hidden_states [T, E], updated kv_caches)."""
+    x = params["embed_tokens"]["weight"][input_ids]
+    cos, sin = rope_cos_sin(positions, cfg)
+    new_caches = []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, kvc = _attention(cfg, layer, h, cos, sin, kv_caches[i],
+                                   meta)
+        new_caches.append(kvc)
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, new_caches
+
+
+def compute_logits(params: dict, cfg: ModelConfig,
+                   hidden: jax.Array) -> jax.Array:
+    """hidden [N, E] -> logits [N, V] (fp32, softcapped if configured).
+
+    Ref analog: vllm LogitsProcessor:23 + ParallelLMHead:521.
+    """
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"]["weight"].T
+        logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    else:
+        lm_head = params["lm_head"]
+        if "qweight" in lm_head:
+            logits = linear(lm_head, hidden).astype(jnp.float32)
+        else:
+            logits = jnp.dot(hidden, lm_head["weight"],
+                             preferred_element_type=jnp.float32)
+    if cfg.logit_softcap is not None:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits
+
+
+# -- initialization -----------------------------------------------------
+
+
+def random_params(cfg: ModelConfig, seed: int = 0) -> dict:
+    """Random-weight pytree for tests/benchmarks (ref analog: the dummy
+    model loader, vllm/model_executor/model_loader/dummy_loader.py)."""
+    dtype = jnp.dtype(cfg.dtype)
+    key = jax.random.PRNGKey(seed)
+    H, KH, D, E, I = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                      cfg.hidden_size, cfg.intermediate_size)
+
+    def nxt():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(nxt(), shape, jnp.float32) *
+                scale).astype(dtype)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = {
+            "input_layernorm": jnp.ones((E, ), dtype),
+            "qkv_proj": {"weight": w((E, (H + 2 * KH) * D))},
+            "o_proj": {"weight": w((H * D, E))},
+            "post_attention_layernorm": jnp.ones((E, ), dtype),
+            "gate_up_proj": {"weight": w((E, 2 * I))},
+            "down_proj": {"weight": w((I, E))},
+        }
+        if cfg.attention_bias:
+            layer["qkv_proj"]["bias"] = w(((H + 2 * KH) * D, ))
+        layers.append(layer)
+    params = {
+        "embed_tokens": {"weight": w((cfg.vocab_size, E))},
+        "layers": layers,
+        "norm": jnp.ones((E, ), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"weight": w((E, cfg.vocab_size))}
+    return params

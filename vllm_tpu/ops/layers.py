@@ -1,0 +1,82 @@
+"""Elementwise layer ops: RMSNorm, rotary embedding, activations.
+
+Pure jnp — XLA fuses these into neighboring matmuls on TPU, so unlike
+the reference (which needs CUDA kernels: layernorm_kernels.cu,
+pos_encoding_kernels.cu, activation_kernels.cu in csrc/libtorch_stable)
+no hand-written kernel is warranted until profiling says otherwise
+(SURVEY.md §2.8 "fuse into model jit").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_tpu.config import ModelConfig
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32 accumulation (HF llama semantics: normalize in
+    fp32, cast back, then scale)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dtype) * weight).astype(dtype)
+
+
+def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+    """Rotary inverse frequencies, with llama3-style scaling support
+    (ref analog: vllm/model_executor/layers/rotary_embedding/)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta**(jnp.arange(0, d, 2,
+                                                  dtype=jnp.float32) / d))
+    rs = cfg.rope_scaling or {}
+    rope_type = rs.get("rope_type", rs.get("type"))
+    if rope_type == "llama3":
+        factor = rs["factor"]
+        low = rs["low_freq_factor"]
+        high = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        wavelen = 2 * jnp.pi / inv_freq
+        # Three bands: high-freq kept, low-freq scaled, middle smoothed.
+        smooth = (old_len / wavelen - low) / (high - low)
+        scaled = jnp.where(
+            wavelen < old_len / high, inv_freq,
+            jnp.where(wavelen > old_len / low, inv_freq / factor,
+                      (1 - smooth) * inv_freq / factor + smooth * inv_freq))
+        inv_freq = scaled
+    elif rope_type == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    elif rope_type in (None, "default"):
+        pass
+    else:
+        raise NotImplementedError(f"rope_type {rope_type}")
+    return inv_freq
+
+
+def rope_cos_sin(positions: jax.Array,
+                 cfg: ModelConfig) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for a batch of positions: each [T, head_dim//2]."""
+    inv_freq = rope_inv_freq(cfg)
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """NeoX-style (half-rotated) RoPE. x: [T, heads, head_dim]."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1).astype(x.dtype)
+
+
+def silu_and_mul(gate_up: jax.Array) -> jax.Array:
+    """SiluAndMul over a fused [.., 2*I] gate_up projection (ref analog:
+    vllm activation.py SiluAndMul)."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return jax.nn.silu(gate) * up
