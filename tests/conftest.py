@@ -10,6 +10,8 @@ Must run before jax is imported anywhere.
 
 import os
 
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress environment
+
 # Force CPU even when the ambient env routes JAX at a TPU (axon): tests
 # must be host-runnable. Set VLLM_TPU_TEST_ON_TPU=1 to run on real HW.
 if os.environ.get("VLLM_TPU_TEST_ON_TPU") != "1":
@@ -26,6 +28,10 @@ import pytest  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon PJRT plugin ignores the JAX_PLATFORMS env var; the config
+# knob does stick. Without this, "cpu tests" silently run on the TPU.
+if os.environ.get("VLLM_TPU_TEST_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,95 @@
+"""Offline batch-inference API.
+
+Ref analog: vllm/entrypoints/llm.py (LLM:67, generate():414).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                             ParallelConfig, QuantizationConfig,
+                             SchedulerConfig)
+from vllm_tpu.engine.llm_engine import LLMEngine
+from vllm_tpu.engine.outputs import RequestOutput
+from vllm_tpu.sample.params import SamplingParams
+
+
+class LLM:
+
+    def __init__(
+        self,
+        model: str,
+        *,
+        max_model_len: int = 2048,
+        dtype: str = "bfloat16",
+        block_size: int = 32,
+        max_num_seqs: int = 64,
+        max_num_batched_tokens: int = 2048,
+        num_kv_blocks: Optional[int] = None,
+        enable_prefix_caching: bool = True,
+        quantization: Optional[str] = None,
+        tensor_parallel_size: int = 1,
+        seed: int = 0,
+        engine_config: Optional[EngineConfig] = None,
+        params: Optional[dict] = None,
+        tokenizer=None,
+        mesh=None,
+    ) -> None:
+        if engine_config is None:
+            from vllm_tpu.loader.hf_config import model_config_from_hf
+            model_config = model_config_from_hf(model,
+                                                max_model_len=max_model_len,
+                                                dtype=dtype)
+            quant = QuantizationConfig()
+            if quantization is not None:
+                from vllm_tpu.quant.config import detect_quant_config
+                quant = detect_quant_config(model, quantization)
+            engine_config = EngineConfig(
+                model=model_config,
+                cache=CacheConfig(block_size=block_size,
+                                  num_gpu_blocks=num_kv_blocks,
+                                  enable_prefix_caching=enable_prefix_caching),
+                scheduler=SchedulerConfig(
+                    max_num_batched_tokens=max_num_batched_tokens,
+                    max_num_seqs=max_num_seqs),
+                parallel=ParallelConfig(
+                    tensor_parallel_size=tensor_parallel_size),
+                quant=quant,
+                seed=seed,
+            )
+        self.engine = LLMEngine(engine_config, params=params,
+                                tokenizer=tokenizer, mesh=mesh)
+
+    def generate(
+        self,
+        prompts: Union[str, Sequence[Union[str, list[int]]]],
+        sampling_params: Optional[Union[SamplingParams,
+                                        Sequence[SamplingParams]]] = None,
+    ) -> list[RequestOutput]:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = [SamplingParams()] * n
+        elif isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * n
+        assert len(sampling_params) == n
+
+        order: list[str] = []
+        for prompt, sp in zip(prompts, sampling_params):
+            order.append(self.engine.add_request(prompt, sp))
+
+        finals: dict[str, RequestOutput] = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return [finals[rid] for rid in order]
+
+    def chat(self, messages, sampling_params=None) -> list[RequestOutput]:
+        tok = self.engine.tokenizer
+        assert tok is not None
+        prompt = tok.apply_chat_template(messages,
+                                         add_generation_prompt=True)
+        return self.generate([prompt], sampling_params)

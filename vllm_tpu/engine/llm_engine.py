@@ -1,0 +1,155 @@
+"""Synchronous engine: add_request / step loop.
+
+Ref analog: vllm/v1/engine/llm_engine.py (LLMEngine) + the in-proc
+EngineCore (vllm/v1/engine/core.py EngineCore:103 — step() = schedule ->
+execute -> update). Single process, single controller: on TPU the
+executor boundary collapses (XLA owns the devices), so the engine calls
+the runner directly; the multi-host control plane reintroduces a
+transport at this same seam.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.request import Request, RequestStatus
+from vllm_tpu.core.scheduler import Scheduler
+from vllm_tpu.engine.output_processor import OutputProcessor
+from vllm_tpu.engine.outputs import RequestOutput
+from vllm_tpu.engine.tokenizer import Tokenizer
+from vllm_tpu.sample.params import SamplingParams
+from vllm_tpu.utils import Counter, cdiv, init_logger
+from vllm_tpu.worker.runner import TPUModelRunner
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: Optional[dict] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        mesh=None,
+    ) -> None:
+        self.config = config
+        mc = config.model
+
+        if tokenizer is None and mc.model:
+            try:
+                tokenizer = Tokenizer(mc.model)
+            except Exception as e:  # tokenizer-free (token-id) mode
+                logger.warning("no tokenizer loaded: %s", e)
+        self.tokenizer = tokenizer
+
+        if params is None:
+            params = self._load_params()
+
+        num_blocks = self._determine_num_kv_blocks()
+        # Guard: every request must be able to fit (a request needing
+        # more blocks than the pool stalls the scheduler forever).
+        kv_capacity = (num_blocks - 1) * config.cache.block_size
+        if mc.max_model_len > kv_capacity:
+            raise ValueError(
+                f"max_model_len={mc.max_model_len} exceeds KV capacity "
+                f"{kv_capacity} tokens ({num_blocks} blocks x "
+                f"{config.cache.block_size}); lower max_model_len or "
+                f"raise num_kv_blocks/memory")
+
+        self.scheduler = Scheduler(config, num_blocks=num_blocks)
+        self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
+        self.output_processor = OutputProcessor(self.tokenizer)
+        self._req_counter = Counter()
+
+        # EOS propagation to the scheduler's stop check.
+        if not getattr(mc, "eos_token_ids", None):
+            eos = (self.tokenizer.eos_token_id
+                   if self.tokenizer is not None else None)
+            mc.eos_token_ids = [eos] if eos is not None else []  # type: ignore[attr-defined]
+
+    # -- init helpers -------------------------------------------------
+    def _load_params(self) -> dict:
+        from vllm_tpu.loader.safetensors_loader import load_llama_params
+        mc, qc = self.config.model, self.config.quant
+        logger.info("loading weights from %s", mc.model)
+        return load_llama_params(mc.model, mc,
+                                 qc if qc.enabled else None)
+
+    def _determine_num_kv_blocks(self) -> int:
+        cc = self.config.cache
+        if cc.num_gpu_blocks is not None:
+            return cc.num_gpu_blocks
+        # Memory-based sizing (ref analog: determine_available_memory,
+        # gpu_worker.py:461): device memory x utilization - weights.
+        mc = self.config.model
+        per_block_bytes = (cc.block_size * 2 * mc.num_kv_heads *
+                           mc.head_dim * 2 * mc.num_layers)  # bf16
+        try:
+            import jax
+            dev = jax.local_devices()[0]
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            in_use = stats.get("bytes_in_use", 0)
+            if limit:
+                free = limit * cc.gpu_memory_utilization - in_use
+                num = int(free // per_block_bytes)
+                if num > 1:
+                    return num
+        except Exception:
+            pass
+        # Fallback: enough for max_num_seqs full-length sequences,
+        # capped at 512 MiB of KV.
+        want = (self.config.scheduler.max_num_seqs *
+                self.config.max_blocks_per_req + 1)
+        cap = max(2, int(512 * 2**20) // per_block_bytes)
+        return min(want, cap)
+
+    # -- API ----------------------------------------------------------
+    def add_request(
+        self,
+        prompt: Union[str, list[int]],
+        params: Optional[SamplingParams] = None,
+        request_id: Optional[str] = None,
+        priority: int = 0,
+    ) -> str:
+        params = params or SamplingParams()
+        if request_id is None:
+            request_id = str(next(self._req_counter))
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompt needs tokenizer"
+            prompt_token_ids = self.tokenizer.encode(prompt)
+            prompt_text = prompt
+        else:
+            prompt_token_ids = list(prompt)
+            prompt_text = None
+        request = Request(request_id, prompt_token_ids, params,
+                          priority=priority)
+        self.scheduler.add_request(request)
+        self.output_processor.add_request(request_id, prompt_text,
+                                          prompt_token_ids, params)
+        return request_id
+
+    def abort_request(self, request_ids: list[str]) -> None:
+        self.scheduler.finish_requests(request_ids,
+                                       RequestStatus.FINISHED_ABORTED)
+        for rid in request_ids:
+            self.output_processor.abort(rid)
+
+    def step(self) -> list[RequestOutput]:
+        sched_out = self.scheduler.schedule()
+        runner_out = self.runner.execute_model(sched_out)
+        core_outputs = self.scheduler.update_from_output(
+            sched_out, runner_out)
+        results, to_abort = self.output_processor.process_outputs(
+            core_outputs)
+        if to_abort:
+            self.scheduler.finish_requests(to_abort,
+                                           RequestStatus.FINISHED_STOPPED)
+        return results
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_requests()

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from vllm_tpu.config import ModelConfig
-from vllm_tpu.ops.attention import ragged_paged_attention_xla
+from vllm_tpu.ops.dispatch import ragged_paged_attention
 from vllm_tpu.ops.kv_cache import write_kv_xla
 from vllm_tpu.ops.layers import (apply_rope, rms_norm, rope_cos_sin,
                                  silu_and_mul)
@@ -51,6 +51,7 @@ def _attention(
     sin: jax.Array,
     kv_cache: jax.Array,
     meta: AttentionMetadata,
+    q_blk: int,
 ) -> tuple[jax.Array, jax.Array]:
     T = x.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -69,7 +70,7 @@ def _attention(
     # prefill/decode contract, see ops/attention.py).
     kv_cache = write_kv_xla(kv_cache, k, v, meta.slot_mapping)
 
-    out = ragged_paged_attention_xla(
+    out = ragged_paged_attention(
         q,
         kv_cache,
         meta.block_tables,
@@ -77,6 +78,7 @@ def _attention(
         meta.seq_lens,
         sm_scale=float(D**-0.5),
         sliding_window=cfg.sliding_window,
+        q_blk=q_blk,
     )
     return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
 
@@ -93,6 +95,7 @@ def forward(
     positions: jax.Array,  # [T]
     kv_caches: list[jax.Array],
     meta: AttentionMetadata,
+    q_blk: int = 128,  # static: attention kernel query-window rows
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Returns (hidden_states [T, E], updated kv_caches)."""
     x = params["embed_tokens"]["weight"][input_ids]
@@ -101,7 +104,7 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         attn_out, kvc = _attention(cfg, layer, h, cos, sin, kv_caches[i],
-                                   meta)
+                                   meta, q_blk)
         new_caches.append(kvc)
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)

@@ -1,0 +1,30 @@
+"""Architecture -> model module registry.
+
+Ref analog: vllm/model_executor/models/registry.py (lazy import map).
+A "model" here is a module exposing ``forward(params, cfg, ...)``,
+``compute_logits``, and ``random_params`` over a param pytree.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_REGISTRY: dict[str, str] = {
+    "LlamaForCausalLM": "vllm_tpu.models.llama",
+    "Qwen2ForCausalLM": "vllm_tpu.models.llama",
+    "MistralForCausalLM": "vllm_tpu.models.llama",
+    "TinyLlamaForCausalLM": "vllm_tpu.models.llama",
+}
+
+
+def register_model(architecture: str, module_path: str) -> None:
+    """Out-of-tree model registration (ref analog: ModelRegistry
+    OOT hooks)."""
+    _REGISTRY[architecture] = module_path
+
+
+def get_model(architecture: str):
+    if architecture not in _REGISTRY:
+        raise ValueError(f"unknown architecture {architecture}; "
+                         f"known: {sorted(_REGISTRY)}")
+    return importlib.import_module(_REGISTRY[architecture])

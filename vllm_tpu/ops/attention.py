@@ -38,8 +38,8 @@ def token_row_ids(query_start_loc: jax.Array, num_tokens: int) -> jax.Array:
 @partial(jax.jit, static_argnames=("sm_scale", "causal", "sliding_window",
                                    "logit_softcap"))
 def ragged_paged_attention_xla(
-    q: jax.Array,  # [T, H, D]
-    kv_cache: jax.Array,  # [num_blocks, block_size, 2*KH, D]
+    q: jax.Array,  # [T, H, D] (D true, unpadded)
+    kv_cache: jax.Array,  # [num_blocks, 2*KH, block_size, Dp]
     block_tables: jax.Array,  # [R, max_blocks] int32
     query_start_loc: jax.Array,  # [R+1] int32 cumulative query lens
     seq_lens: jax.Array,  # [R] int32 total KV length per row
@@ -54,15 +54,19 @@ def ragged_paged_attention_xla(
     Pallas kernel streams blocks instead."""
     T, H, D = q.shape
     R, max_blocks = block_tables.shape
-    _, block_size, kh2, _ = kv_cache.shape
+    _, kh2, block_size, _ = kv_cache.shape
     KH = kh2 // 2
     G = H // KH  # query heads per KV head
     max_kv = max_blocks * block_size
 
-    k_cache, v_cache = split_kv(kv_cache)  # [B, bs, KH, D]
+    k_cache, v_cache = split_kv(kv_cache)  # [B, KH, bs, Dp]
+    k_cache = k_cache[..., :D]
+    v_cache = v_cache[..., :D]
     # Per-row gathered KV: [R, max_kv, KH, D].
-    k = k_cache[block_tables].reshape(R, max_kv, KH, D)
-    v = v_cache[block_tables].reshape(R, max_kv, KH, D)
+    k = k_cache[block_tables].transpose(0, 1, 3, 2, 4).reshape(
+        R, max_kv, KH, D)
+    v = v_cache[block_tables].transpose(0, 1, 3, 2, 4).reshape(
+        R, max_kv, KH, D)
 
     rows = token_row_ids(query_start_loc, T)  # [T]
     q_lens = query_start_loc[1:] - query_start_loc[:-1]  # [R]
@@ -72,12 +76,11 @@ def ragged_paged_attention_xla(
 
     k_t = k[rows]  # [T, max_kv, KH, D]
     v_t = v[rows]
-    if G > 1:
-        k_t = jnp.repeat(k_t, G, axis=2)  # [T, max_kv, H, D]
-        v_t = jnp.repeat(v_t, G, axis=2)
-
-    scores = jnp.einsum("thd,tkhd->thk", q.astype(jnp.float32) * sm_scale,
-                        k_t.astype(jnp.float32))  # [T, H, max_kv]
+    # GQA without materializing repeated KV: fold query heads into
+    # [KH, G] and contract per KV head.
+    q4 = q.reshape(T, KH, G, D).astype(jnp.float32) * sm_scale
+    scores = jnp.einsum("thgd,tshd->thgs", q4,
+                        k_t.astype(jnp.float32))  # [T, KH, G, max_kv]
     if logit_softcap is not None:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
@@ -87,10 +90,11 @@ def ragged_paged_attention_xla(
         mask &= kv_pos[None, :] <= q_pos[:, None]
     if sliding_window is not None:
         mask &= kv_pos[None, :] > q_pos[:, None] - sliding_window
-    scores = jnp.where(mask[:, None, :], scores, -jnp.inf)
+    mask4 = mask[:, None, None, :]
+    scores = jnp.where(mask4, scores, -jnp.inf)
 
     # Rows that are fully masked (padding tokens) produce zeros.
     probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(mask[:, None, :], probs, 0.0)
-    out = jnp.einsum("thk,tkhd->thd", probs, v_t.astype(jnp.float32))
-    return out.astype(q.dtype)
+    probs = jnp.where(mask4, probs, 0.0)
+    out = jnp.einsum("thgs,tshd->thgd", probs, v_t.astype(jnp.float32))
+    return out.reshape(T, H, D).astype(q.dtype)

@@ -1,0 +1,278 @@
+"""Pallas TPU kernel: ragged paged attention (unified prefill+decode).
+
+The production attention path (XLA reference: ops/attention.py). Design
+(SURVEY.md §7 "Pallas paged attention"):
+
+- grid (R,): one program per request row, sequential on the core.
+  Scalar-prefetched query_start_loc / seq_lens / block_tables drive
+  manual DMA — no BlockSpec tiling, fully ragged.
+- queries stream in QBLK-row windows (all heads at once; only the
+  untiled token dim is sliced dynamically — Mosaic restriction: dynamic
+  slices on tiled head/lane dims don't lower) from HBM.
+- the KV-head loop is a *static* Python unroll (KH per-chip is small
+  under TP); each head's G = H/KH query heads fold into matmul rows ->
+  [QBLK*G, D] MXU tiles.
+- KV streams block-table blocks F at a time into a double-buffered
+  VMEM slot ([F*block_size, D] per K and V): the next superblock's DMAs
+  overlap the current flash update, hiding HBM latency (decode is
+  HBM-bound: each KV byte is read exactly once).
+- online-softmax (flash) accumulation in fp32.
+
+Ref analog: the role of vllm's triton_unified_attention.py + csrc paged
+attention; the in-kernel dequant hook mirrors _cast_kv_tile
+(triton_unified_attention.py:38) when quantized KV lands.
+
+Output-write contract: each program DMAs full QBLK-row windows into
+``out``; rows past a request's q_len spill into the *next* request's
+rows, which that later program overwrites — grid execution is
+sequential (dimension_semantics=("arbitrary",)). Rows past the last
+request land in slack padding (caller allocates >= qsl[-1] + QBLK
+rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_QBLK = 128
+DEFAULT_F = 4  # KV blocks fetched per flash iteration
+NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch
+    qsl_ref,  # [R+1] SMEM
+    seq_lens_ref,  # [R] SMEM
+    bt_ref,  # [R, max_blocks] SMEM
+    # inputs (HBM)
+    q_hbm,  # [T_slack, H, Dp]
+    kv_hbm,  # [num_blocks, 2*KH, bs, Dp]
+    # output (HBM)
+    out_hbm,  # [T_slack, H, Dp]
+    # scratch
+    q_buf,  # [QBLK, H, Dp] VMEM
+    k_buf,  # [2, F*bs, D] VMEM
+    v_buf,  # [2, F*bs, D] VMEM
+    o_buf,  # [QBLK, H, D] VMEM
+    q_sem,
+    kv_sems,  # DMA sems [2, 2, F]
+    o_sem,
+    *,
+    sm_scale: float,
+    block_size: int,
+    QBLK: int,
+    F: int,
+    KH: int,
+    G: int,
+    max_blocks: int,
+    sliding_window: int | None,
+    logit_softcap: float | None,
+):
+    r = pl.program_id(0)
+    q_start = qsl_ref[r]
+    q_len = qsl_ref[r + 1] - q_start
+    seq_len = seq_lens_ref[r]
+    FS = F * block_size
+    D = q_buf.shape[-1]
+
+    def kv_dma(slot, i, f, h):
+        """K+V copies for block-table entry i*F+f, head h, into slot."""
+        bidx = jnp.minimum(i * F + f, max_blocks - 1)
+        bid = bt_ref[r, bidx]
+        # Head-major cache layout: only untiled leading dims are
+        # indexed; the copied tile [bs, Dp] is fully aligned.
+        k_cp = pltpu.make_async_copy(
+            kv_hbm.at[bid, 2 * h],
+            k_buf.at[slot, pl.ds(f * block_size, block_size), :],
+            kv_sems.at[slot, 0, f])
+        v_cp = pltpu.make_async_copy(
+            kv_hbm.at[bid, 2 * h + 1],
+            v_buf.at[slot, pl.ds(f * block_size, block_size), :],
+            kv_sems.at[slot, 1, f])
+        return k_cp, v_cp
+
+    def kv_start(slot, i, h):
+        for f in range(F):
+            k_cp, v_cp = kv_dma(slot, i, f, h)
+            k_cp.start()
+            v_cp.start()
+
+    def kv_wait(slot, i, h):
+        for f in range(F):
+            k_cp, v_cp = kv_dma(slot, i, f, h)
+            k_cp.wait()
+            v_cp.wait()
+
+    @pl.when(q_len > 0)
+    def _process():
+        num_chunks = pl.cdiv(q_len, QBLK)
+
+        def chunk_body(c, _):
+            chunk_start = q_start + c * QBLK
+            q_cp = pltpu.make_async_copy(
+                q_hbm.at[pl.ds(chunk_start, QBLK)], q_buf, q_sem)
+            q_cp.start()
+
+            # KV range needed under causality: highest q position in
+            # this chunk is seq_len - q_len + chunk_q_end - 1.
+            chunk_q_end = jnp.minimum((c + 1) * QBLK, q_len)
+            kv_hi = seq_len - q_len + chunk_q_end  # exclusive
+            num_iters = pl.cdiv(kv_hi, FS)
+
+            # Row -> query position map (rows = q_local * G + g).
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (QBLK * G, 1), 0)
+            q_local = row_ids // G
+            q_pos = seq_len - q_len + c * QBLK + q_local  # [QG, 1]
+            valid_row = q_local < (chunk_q_end - c * QBLK)
+
+            q_cp.wait()
+
+            for h in range(KH):  # static unroll; KH/chip small under TP
+                kv_start(0, 0, h)
+                # Static head slice: [QBLK, G, D] -> [QBLK*G, D].
+                q2 = q_buf[:, h * G:(h + 1) * G, :].reshape(QBLK * G, D)
+
+                def flash_iter(i, carry, h=h):
+                    m, l, acc = carry
+                    slot = i % 2
+
+                    @pl.when(i + 1 < num_iters)
+                    def _():
+                        kv_start((i + 1) % 2, i + 1, h)
+
+                    kv_wait(slot, i, h)
+                    k = k_buf[slot]  # [FS, D]
+                    v = v_buf[slot]
+                    s = jax.lax.dot_general(
+                        q2, k, (((1, ), (1, )), ((), ())),
+                        preferred_element_type=jnp.float32) * sm_scale
+                    if logit_softcap is not None:
+                        s = logit_softcap * jnp.tanh(s / logit_softcap)
+                    kv_pos = (i * FS + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, FS), 1))  # [1, FS]
+                    mask = ((kv_pos <= q_pos) & (kv_pos < seq_len)
+                            & valid_row)
+                    if sliding_window is not None:
+                        mask &= kv_pos > q_pos - sliding_window
+                    s = jnp.where(mask, s, NEG_INF)
+
+                    m_new = jnp.maximum(m, jnp.max(s, axis=1,
+                                                   keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    p = jnp.where(mask, p, 0.0)
+                    alpha = jnp.exp(m - m_new)
+                    l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                    acc_new = alpha * acc + jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1, ), (0, )), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return m_new, l_new, acc_new
+
+                m0 = jnp.full((QBLK * G, 1), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((QBLK * G, 1), jnp.float32)
+                acc0 = jnp.zeros((QBLK * G, D), jnp.float32)
+                m, l, acc = jax.lax.fori_loop(0, num_iters, flash_iter,
+                                              (m0, l0, acc0))
+                out = acc / jnp.where(l == 0.0, 1.0, l)
+                o_buf[:, h * G:(h + 1) * G, :] = out.reshape(
+                    QBLK, G, D).astype(o_buf.dtype)
+
+            o_cp = pltpu.make_async_copy(
+                o_buf, out_hbm.at[pl.ds(chunk_start, QBLK)], o_sem)
+            o_cp.start()
+            o_cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "q_blk", "f_blocks", "causal",
+                     "sliding_window", "logit_softcap", "interpret",
+                     "has_slack"))
+def ragged_paged_attention(
+    q: jax.Array,  # [T(_slack), H, D]
+    kv_cache: jax.Array,  # [num_blocks, 2*KH, bs, Dp]
+    block_tables: jax.Array,  # [R, max_blocks] i32
+    query_start_loc: jax.Array,  # [R+1] i32
+    seq_lens: jax.Array,  # [R] i32
+    *,
+    sm_scale: float,
+    q_blk: int = DEFAULT_QBLK,
+    f_blocks: int = DEFAULT_F,
+    causal: bool = True,  # noqa: ARG001 — always causal; kept for API parity
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+    interpret: bool = False,
+    has_slack: bool = False,
+) -> jax.Array:
+    T, H, D = q.shape
+    T_in = T
+    R, max_blocks = block_tables.shape
+    num_blocks, kh2, block_size, Dp = kv_cache.shape
+    KH = kh2 // 2
+    G = H // KH
+    F = f_blocks
+    QBLK = q_blk
+    pad_d = Dp - D if D < Dp else 0
+    # Window-DMA slack: programs copy whole QBLK-row windows, so the
+    # buffer needs q_blk rows past qsl[-1]. Callers that already
+    # allocate the slack (the runner) pass has_slack=True to skip the
+    # pad copy.
+    pad_t = 0 if has_slack else QBLK
+    if pad_d or pad_t:
+        q = jnp.pad(q, [(0, pad_t), (0, 0), (0, pad_d)])
+    T = q.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(R, ),
+        in_specs=[
+            # Pin to HBM: under ANY the compiler hoists small arrays
+            # into VMEM, where tile-padded sliced DMAs fail to lower.
+            pl.BlockSpec(memory_space=pltpu.HBM),  # q
+            pl.BlockSpec(memory_space=pltpu.HBM),  # kv
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((QBLK, H, Dp), q.dtype),
+            pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((QBLK, H, Dp), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2, F)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel,
+        sm_scale=sm_scale,
+        block_size=block_size,
+        QBLK=QBLK,
+        F=F,
+        KH=KH,
+        G=G,
+        max_blocks=max_blocks,
+        sliding_window=sliding_window,
+        logit_softcap=logit_softcap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * H * D * 1024,
+            bytes_accessed=int(kv_cache.size * kv_cache.dtype.itemsize),
+            transcendentals=T * H * 1024,
+        ),
+        interpret=interpret,
+    )(query_start_loc, seq_lens, block_tables, q, kv_cache)
+    return out[:T_in, :, :D]

@@ -1,0 +1,255 @@
+"""TPU model runner — the hot path.
+
+Consumes SchedulerOutput, maintains the fixed-row persistent batch,
+builds padded device inputs, runs the jitted step (forward + KV
+write-through + sampling fused in one XLA program), returns
+ModelRunnerOutput.
+
+TPU-native translation of GPUModelRunner (ref: vllm/v1/worker/
+gpu_model_runner.py ``_update_states():1233`` / ``_prepare_inputs():
+2001`` / ``execute_model():4214``) redesigned per Model Runner V2
+(ref: vllm/v1/worker/gpu/model_runner.py, docs/design/model_runner_v2.md):
+- fixed-row persistent state, no compaction
+- static shapes: token dim padded to a power-of-2 bucket ladder
+  (the analog of the CUDA-graph padding ladder,
+  ref: vllm/v1/cudagraph_dispatcher.py) — one compiled program per
+  bucket, R pinned at max_num_reqs
+- KV caches donated through jit: XLA updates them in place
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
+from vllm_tpu.models.registry import get_model
+from vllm_tpu.ops.kv_cache import kv_cache_shape
+from vllm_tpu.ops.metadata import AttentionMetadata
+from vllm_tpu.sample.sampler import SamplingMetadata, sample
+from vllm_tpu.utils import cdiv, init_logger, padded_bucket
+from vllm_tpu.worker.input_batch import InputBatch
+
+logger = init_logger(__name__)
+
+
+class StepInputs(NamedTuple):
+    input_ids: jax.Array  # [T]
+    positions: jax.Array  # [T]
+    slot_mapping: jax.Array  # [T]
+    block_tables: jax.Array  # [R, max_blocks]
+    query_start_loc: jax.Array  # [R+1]
+    seq_lens: jax.Array  # [R]
+    logits_indices: jax.Array  # [R]
+    sampling: SamplingMetadata
+
+
+class TPUModelRunner:
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: dict,
+        num_kv_blocks: int,
+        mesh=None,
+    ) -> None:
+        self.config = config
+        self.params = params
+        self.mesh = mesh
+        mc = config.model
+        self.model = get_model(mc.architecture)
+        self.max_num_reqs = config.scheduler.max_num_seqs
+        self.max_blocks_per_req = config.max_blocks_per_req
+        self.block_size = config.cache.block_size
+        self.max_tokens_bucket = padded_bucket(
+            config.scheduler.max_num_batched_tokens)
+
+        self.batch = InputBatch(self.max_num_reqs, self.max_blocks_per_req,
+                                config.seed)
+
+        cache_dtype = (mc.dtype if config.cache.cache_dtype == "auto" else
+                       config.cache.cache_dtype)
+        shape = kv_cache_shape(num_kv_blocks, self.block_size,
+                               mc.num_kv_heads, mc.head_dim)
+        if mesh is not None:
+            # Shard weights + KV over the mesh; XLA inserts the TP
+            # collectives from these annotations (see parallel/shard.py).
+            from vllm_tpu.parallel.shard import (kv_cache_sharding,
+                                                 shard_params)
+            self.params = params = shard_params(params, mc, mesh)
+            kv_sh = kv_cache_sharding(mc, mesh)
+            self.kv_caches = [
+                jax.device_put(jnp.zeros(shape, jnp.dtype(cache_dtype)),
+                               kv_sh) for _ in range(mc.num_layers)
+            ]
+        else:
+            self.kv_caches = [
+                jnp.zeros(shape, jnp.dtype(cache_dtype))
+                for _ in range(mc.num_layers)
+            ]
+        logger.info(
+            "KV cache: %d layers x %s %s (%.1f MiB total)", mc.num_layers,
+            shape, cache_dtype,
+            mc.num_layers * np.prod(shape) *
+            jnp.dtype(cache_dtype).itemsize / 2**20)
+
+        self._step_fn = jax.jit(
+            functools.partial(_step_impl, self.model, mc),
+            donate_argnums=(1, ),
+            static_argnums=(3, ),  # q_blk (attention window rows)
+        )
+
+    # -- state sync ---------------------------------------------------
+    def update_states(self, out: SchedulerOutput) -> None:
+        """Apply the scheduler's diffs to the persistent batch
+        (ref analog: gpu_model_runner._update_states:1233)."""
+        for req_id in out.finished_req_ids:
+            self.batch.remove_request(req_id)
+        for req_id in out.preempted_req_ids:
+            self.batch.remove_request(req_id)
+        for nr in out.scheduled_new_reqs:
+            self.batch.add_request(nr.req_id, nr.prompt_token_ids,
+                                   nr.block_ids, nr.num_computed_tokens,
+                                   nr.sampling_params)
+        for cr in out.scheduled_cached_reqs:
+            state = self.batch.reqs[cr.req_id]
+            if cr.new_block_ids:
+                self.batch.append_block_ids(cr.req_id, cr.new_block_ids)
+            state.num_computed_tokens = cr.num_computed_tokens
+            # Extend the host token list with newly sampled/known tokens.
+            known = len(state.token_ids)
+            need = cr.num_computed_tokens + len(cr.new_token_ids)
+            if need > known:
+                state.token_ids.extend(cr.new_token_ids[known -
+                                                        cr.num_computed_tokens:])
+
+    # -- input prep ---------------------------------------------------
+    def prepare_inputs(
+            self,
+            out: SchedulerOutput
+    ) -> tuple[StepInputs, list[str], list[bool], int]:
+        R = self.max_num_reqs
+        # Scheduled requests in row order (flat ragged stream must be
+        # row-ascending for query_start_loc).
+        sched = sorted(out.num_scheduled_tokens.items(),
+                       key=lambda kv: self.batch.reqs[kv[0]].row)
+        T = out.total_num_scheduled_tokens
+        # Attention query-window rows (static): small window for
+        # decode-dominated steps, large for prefill chunks. The token
+        # buffer carries q_blk rows of slack (the kernel DMAs whole
+        # windows; see ops/pallas/ragged_attention.py output contract).
+        max_q = max(out.num_scheduled_tokens.values())
+        q_blk = 16 if max_q <= 16 else 128
+        # Bucket ladder capped at max_batched + slack: the top rung is
+        # exact, not the next power of two (a 2048-budget prefill must
+        # not pay for a 4096-token program).
+        cap = self.max_tokens_bucket + 128
+        T_pad = min(padded_bucket(T + q_blk), cap)
+
+        input_ids = np.zeros((T_pad, ), np.int32)
+        positions = np.zeros((T_pad, ), np.int32)
+        slot_mapping = np.zeros((T_pad, ), np.int32)
+        qsl = np.zeros((R + 1, ), np.int32)
+        seq_lens = np.zeros((R, ), np.int32)
+        logits_indices = np.zeros((R, ), np.int32)
+
+        req_ids: list[str] = []
+        emits: list[bool] = []
+        t = 0
+        prev_row = -1
+        for req_id, n in sched:
+            state = self.batch.reqs[req_id]
+            row = state.row
+            # Rows between prev_row and row have zero-length queries.
+            qsl[prev_row + 2:row + 1] = t
+            start = state.num_computed_tokens
+            toks = state.token_ids[start:start + n]
+            assert len(toks) == n, (
+                f"{req_id}: host tokens {len(state.token_ids)} < "
+                f"{start + n}")
+            input_ids[t:t + n] = toks
+            positions[t:t + n] = np.arange(start, start + n)
+            for i in range(n):
+                pos = start + i
+                slot_mapping[t + i] = (
+                    state.block_ids[pos // self.block_size] *
+                    self.block_size + pos % self.block_size)
+            seq_lens[row] = start + n
+            logits_indices[row] = t + n - 1
+            t += n
+            qsl[row + 1] = t
+            prev_row = row
+            req_ids.append(req_id)
+            emits.append(start + n >= len(state.token_ids))
+        qsl[prev_row + 2:] = t
+
+        b = self.batch
+        sampling = SamplingMetadata(
+            temperature=jnp.asarray(b.temperature),
+            top_k=jnp.asarray(b.top_k),
+            top_p=jnp.asarray(b.top_p),
+            min_p=jnp.asarray(b.min_p),
+            seeds=jnp.asarray(b.seeds),
+            steps=jnp.asarray(b.sample_steps),
+        )
+        inputs = StepInputs(
+            input_ids=jnp.asarray(input_ids),
+            positions=jnp.asarray(positions),
+            slot_mapping=jnp.asarray(slot_mapping),
+            block_tables=jnp.asarray(b.block_tables),
+            query_start_loc=jnp.asarray(qsl),
+            seq_lens=jnp.asarray(seq_lens),
+            logits_indices=jnp.asarray(logits_indices),
+            sampling=sampling,
+        )
+        return inputs, req_ids, emits, q_blk
+
+    # -- execution ----------------------------------------------------
+    def execute_model(self, out: SchedulerOutput) -> ModelRunnerOutput:
+        self.update_states(out)
+        if out.total_num_scheduled_tokens == 0:
+            return ModelRunnerOutput()
+        inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
+        self.kv_caches, sampled = self._step_fn(self.params, self.kv_caches,
+                                                inputs, q_blk)
+        sampled_np = np.asarray(jax.device_get(sampled))
+
+        result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
+        for req_id, emit in zip(req_ids, emits):
+            state = self.batch.reqs[req_id]
+            if emit:
+                tok = int(sampled_np[state.row])
+                result.sampled_token_ids.append([tok])
+                # The sampled token becomes a known host-side token for
+                # the next step's input prep.
+                state.token_ids.append(tok)
+                self.batch.bump_sample_step(req_id)
+            else:
+                result.sampled_token_ids.append([])
+        return result
+
+
+def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
+               q_blk: int = 128):
+    """One fused device step: forward + logits + sample."""
+    meta = AttentionMetadata(
+        slot_mapping=inputs.slot_mapping,
+        block_tables=inputs.block_tables,
+        query_start_loc=inputs.query_start_loc,
+        seq_lens=inputs.seq_lens,
+    )
+    hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
+                                      inputs.positions, kv_caches, meta,
+                                      q_blk=q_blk)
+    # Only sampled rows' logits matter: gather last-token hidden states
+    # first so the LM head runs at [R, E] not [T, E]
+    # (ref analog: logits_indices gather in gpu_model_runner).
+    sampled_hidden = hidden[inputs.logits_indices]
+    logits = model.compute_logits(params, mc, sampled_hidden)
+    sampled = sample(logits, inputs.sampling)
+    return kv_caches, sampled
