@@ -1,0 +1,70 @@
+"""Quantized matmul kernels: XLA reference vs numpy dequant; Pallas
+W4A16 (interpret) vs XLA reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_tpu.quant.kernels import (dequant_weight_xla,
+                                    quantized_matmul_xla)
+from vllm_tpu.quant.loader import make_device_leaf
+from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
+from vllm_tpu.quant.ref import dequantize_groupwise, quantize_groupwise
+
+
+def make_leaf(rng, K, N, bits=4, sym=True):
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    q, s, z = quantize_groupwise(w, bits, 128, sym)
+    leaf_np = make_device_leaf(q, s, z, None, bits)
+    leaf = {k: jnp.asarray(v) for k, v in leaf_np.items()}
+    w_ref = dequantize_groupwise(q, s, z, 128)
+    return leaf, w_ref
+
+
+@pytest.mark.parametrize("bits,sym", [(4, True), (4, False), (8, True)])
+def test_dequant_weight_matches_numpy(bits, sym):
+    rng = np.random.default_rng(0)
+    leaf, w_ref = make_leaf(rng, 256, 128, bits, sym)
+    w = np.asarray(dequant_weight_xla(leaf, jnp.float32))
+    np.testing.assert_allclose(w, w_ref, rtol=2e-3, atol=2e-5)
+
+
+def test_quantized_matmul_xla_matches_numpy():
+    rng = np.random.default_rng(1)
+    leaf, w_ref = make_leaf(rng, 512, 128, 4, True)
+    x = rng.standard_normal((8, 512)).astype(np.float32)
+    got = np.asarray(quantized_matmul_xla(jnp.asarray(x), leaf))
+    np.testing.assert_allclose(got, x @ w_ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("T,K,N", [(8, 256, 128), (130, 512, 256),
+                                   (1, 1024, 384)])
+def test_pallas_w4a16_matches_xla(T, K, N):
+    rng = np.random.default_rng(2)
+    leaf, w_ref = make_leaf(rng, K, N, 4, True)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    ref = np.asarray(quantized_matmul_xla(x, leaf))
+    got = np.asarray(
+        w4a16_matmul(x, leaf["qweight"], leaf["scales"], leaf["zbias"],
+                     bt=8 if T <= 8 else 64, bn=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_w4a16_asym():
+    rng = np.random.default_rng(3)
+    leaf, w_ref = make_leaf(rng, 256, 128, 4, sym=False)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    ref = np.asarray(x) @ w_ref
+    got = np.asarray(
+        w4a16_matmul(x, leaf["qweight"], leaf["scales"], leaf["zbias"],
+                     bt=16, bn=128, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_w8a16_path():
+    rng = np.random.default_rng(4)
+    leaf, w_ref = make_leaf(rng, 256, 64, 8, True)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    got = np.asarray(quantized_matmul_xla(jnp.asarray(x), leaf))
+    np.testing.assert_allclose(got, x @ w_ref, rtol=1e-3, atol=1e-3)

@@ -41,10 +41,10 @@ class LLM:
             model_config = model_config_from_hf(model,
                                                 max_model_len=max_model_len,
                                                 dtype=dtype)
-            quant = QuantizationConfig()
-            if quantization is not None:
-                from vllm_tpu.quant.config import detect_quant_config
-                quant = detect_quant_config(model, quantization)
+            # Auto-detect from the checkpoint's quantization_config;
+            # `quantization` is an optional override/hint.
+            from vllm_tpu.quant.config import detect_quant_config
+            quant = detect_quant_config(model, quantization)
             engine_config = EngineConfig(
                 model=model_config,
                 cache=CacheConfig(block_size=block_size,

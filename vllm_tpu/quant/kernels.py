@@ -1,0 +1,78 @@
+"""Quantized matmul dispatch + XLA reference implementations.
+
+Device leaf formats (see quant/ref.py for packing):
+
+- W4A16: {"qweight": uint8 [K/2, N] half-split packed,
+          "scales": f32 [K/g, N], "zbias": f32 [K/g, N],
+          "perm"?: int32 [K]}
+  dequant: w = q * scale + zbias   (zbias = -zero * scale, fma form)
+- W8A16: {"qweight": int8 [K, N] (centered, q - 2^(b-1)),
+          "scales": f32 [K/g, N], "zbias": f32 [K/g, N]}
+
+Bits are inferred from dtype: uint8 => nibble-packed 4-bit,
+int8 => 8-bit. K comes from x, group size from K // scales.shape[0]
+(nothing non-array rides in the pytree).
+
+The ``perm`` leaf is GPTQ desc_act activation reordering (ref:
+MPLinearKernel.py:22): x is gathered along K before the matmul.
+
+Ref analog: the MPLinearKernel framework + marlin/machete GEMMs
+(SURVEY.md §2.8) — here one canonical format + one Pallas kernel
+(quant/pallas_w4a16.py) with this XLA path as fallback/ground-truth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_tpu.quant.ref import PACK_TILE_K
+
+
+def unpack_w4_halfsplit_jnp(packed: jax.Array,
+                            tile_k: int = PACK_TILE_K) -> jax.Array:
+    """[K/2, N] uint8 -> [K, N] uint8 (inverse of ref.pack_w4_halfsplit)."""
+    K2, N = packed.shape
+    half = tile_k // 2
+    p = packed.reshape(K2 // half, half, N)
+    lo = p & 0xF
+    hi = p >> 4
+    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
+def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the bf16 weight [K, N] (reference path)."""
+    qw = leaf["qweight"]
+    scales = leaf["scales"]
+    zbias = leaf["zbias"]
+    if qw.dtype == jnp.uint8:
+        q = unpack_w4_halfsplit_jnp(qw).astype(jnp.float32)
+    else:
+        q = qw.astype(jnp.float32)
+    K = q.shape[0]
+    G = scales.shape[0]
+    group = K // G
+    s = jnp.repeat(scales.astype(jnp.float32), group, axis=0)
+    zb = jnp.repeat(zbias.astype(jnp.float32), group, axis=0)
+    return (q * s + zb).astype(compute_dtype)
+
+
+def quantized_matmul_xla(x: jax.Array, leaf: dict) -> jax.Array:
+    if "perm" in leaf:
+        x = x[..., leaf["perm"]]
+    w = dequant_weight_xla(leaf, x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
+    """Production entry point used by ops/linear.py."""
+    from vllm_tpu.ops.dispatch import attention_backend
+    if (attention_backend() == "pallas" and leaf["qweight"].dtype
+            == jnp.uint8 and "perm" not in leaf):
+        from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        out = w4a16_matmul(x2, leaf["qweight"], leaf["scales"],
+                           leaf["zbias"])
+        return out.reshape(*orig_shape[:-1], out.shape[-1])
+    return quantized_matmul_xla(x, leaf)

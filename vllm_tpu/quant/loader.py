@@ -1,0 +1,193 @@
+"""Quantized checkpoint loader: GPTQ/AWQ/AutoRound safetensors ->
+device param pytree with packed quant leaves.
+
+Ref analog: AutoGPTQConfig/AutoAWQConfig weight loading + repack
+(vllm auto_gptq.py:97, auto_awq.py:171, MPLinearKernel
+process_weights_after_loading). Pipeline per linear module:
+
+    checkpoint tensors --decode (formats.py)--> canonical
+    (qvals, scales, zeros) --pack (ref.py)--> device leaf
+    {"qweight", "scales", "zbias"} consumed by quant/kernels.py.
+
+Fusion (qkv, gate_up) concatenates along N after decoding; packing is
+K-wise so fused parts stay independently correct. desc_act (g_idx)
+activation permutations are supported on unfused projections only —
+fused parts must share a trivial g_idx (sym AutoRound/GPTQ exports do).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vllm_tpu.config import ModelConfig, QuantizationConfig
+from vllm_tpu.loader.safetensors_loader import _iter_safetensors
+from vllm_tpu.quant.formats import decode_awq, decode_gptq
+from vllm_tpu.quant.ref import pack_w4_halfsplit
+from vllm_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+_FUSE = {
+    "self_attn.q_proj": ("qkv_proj", 0, 3),
+    "self_attn.k_proj": ("qkv_proj", 1, 3),
+    "self_attn.v_proj": ("qkv_proj", 2, 3),
+    "mlp.gate_proj": ("gate_up_proj", 0, 2),
+    "mlp.up_proj": ("gate_up_proj", 1, 2),
+    "self_attn.o_proj": ("o_proj", 0, 1),
+    "mlp.down_proj": ("down_proj", 0, 1),
+}
+_QUANT_TENSORS = ("qweight", "qzeros", "scales", "g_idx")
+
+
+def canonical_from_module(tensors: dict[str, np.ndarray],
+                          quant: QuantizationConfig):
+    """Decode one linear module's checkpoint tensors to canonical form.
+
+    Returns (qvals [K,N], scales f32 [G,N], zeros [G,N], perm|None).
+    """
+    if quant.method in ("gptq", "auto_round"):
+        # AutoRound sym GPTQ exports store true zeros (no -1 bias).
+        zero_offset = 0 if (quant.method == "auto_round"
+                            and quant.sym) else 1
+        return decode_gptq(tensors["qweight"], tensors["qzeros"],
+                           tensors["scales"], tensors.get("g_idx"),
+                           quant.bits, zero_offset)
+    if quant.method == "awq":
+        q, s, z = decode_awq(tensors["qweight"], tensors["qzeros"],
+                             tensors["scales"], quant.bits)
+        return q, s, z, None
+    raise ValueError(f"unsupported quant method {quant.method}")
+
+
+def make_device_leaf(qvals: np.ndarray, scales: np.ndarray,
+                     zeros: np.ndarray, perm: np.ndarray | None,
+                     bits: int) -> dict:
+    """Canonical -> device leaf arrays (numpy; converted by caller)."""
+    scales = scales.astype(np.float32)
+    zbias = (-zeros.astype(np.float32)) * scales
+    if bits == 4:
+        leaf = {
+            "qweight": pack_w4_halfsplit(qvals.astype(np.uint8)),
+            "scales": scales,
+            "zbias": zbias,
+        }
+    elif bits == 8:
+        # Centered int8 storage: q - 128; fold the shift into zbias.
+        leaf = {
+            "qweight": (qvals.astype(np.int32) - 128).astype(np.int8),
+            "scales": scales,
+            "zbias": zbias + 128.0 * scales,
+        }
+    else:
+        raise ValueError(f"bits={bits} unsupported (4 or 8)")
+    if perm is not None:
+        leaf["perm"] = perm.astype(np.int32)
+    return leaf
+
+
+def _concat_leaves(parts: list[dict]) -> dict:
+    assert all(("perm" in p) == ("perm" in parts[0]) for p in parts)
+    if "perm" in parts[0]:
+        for p in parts[1:]:
+            assert np.array_equal(p["perm"], parts[0]["perm"]), (
+                "fused projections with differing g_idx permutations")
+    out = {
+        k: np.concatenate([p[k] for p in parts], axis=1)
+        for k in ("qweight", "scales", "zbias")
+    }
+    if "perm" in parts[0]:
+        out["perm"] = parts[0]["perm"]
+    return out
+
+
+def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
+                                quant: QuantizationConfig) -> dict:
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    # (layer, module) -> {tensor_kind: array}
+    staging: dict[tuple[int, str], dict[str, np.ndarray]] = {}
+    bias_staging: dict[tuple[int, str, int], np.ndarray] = {}
+    lm_head_staging: dict[str, np.ndarray] = {}
+
+    def to_jax(a, dt=dtype):
+        return jnp.asarray(a).astype(dt)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name.startswith("lm_head."):
+            kind = name.split(".")[-1]
+            if kind == "weight" and not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+            elif kind in _QUANT_TENSORS:
+                lm_head_staging[kind] = w
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            if tail == "input_layernorm.weight":
+                layers[li]["input_layernorm"] = to_jax(w)
+                continue
+            if tail == "post_attention_layernorm.weight":
+                layers[li]["post_attention_layernorm"] = to_jax(w)
+                continue
+            mod, _, kind = tail.rpartition(".")
+            if mod not in _FUSE:
+                logger.warning("unmapped weight %s", name)
+                continue
+            if kind in _QUANT_TENSORS:
+                staging.setdefault((li, mod), {})[kind] = w
+            elif kind == "bias":
+                bias_staging[(li, mod, 0)] = w
+            elif kind == "weight":
+                # Unquantized module inside a quantized checkpoint.
+                leaf_name, _, _ = _FUSE[mod]
+                layers[li].setdefault(leaf_name,
+                                      {})[f"_part_weight_{mod}"] = w
+
+    # Decode + pack per module, then fuse.
+    fused_parts: dict[tuple[int, str], list] = {}
+    for (li, mod), tensors in staging.items():
+        leaf_name, slot, n_slots = _FUSE[mod]
+        q, s, z, perm = canonical_from_module(tensors, quant)
+        leaf = make_device_leaf(q, s, z, perm, quant.bits)
+        fused_parts.setdefault((li, leaf_name), [None] * n_slots)[slot] = \
+            leaf
+
+    for (li, leaf_name), parts in fused_parts.items():
+        assert all(p is not None for p in parts), (
+            f"layer {li} {leaf_name}: missing quant parts")
+        merged = _concat_leaves(parts)
+        leaf = {
+            "qweight": jnp.asarray(merged["qweight"]),
+            "scales": jnp.asarray(merged["scales"]),
+            "zbias": jnp.asarray(merged["zbias"]),
+        }
+        if "perm" in merged:
+            leaf["perm"] = jnp.asarray(merged["perm"])
+        layers[li][leaf_name] = leaf
+
+    # Attach biases (qkv bias etc.).
+    for (li, mod, _), b in bias_staging.items():
+        leaf_name, slot, n_slots = _FUSE[mod]
+        leaf = layers[li].setdefault(leaf_name, {})
+        parts = leaf.setdefault("_bias_parts", [None] * n_slots)
+        parts[slot] = b
+    for li, layer in enumerate(layers):
+        for leaf_name, leaf in list(layer.items()):
+            if isinstance(leaf, dict) and "_bias_parts" in leaf:
+                parts = leaf.pop("_bias_parts")
+                if all(p is not None for p in parts):
+                    leaf["bias"] = to_jax(np.concatenate(parts))
+
+    if lm_head_staging and quant.lm_head_quantized:
+        q, s, z, perm = canonical_from_module(lm_head_staging, quant)
+        leaf = make_device_leaf(q, s, z, perm, quant.bits)
+        params["lm_head"] = {k: jnp.asarray(v) for k, v in leaf.items()}
+
+    return params
