@@ -1,0 +1,161 @@
+"""OpenAI server integration tests: real AsyncLLM + aiohttp test client.
+
+Ref analog: RemoteOpenAIServer integration tests
+(ref: tests/utils.py:422, tests/entrypoints/) — in-process here.
+"""
+
+import asyncio
+import json
+
+import pytest
+
+from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                             SchedulerConfig)
+from vllm_tpu.engine.async_llm import AsyncLLM
+from vllm_tpu.entrypoints.openai_server import OpenAIServer
+from vllm_tpu.models import llama
+
+
+def make_async_llm(tokenizer=None):
+    cfg = EngineConfig(
+        model=ModelConfig(vocab_size=2048, hidden_size=64,
+                          intermediate_size=128, num_layers=2, num_heads=4,
+                          num_kv_heads=2, max_model_len=128,
+                          dtype="float32"),
+        cache=CacheConfig(block_size=16, num_gpu_blocks=65),
+        scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                  max_num_seqs=8),
+    )
+    params = llama.random_params(cfg.model, seed=1)
+    return AsyncLLM(cfg, params=params, tokenizer=tokenizer)
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    from tests.engine.utils import build_tiny_tokenizer
+    from vllm_tpu.engine.tokenizer import Tokenizer
+    path = str(tmp_path_factory.mktemp("tok"))
+    build_tiny_tokenizer(path)
+    return Tokenizer(path)
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+def with_client(test_coro, tokenizer=None):
+    async def main():
+        from aiohttp.test_utils import TestClient, TestServer
+        llm = make_async_llm(tokenizer)
+        try:
+            app = OpenAIServer(llm, model_name="tiny").build_app()
+            async with TestClient(TestServer(app)) as client:
+                await test_coro(client)
+        finally:
+            llm.shutdown()
+
+    run(main())
+
+
+def test_health_and_models(tokenizer):
+    async def t(client):
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "tiny"
+
+    with_client(t, tokenizer)
+
+
+def test_completion_with_text_prompt(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": "Hello world",
+            "max_tokens": 8,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert data["usage"]["completion_tokens"] == 8
+        assert isinstance(data["choices"][0]["text"], str)
+        assert data["choices"][0]["finish_reason"] == "length"
+
+    with_client(t, tokenizer)
+
+
+def test_streaming_completion(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "The quick brown",
+            "max_tokens": 6,
+            "temperature": 0,
+            "ignore_eos": True,
+            "stream": True,
+        })
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await r.read()).decode()
+        frames = [l[6:] for l in raw.splitlines()
+                  if l.startswith("data: ")]
+        assert frames[-1] == "[DONE]"
+        text = "".join(
+            json.loads(f)["choices"][0]["text"] for f in frames[:-1])
+        # Non-streamed equivalent must produce identical text.
+        r2 = await client.post("/v1/completions", json={
+            "prompt": "The quick brown",
+            "max_tokens": 6,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+        data2 = await r2.json()
+        assert text == data2["choices"][0]["text"]
+
+    with_client(t, tokenizer)
+
+
+def test_chat_completion(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "Hi"}],
+            "max_tokens": 4,
+            "temperature": 0,
+            "ignore_eos": True,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["message"]["role"] == "assistant"
+
+    with_client(t, tokenizer)
+
+
+def test_error_on_missing_prompt(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/completions", json={"max_tokens": 4})
+        assert r.status == 400
+        data = await r.json()
+        assert "prompt" in data["error"]["message"]
+
+    with_client(t, tokenizer)
+
+
+def test_concurrent_requests(tokenizer):
+    async def t(client):
+        async def one(i):
+            r = await client.post("/v1/completions", json={
+                "prompt": [[1, 5 + i, 9 + i]][0],
+                "max_tokens": 5,
+                "temperature": 0,
+                "ignore_eos": True,
+            })
+            return await r.json()
+
+        results = await asyncio.gather(*[one(i) for i in range(6)])
+        for d in results:
+            assert d["usage"]["completion_tokens"] == 5
+
+    with_client(t, tokenizer)

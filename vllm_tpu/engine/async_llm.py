@@ -1,0 +1,127 @@
+"""Async engine client: asyncio API over a background engine loop.
+
+Ref analog: vllm/v1/engine/async_llm.py (AsyncLLM: ``generate():550``,
+``add_request():283``, output handler task). Architecture difference:
+the reference talks ZMQ to an EngineCoreProc; here the engine core runs
+in a dedicated *thread* of this process (single-controller JAX owns the
+TPU), and the asyncio side bridges with thread-safe queues. The
+cross-process ZMQ client (engine/core_client.py) slots in behind the
+same interface for multi-host serving.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue
+import threading
+from typing import AsyncGenerator, Optional, Union
+
+from vllm_tpu.config import EngineConfig
+from vllm_tpu.engine.llm_engine import LLMEngine
+from vllm_tpu.engine.outputs import RequestOutput
+from vllm_tpu.sample.params import SamplingParams
+from vllm_tpu.utils import Counter, init_logger
+
+logger = init_logger(__name__)
+
+
+class AsyncLLM:
+
+    def __init__(self, config: EngineConfig, params=None, tokenizer=None,
+                 mesh=None) -> None:
+        self.engine = LLMEngine(config, params=params, tokenizer=tokenizer,
+                                mesh=mesh)
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._new_requests: queue.Queue = queue.Queue()
+        self._request_queues: dict[str, asyncio.Queue] = {}
+        self._aborted: set[str] = set()
+        self._counter = Counter()
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._busy_loop,
+                                        name="engine-core", daemon=True)
+        self._started = False
+
+    @property
+    def tokenizer(self):
+        return self.engine.tokenizer
+
+    def start(self) -> None:
+        if not self._started:
+            self._loop = asyncio.get_running_loop()
+            self._thread.start()
+            self._started = True
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        if self._started:
+            self._thread.join(timeout=10)
+
+    # -- engine-thread side -------------------------------------------
+    def _busy_loop(self) -> None:
+        """Ref analog: EngineCoreProc.run_busy_loop (core.py:1372):
+        drain the input queue (blocking when idle), then step."""
+        while not self._shutdown.is_set():
+            idle = not self.engine.has_unfinished_requests()
+            try:
+                # Block briefly when idle; just drain when busy.
+                item = self._new_requests.get(timeout=0.05) if idle else \
+                    self._new_requests.get_nowait()
+                while True:
+                    self._handle(item)
+                    item = self._new_requests.get_nowait()
+            except queue.Empty:
+                pass
+            if self.engine.has_unfinished_requests():
+                for out in self.engine.step():
+                    self._emit(out)
+
+    def _handle(self, item) -> None:
+        kind, payload = item
+        if kind == "add":
+            req_id, prompt, params = payload
+            try:
+                self.engine.add_request(prompt, params, req_id)
+            except ValueError as e:
+                self._emit_error(req_id, e)
+        elif kind == "abort":
+            self.engine.abort_request(payload)
+
+    def _emit(self, out: RequestOutput) -> None:
+        q = self._request_queues.get(out.request_id)
+        if q is not None and self._loop is not None:
+            self._loop.call_soon_threadsafe(q.put_nowait, out)
+
+    def _emit_error(self, req_id: str, err: Exception) -> None:
+        q = self._request_queues.get(req_id)
+        if q is not None and self._loop is not None:
+            self._loop.call_soon_threadsafe(q.put_nowait, err)
+
+    # -- asyncio side -------------------------------------------------
+    async def generate(
+        self,
+        prompt: Union[str, list[int]],
+        sampling_params: Optional[SamplingParams] = None,
+        request_id: Optional[str] = None,
+    ) -> AsyncGenerator[RequestOutput, None]:
+        """Yields incremental RequestOutputs until finished."""
+        self.start()
+        params = sampling_params or SamplingParams()
+        req_id = request_id or f"async-{next(self._counter)}"
+        out_q: asyncio.Queue = asyncio.Queue()
+        self._request_queues[req_id] = out_q
+        self._new_requests.put(("add", (req_id, prompt, params)))
+        # Wake the engine thread if it's blocked on the queue.
+        try:
+            while True:
+                item = await out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+                if item.finished:
+                    return
+        finally:
+            self._request_queues.pop(req_id, None)
+            self._new_requests.put(("abort", [req_id]))
+
+    async def abort(self, request_id: str) -> None:
+        self._new_requests.put(("abort", [request_id]))

@@ -1,0 +1,124 @@
+"""CLI: ``python -m vllm_tpu {serve,bench} ...``
+
+Ref analog: the ``vllm`` console script (pyproject.toml:44,
+vllm/entrypoints/cli/) with serve + bench subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="model path (HF layout)")
+    p.add_argument("--max-model-len", type=int, default=2048)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-num-batched-tokens", type=int, default=2048)
+    p.add_argument("--num-kv-blocks", type=int, default=None)
+    p.add_argument("--quantization", default=None)
+    p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-enable-prefix-caching", action="store_true")
+
+
+def _engine_config(args):
+    from vllm_tpu.config import (CacheConfig, EngineConfig, ParallelConfig,
+                                 SchedulerConfig)
+    from vllm_tpu.loader.hf_config import model_config_from_hf
+    from vllm_tpu.quant.config import detect_quant_config
+    return EngineConfig(
+        model=model_config_from_hf(args.model,
+                                   max_model_len=args.max_model_len,
+                                   dtype=args.dtype),
+        cache=CacheConfig(
+            block_size=args.block_size,
+            num_gpu_blocks=args.num_kv_blocks,
+            enable_prefix_caching=not args.no_enable_prefix_caching),
+        scheduler=SchedulerConfig(
+            max_num_batched_tokens=args.max_num_batched_tokens,
+            max_num_seqs=args.max_num_seqs),
+        parallel=ParallelConfig(
+            tensor_parallel_size=args.tensor_parallel_size),
+        quant=detect_quant_config(args.model, args.quantization),
+        seed=args.seed,
+    )
+
+
+def cmd_serve(args) -> None:
+    from vllm_tpu.engine.async_llm import AsyncLLM
+    from vllm_tpu.entrypoints.openai_server import serve
+    from vllm_tpu.parallel.mesh import make_mesh
+
+    config = _engine_config(args)
+    mesh = None
+    if config.parallel.world_size > 1:
+        mesh = make_mesh(config.parallel)
+    async_llm = AsyncLLM(config, mesh=mesh)
+
+    async def main():
+        async_llm.start()
+        await serve(async_llm, host=args.host, port=args.port,
+                    model_name=args.served_model_name or args.model)
+        await asyncio.Event().wait()  # run forever
+
+    try:
+        asyncio.run(main())
+    except KeyboardInterrupt:
+        pass
+    finally:
+        async_llm.shutdown()
+
+
+def cmd_bench(args) -> None:
+    from vllm_tpu.benchmarks.run import (bench_latency, bench_serve,
+                                         bench_throughput, print_result)
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.engine.llm import LLM
+
+    config = _engine_config(args)
+    if args.bench_cmd in ("latency", "throughput"):
+        llm = LLM(args.model, engine_config=config)
+        if args.bench_cmd == "latency":
+            result = bench_latency(llm, args.input_len, args.output_len,
+                                   args.iters)
+        else:
+            result = bench_throughput(llm, args.num_prompts,
+                                      args.input_len, args.output_len)
+    else:  # serve
+        from vllm_tpu.engine.async_llm import AsyncLLM
+        async_llm = AsyncLLM(config)
+        result = bench_serve(async_llm, num_prompts=args.num_prompts,
+                             input_len=args.input_len,
+                             output_len=args.output_len,
+                             request_rate=args.request_rate)
+        async_llm.shutdown()
+    print_result(args.bench_cmd, result)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="vllm_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    serve_p = sub.add_parser("serve", help="start the OpenAI server")
+    _add_engine_args(serve_p)
+    serve_p.add_argument("--host", default="0.0.0.0")
+    serve_p.add_argument("--port", type=int, default=8000)
+    serve_p.add_argument("--served-model-name", default=None)
+    serve_p.set_defaults(fn=cmd_serve)
+
+    bench_p = sub.add_parser("bench", help="run benchmarks")
+    bench_p.add_argument("bench_cmd",
+                         choices=["latency", "throughput", "serve"])
+    _add_engine_args(bench_p)
+    bench_p.add_argument("--input-len", type=int, default=32)
+    bench_p.add_argument("--output-len", type=int, default=128)
+    bench_p.add_argument("--iters", type=int, default=8)
+    bench_p.add_argument("--num-prompts", type=int, default=64)
+    bench_p.add_argument("--request-rate", type=float, default=8.0)
+    bench_p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)

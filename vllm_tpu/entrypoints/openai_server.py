@@ -1,0 +1,223 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Ref analog: vllm/entrypoints/openai/ (FastAPI app, api_server.py
+run_server():751) — same wire protocol, aiohttp transport (fastapi is
+not in this image). Endpoints:
+
+- GET  /health, GET /v1/models
+- POST /v1/completions        (prompt or token ids; stream or not)
+- POST /v1/chat/completions   (chat template; stream or not)
+
+Streaming uses SSE ``data:`` frames ending with ``data: [DONE]``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any, Optional
+
+from aiohttp import web
+
+from vllm_tpu.engine.async_llm import AsyncLLM
+from vllm_tpu.sample.params import SamplingParams
+from vllm_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+
+def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
+    return SamplingParams(
+        n=1,
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        min_p=float(body.get("min_p", 0.0)),
+        seed=body.get("seed"),
+        max_tokens=int(body.get("max_tokens", 16)),
+        stop=body.get("stop"),
+        stop_token_ids=body.get("stop_token_ids", []),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+    )
+
+
+class OpenAIServer:
+
+    def __init__(self, async_llm: AsyncLLM,
+                 model_name: str = "vllm-tpu-model") -> None:
+        self.llm = async_llm
+        self.model_name = model_name
+
+    # -- routes -------------------------------------------------------
+    def build_app(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        return app
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{
+                "id": self.model_name,
+                "object": "model",
+                "created": int(time.time()),
+                "owned_by": "vllm_tpu",
+            }],
+        })
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        prompt = body.get("prompt")
+        if prompt is None:
+            return _err("missing 'prompt'")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
+            prompt = prompt[0]  # batch-of-one only for now
+        params = _sampling_params_from(body)
+        req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await self._stream(request, req_id, prompt, params,
+                                      chat=False)
+        return await self._complete(req_id, prompt, params, chat=False)
+
+    async def chat_completions(self,
+                               request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        messages = body.get("messages")
+        if not messages:
+            return _err("missing 'messages'")
+        tok = self.llm.tokenizer
+        if tok is None:
+            return _err("server has no tokenizer; use /v1/completions "
+                        "with token ids", 400)
+        try:
+            prompt = tok.apply_chat_template(messages,
+                                             add_generation_prompt=True)
+        except Exception:
+            # No chat template: simple role-prefixed fallback.
+            prompt = "".join(f"{m['role']}: {m['content']}\n"
+                             for m in messages) + "assistant:"
+        params = _sampling_params_from(body)
+        req_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        if body.get("stream"):
+            return await self._stream(request, req_id, prompt, params,
+                                      chat=True)
+        return await self._complete(req_id, prompt, params, chat=True)
+
+    # -- impl ---------------------------------------------------------
+    async def _complete(self, req_id: str, prompt, params: SamplingParams,
+                        chat: bool) -> web.Response:
+        final = None
+        async for out in self.llm.generate(prompt, params, req_id):
+            final = out
+        assert final is not None
+        c = final.outputs[0]
+        if chat:
+            payload = {
+                "id": req_id,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant", "content": c.text},
+                    "finish_reason": c.finish_reason,
+                }],
+                "usage": _usage(final),
+            }
+        else:
+            payload = {
+                "id": req_id,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": c.text,
+                    "finish_reason": c.finish_reason,
+                }],
+                "usage": _usage(final),
+            }
+        return web.json_response(payload)
+
+    async def _stream(self, request: web.Request, req_id: str, prompt,
+                      params: SamplingParams,
+                      chat: bool) -> web.StreamResponse:
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        sent_text = 0
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        try:
+            async for out in self.llm.generate(prompt, params, req_id):
+                c = out.outputs[0]
+                delta = c.text[sent_text:]
+                sent_text = len(c.text)
+                if not delta and not out.finished:
+                    continue
+                if chat:
+                    choice = {
+                        "index": 0,
+                        "delta": {"content": delta} if delta else {},
+                        "finish_reason":
+                        c.finish_reason if out.finished else None,
+                    }
+                else:
+                    choice = {
+                        "index": 0,
+                        "text": delta,
+                        "finish_reason":
+                        c.finish_reason if out.finished else None,
+                    }
+                frame = {
+                    "id": req_id,
+                    "object": obj,
+                    "created": int(time.time()),
+                    "model": self.model_name,
+                    "choices": [choice],
+                }
+                await resp.write(
+                    f"data: {json.dumps(frame)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except ConnectionResetError:
+            await self.llm.abort(req_id)
+        return resp
+
+
+def _usage(out) -> dict:
+    n_prompt = len(out.prompt_token_ids)
+    n_out = len(out.outputs[0].token_ids)
+    return {
+        "prompt_tokens": n_prompt,
+        "completion_tokens": n_out,
+        "total_tokens": n_prompt + n_out,
+    }
+
+
+def _err(msg: str, status: int = 400) -> web.Response:
+    return web.json_response(
+        {"error": {"message": msg, "type": "invalid_request_error"}},
+        status=status)
+
+
+async def serve(async_llm: AsyncLLM, host: str = "0.0.0.0",
+                port: int = 8000, model_name: str = "vllm-tpu-model"):
+    server = OpenAIServer(async_llm, model_name)
+    app = server.build_app()
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    logger.info("OpenAI server listening on %s:%d", host, port)
+    return runner

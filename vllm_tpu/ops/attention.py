@@ -60,8 +60,9 @@ def ragged_paged_attention_xla(
     max_kv = max_blocks * block_size
 
     k_cache, v_cache = split_kv(kv_cache)  # [B, KH, bs, Dp]
-    k_cache = k_cache[..., :D]
-    v_cache = v_cache[..., :D]
+    # Quantized caches (fp8) dequantize on gather.
+    k_cache = k_cache[..., :D].astype(q.dtype)
+    v_cache = v_cache[..., :D].astype(q.dtype)
     # Per-row gathered KV: [R, max_kv, KH, D].
     k = k_cache[block_tables].transpose(0, 1, 3, 2, 4).reshape(
         R, max_kv, KH, D)

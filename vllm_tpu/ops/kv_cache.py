@@ -31,6 +31,24 @@ from vllm_tpu.utils import round_up
 LANE = 128
 
 
+def kv_cache_jnp_dtype(cache_dtype: str, model_dtype: str):
+    """Resolve CacheConfig.cache_dtype to a jnp dtype.
+
+    fp8 == e4m3 (the reference's default fp8 KV flavor, ref:
+    vllm/config/cache.py:19-35 CacheDType). int8 per-token-head arrives
+    with its scale-packed layout; fp8 uses scale 1.0 (e4m3 dynamic
+    range covers bf16 KV magnitudes; per-layer scales can be loaded
+    from checkpoints later).
+    """
+    if cache_dtype == "auto":
+        return jnp.dtype(model_dtype)
+    if cache_dtype == "fp8":
+        return jnp.float8_e4m3fn
+    if cache_dtype in ("bfloat16", "float32", "float16"):
+        return jnp.dtype(cache_dtype)
+    raise NotImplementedError(f"cache_dtype {cache_dtype}")
+
+
 def padded_head_dim(head_dim: int) -> int:
     return round_up(head_dim, LANE)
 

@@ -146,8 +146,11 @@ def _kernel(
                         kv_start((i + 1) % 2, i + 1, h)
 
                     kv_wait(slot, i, h)
-                    k = k_buf[slot]  # [FS, D]
-                    v = v_buf[slot]
+                    # Cast KV up to the query dtype (fp8/int8 quantized
+                    # caches dequantize here, in VMEM — the analog of
+                    # the ref's in-kernel _cast_kv_tile).
+                    k = k_buf[slot].astype(q2.dtype)  # [FS, D]
+                    v = v_buf[slot].astype(q2.dtype)
                     s = jax.lax.dot_general(
                         q2, k, (((1, ), (1, )), ((), ())),
                         preferred_element_type=jnp.float32) * sm_scale
@@ -168,7 +171,7 @@ def _kernel(
                     alpha = jnp.exp(m - m_new)
                     l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
                     acc_new = alpha * acc + jax.lax.dot_general(
-                        p.astype(v.dtype), v, (((1, ), (0, )), ((), ())),
+                        p.astype(q2.dtype), v, (((1, ), (0, )), ((), ())),
                         preferred_element_type=jnp.float32)
                     return m_new, l_new, acc_new
 

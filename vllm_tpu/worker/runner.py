@@ -29,7 +29,7 @@ import numpy as np
 from vllm_tpu.config import EngineConfig
 from vllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
 from vllm_tpu.models.registry import get_model
-from vllm_tpu.ops.kv_cache import kv_cache_shape
+from vllm_tpu.ops.kv_cache import kv_cache_jnp_dtype, kv_cache_shape
 from vllm_tpu.ops.metadata import AttentionMetadata
 from vllm_tpu.sample.sampler import SamplingMetadata, sample
 from vllm_tpu.utils import cdiv, init_logger, padded_bucket
@@ -72,8 +72,8 @@ class TPUModelRunner:
         self.batch = InputBatch(self.max_num_reqs, self.max_blocks_per_req,
                                 config.seed)
 
-        cache_dtype = (mc.dtype if config.cache.cache_dtype == "auto" else
-                       config.cache.cache_dtype)
+        cache_dtype = kv_cache_jnp_dtype(config.cache.cache_dtype,
+                                         mc.dtype)
         shape = kv_cache_shape(num_kv_blocks, self.block_size,
                                mc.num_kv_heads, mc.head_dim)
         if mesh is not None:
@@ -84,13 +84,12 @@ class TPUModelRunner:
             self.params = params = shard_params(params, mc, mesh)
             kv_sh = kv_cache_sharding(mc, mesh)
             self.kv_caches = [
-                jax.device_put(jnp.zeros(shape, jnp.dtype(cache_dtype)),
-                               kv_sh) for _ in range(mc.num_layers)
+                jax.device_put(jnp.zeros(shape, cache_dtype), kv_sh)
+                for _ in range(mc.num_layers)
             ]
         else:
             self.kv_caches = [
-                jnp.zeros(shape, jnp.dtype(cache_dtype))
-                for _ in range(mc.num_layers)
+                jnp.zeros(shape, cache_dtype) for _ in range(mc.num_layers)
             ]
         logger.info(
             "KV cache: %d layers x %s %s (%.1f MiB total)", mc.num_layers,
