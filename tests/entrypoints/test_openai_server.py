@@ -159,3 +159,18 @@ def test_concurrent_requests(tokenizer):
             assert d["usage"]["completion_tokens"] == 5
 
     with_client(t, tokenizer)
+
+
+def test_metrics_endpoint(tokenizer):
+    async def t(client):
+        await client.post("/v1/completions", json={
+            "prompt": "Hello", "max_tokens": 3, "temperature": 0,
+            "ignore_eos": True})
+        r = await client.get("/metrics")
+        assert r.status == 200
+        text = await r.text()
+        assert "vllm_tpu:request_success_total 1" in text
+        assert "vllm_tpu:generation_tokens_total 3" in text
+        assert "vllm_tpu:time_to_first_token_seconds_count 1" in text
+
+    with_client(t, tokenizer)

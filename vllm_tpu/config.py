@@ -185,6 +185,28 @@ class QuantizationConfig:
 
 
 # ---------------------------------------------------------------------------
+# Speculative decoding
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpeculativeConfig:
+    """Ref analog: vllm/config/speculative.py. ``method=None`` disables.
+
+    ngram: drafts come from matching the trailing prompt/output n-gram
+    earlier in the sequence (ref: vllm/v1/spec_decode/ngram_proposer.py)
+    — pure host logic, no draft model. Verification is greedy-only in
+    round 1 (drafts are only proposed for temperature==0 requests).
+    """
+
+    method: Literal["ngram", None] = None
+    num_speculative_tokens: int = 4
+    # n-gram match window: longest suffix tried first.
+    prompt_lookup_max: int = 4
+    prompt_lookup_min: int = 2
+
+
+# ---------------------------------------------------------------------------
 # Composition root
 # ---------------------------------------------------------------------------
 
@@ -199,6 +221,8 @@ class EngineConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     quant: QuantizationConfig = field(default_factory=QuantizationConfig)
+    speculative: SpeculativeConfig = field(
+        default_factory=SpeculativeConfig)
     seed: int = 0
 
     def __post_init__(self) -> None:

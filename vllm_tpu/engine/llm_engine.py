@@ -64,6 +64,9 @@ class LLMEngine:
         self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
         self.output_processor = OutputProcessor(self.tokenizer)
         self._req_counter = Counter()
+        from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger
+        self.metrics = EngineMetrics()
+        self.stat_logger = LoggingStatLogger(self.metrics)
 
         # EOS propagation to the scheduler's stop check.
         if not getattr(mc, "eos_token_ids", None):
@@ -129,6 +132,7 @@ class LLMEngine:
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority)
         self.scheduler.add_request(request)
+        self.metrics.on_request_added(request_id, len(prompt_token_ids))
         self.output_processor.add_request(request_id, prompt_text,
                                           prompt_token_ids, params)
         return request_id
@@ -140,6 +144,8 @@ class LLMEngine:
             self.output_processor.abort(rid)
 
     def step(self) -> list[RequestOutput]:
+        import time as _time
+        t0 = _time.monotonic()
         sched_out = self.scheduler.schedule()
         runner_out = self.runner.execute_model(sched_out)
         core_outputs = self.scheduler.update_from_output(
@@ -149,6 +155,9 @@ class LLMEngine:
         if to_abort:
             self.scheduler.finish_requests(to_abort,
                                            RequestStatus.FINISHED_STOPPED)
+        self.metrics.on_step(core_outputs, self.scheduler.make_stats(),
+                             _time.monotonic() - t0)
+        self.stat_logger.maybe_log()
         return results
 
     def has_unfinished_requests(self) -> bool:

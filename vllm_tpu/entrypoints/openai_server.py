@@ -56,6 +56,7 @@ class OpenAIServer:
     def build_app(self) -> web.Application:
         app = web.Application()
         app.router.add_get("/health", self.health)
+        app.router.add_get("/metrics", self.metrics)
         app.router.add_get("/v1/models", self.models)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
@@ -63,6 +64,12 @@ class OpenAIServer:
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        text = self.llm.engine.metrics.prometheus_text()
+        return web.Response(text=text,
+                            content_type="text/plain",
+                            charset="utf-8")
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({

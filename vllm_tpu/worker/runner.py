@@ -45,7 +45,7 @@ class StepInputs(NamedTuple):
     block_tables: jax.Array  # [R, max_blocks]
     query_start_loc: jax.Array  # [R+1]
     seq_lens: jax.Array  # [R]
-    logits_indices: jax.Array  # [R]
+    logits_indices: jax.Array  # [R, K+1] last-token gather indices
     sampling: SamplingMetadata
 
 
@@ -71,6 +71,15 @@ class TPUModelRunner:
 
         self.batch = InputBatch(self.max_num_reqs, self.max_blocks_per_req,
                                 config.seed)
+
+        # Speculative decoding (ngram drafter; greedy verification).
+        sc = config.speculative
+        self.spec_k = (sc.num_speculative_tokens
+                       if sc.method == "ngram" else 0)
+        self.proposer = None
+        if sc.method == "ngram":
+            from vllm_tpu.spec_decode.ngram import NgramProposer
+            self.proposer = NgramProposer(sc)
 
         cache_dtype = kv_cache_jnp_dtype(config.cache.cache_dtype,
                                          mc.dtype)
@@ -100,7 +109,7 @@ class TPUModelRunner:
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
-            static_argnums=(3, ),  # q_blk (attention window rows)
+            static_argnums=(3, 4),  # q_blk, spec_k
         )
 
     # -- state sync ---------------------------------------------------
@@ -150,12 +159,13 @@ class TPUModelRunner:
         cap = self.max_tokens_bucket + 128
         T_pad = min(padded_bucket(T + q_blk), cap)
 
+        K = self.spec_k
         input_ids = np.zeros((T_pad, ), np.int32)
         positions = np.zeros((T_pad, ), np.int32)
         slot_mapping = np.zeros((T_pad, ), np.int32)
         qsl = np.zeros((R + 1, ), np.int32)
         seq_lens = np.zeros((R, ), np.int32)
-        logits_indices = np.zeros((R, ), np.int32)
+        logits_indices = np.zeros((R, K + 1), np.int32)
 
         req_ids: list[str] = []
         emits: list[bool] = []
@@ -164,13 +174,15 @@ class TPUModelRunner:
         for req_id, n in sched:
             state = self.batch.reqs[req_id]
             row = state.row
+            drafts = out.scheduled_spec_decode_tokens.get(req_id, [])
+            real_n = n - len(drafts)
             # Rows between prev_row and row have zero-length queries.
             qsl[prev_row + 2:row + 1] = t
             start = state.num_computed_tokens
-            toks = state.token_ids[start:start + n]
+            toks = state.token_ids[start:start + real_n] + list(drafts)
             assert len(toks) == n, (
                 f"{req_id}: host tokens {len(state.token_ids)} < "
-                f"{start + n}")
+                f"{start + real_n}")
             input_ids[t:t + n] = toks
             positions[t:t + n] = np.arange(start, start + n)
             for i in range(n):
@@ -179,12 +191,16 @@ class TPUModelRunner:
                     state.block_ids[pos // self.block_size] *
                     self.block_size + pos % self.block_size)
             seq_lens[row] = start + n
-            logits_indices[row] = t + n - 1
+            # Last K+1 scheduled positions (clamped to row start):
+            # column K is always the final token; for a verification
+            # step the last len(drafts)+1 columns cover [t0, d1..dk].
+            for j in range(K + 1):
+                logits_indices[row, j] = t + max(n - 1 - (K - j), 0)
             t += n
             qsl[row + 1] = t
             prev_row = row
             req_ids.append(req_id)
-            emits.append(start + n >= len(state.token_ids))
+            emits.append(start + real_n >= len(state.token_ids))
         qsl[prev_row + 2:] = t
 
         b = self.batch
@@ -214,28 +230,57 @@ class TPUModelRunner:
         if out.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
         inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
-        self.kv_caches, sampled = self._step_fn(self.params, self.kv_caches,
-                                                inputs, q_blk)
+        self.kv_caches, sampled, greedy_mat = self._step_fn(
+            self.params, self.kv_caches, inputs, q_blk, self.spec_k)
         sampled_np = np.asarray(jax.device_get(sampled))
+        greedy_np = (np.asarray(jax.device_get(greedy_mat))
+                     if greedy_mat is not None else None)
 
         result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
+        spec_out: list[list[int]] = []
+        K = self.spec_k
         for req_id, emit in zip(req_ids, emits):
             state = self.batch.reqs[req_id]
-            if emit:
-                tok = int(sampled_np[state.row])
-                result.sampled_token_ids.append([tok])
-                # The sampled token becomes a known host-side token for
-                # the next step's input prep.
-                state.token_ids.append(tok)
-                self.batch.bump_sample_step(req_id)
-            else:
+            row = state.row
+            drafts = out.scheduled_spec_decode_tokens.get(req_id, [])
+            if not emit:
                 result.sampled_token_ids.append([])
+                spec_out.append([])
+                continue
+            if drafts:
+                # Greedy verification: column K-d+j is the prediction
+                # after consuming the j-th verification input
+                # (j=0 -> after t0). Accept drafts while they match.
+                d = len(drafts)
+                g = greedy_np[row]
+                preds = g[K - d:K + 1]  # [d+1]
+                new_toks = []
+                for j, draft in enumerate(drafts):
+                    if int(preds[j]) == draft:
+                        new_toks.append(draft)
+                    else:
+                        break
+                new_toks.append(int(preds[len(new_toks)]))
+            else:
+                new_toks = [int(sampled_np[row])]
+            result.sampled_token_ids.append(new_toks)
+            state.token_ids.extend(new_toks)
+            self.batch.bump_sample_step(req_id)
+            # Propose drafts for the next step (greedy requests only).
+            if (self.proposer is not None
+                    and state.sampling_params.temperature == 0.0):
+                spec_out.append(self.proposer.propose(state.token_ids))
+            else:
+                spec_out.append([])
+        if self.proposer is not None:
+            result.spec_token_ids = spec_out
         return result
 
 
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
-               q_blk: int = 128):
-    """One fused device step: forward + logits + sample."""
+               q_blk: int = 128, spec_k: int = 0):
+    """One fused device step: forward + logits + sample (+ greedy
+    verification matrix when speculative decoding is on)."""
     meta = AttentionMetadata(
         slot_mapping=inputs.slot_mapping,
         block_tables=inputs.block_tables,
@@ -246,9 +291,17 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                                       inputs.positions, kv_caches, meta,
                                       q_blk=q_blk)
     # Only sampled rows' logits matter: gather last-token hidden states
-    # first so the LM head runs at [R, E] not [T, E]
+    # first so the LM head runs at [R*(K+1), E] not [T, E]
     # (ref analog: logits_indices gather in gpu_model_runner).
-    sampled_hidden = hidden[inputs.logits_indices]
-    logits = model.compute_logits(params, mc, sampled_hidden)
-    sampled = sample(logits, inputs.sampling)
-    return kv_caches, sampled
+    R, K1 = inputs.logits_indices.shape
+    if spec_k == 0:
+        sampled_hidden = hidden[inputs.logits_indices[:, -1]]
+        logits = model.compute_logits(params, mc, sampled_hidden)
+        sampled = sample(logits, inputs.sampling)
+        return kv_caches, sampled, None
+    idx = inputs.logits_indices.reshape(-1)
+    logits = model.compute_logits(params, mc, hidden[idx])
+    logits = logits.reshape(R, K1, -1)
+    greedy_mat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    sampled = sample(logits[:, -1], inputs.sampling)
+    return kv_caches, sampled, greedy_mat
