@@ -89,3 +89,23 @@ def test_kv_cache_sharding_replicates_when_indivisible(cpu_devices):
                        head_dim=8)
     sh2 = kv_cache_sharding(cfg2, mesh)  # 2*KH=6 not divisible by 8
     assert sh2.shard_shape((10, 16, 6, 8))[2] == 6
+
+
+def test_mixtral_tp8_matches_single_device(cpu_devices):
+    from vllm_tpu.models import mixtral
+    cfg = make_cfg(tp=8)
+    cfg.model.architecture = "MixtralForCausalLM"
+    cfg.model.num_experts = 4
+    cfg.model.num_experts_per_tok = 2
+    params = mixtral.random_params(cfg.model, seed=9)
+    ref = run_generate(make_mixtral_cfg(1), params, mesh=None)
+    got = run_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
+def make_mixtral_cfg(tp):
+    cfg = make_cfg(tp=tp)
+    cfg.model.architecture = "MixtralForCausalLM"
+    cfg.model.num_experts = 4
+    cfg.model.num_experts_per_tok = 2
+    return cfg

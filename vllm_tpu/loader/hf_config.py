@@ -43,6 +43,9 @@ def model_config_from_hf(
     num_heads = hf["num_attention_heads"]
     max_pos = hf.get("max_position_embeddings", 2048)
     cfg = ModelConfig(
+        num_experts=hf.get("num_local_experts", hf.get("num_experts", 0)),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 0),
+        moe_intermediate_size=hf.get("moe_intermediate_size"),
         model=model_path,
         architecture=arch,
         vocab_size=hf["vocab_size"],

@@ -64,13 +64,16 @@ def load_llama_params(
     """Load a Llama-family checkpoint into the functional pytree.
 
     Quantized checkpoints (GPTQ/AWQ/AutoRound) route through
-    vllm_tpu.quant.loader instead; this handles fp16/bf16.
+    vllm_tpu.quant.loader instead; this handles fp16/bf16. MoE
+    (Mixtral) checkpoints branch to the MoE mapper.
     """
     import jax.numpy as jnp
 
     if quant is not None and quant.enabled:
         from vllm_tpu.quant.loader import load_quantized_llama_params
         return load_quantized_llama_params(model_path, cfg, quant)
+    if cfg.num_experts > 0:
+        return _load_mixtral_params(model_path, cfg)
 
     dtype = jnp.dtype(cfg.dtype)
     layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
@@ -131,6 +134,77 @@ def load_llama_params(
             leaf["bias"] = to_jax(cat)
 
     _validate(params, cfg)
+    return params
+
+
+def _load_mixtral_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Mixtral mapping: block_sparse_moe.gate -> router,
+    experts.{e}.{w1,w3} -> stacked fused w_gate_up, w2 -> w_down.
+    Ref analog: mixtral.py load_weights expert stacking."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    E = cfg.num_experts
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+    # (layer, expert) -> {"w1"|"w2"|"w3": array}
+    experts: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            elif tail == "block_sparse_moe.gate.weight":
+                layer["router"] = {"weight": to_jax(w.T)}
+            elif tail.startswith("block_sparse_moe.experts."):
+                parts = tail.split(".")
+                e, which = int(parts[2]), parts[3]
+                experts.setdefault((li, e), {})[which] = w
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in _DIRECT:
+                    leaf = layer.setdefault(_DIRECT[mod], {})
+                    leaf["weight" if kind == "weight" else "bias"] = \
+                        to_jax(w.T if kind == "weight" else w)
+                elif mod in _FUSED:
+                    leaf_name, slot = _FUSED[mod]
+                    pending.setdefault((li, leaf_name, kind), {})[slot] = w
+
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            cat.T if kind == "weight" else cat)
+
+    # Stack experts: w1 (gate) [I,H], w3 (up) [I,H], w2 (down) [H,I].
+    for li in range(cfg.num_layers):
+        gu, dn = [], []
+        for e in range(E):
+            ws = experts.get((li, e))
+            assert ws is not None and set(ws) == {"w1", "w2", "w3"}, (
+                f"layer {li} expert {e}: incomplete {set(ws or ())}")
+            gu.append(np.concatenate([ws["w1"].T, ws["w3"].T], axis=1))
+            dn.append(ws["w2"].T)
+        layers[li]["w_gate_up"] = to_jax(np.stack(gu))
+        layers[li]["w_down"] = to_jax(np.stack(dn))
     return params
 
 

@@ -14,6 +14,7 @@ _REGISTRY: dict[str, str] = {
     "Qwen2ForCausalLM": "vllm_tpu.models.llama",
     "MistralForCausalLM": "vllm_tpu.models.llama",
     "TinyLlamaForCausalLM": "vllm_tpu.models.llama",
+    "MixtralForCausalLM": "vllm_tpu.models.mixtral",
 }
 
 

@@ -41,6 +41,9 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     col_bias = NamedSharding(mesh, P(AXIS_TP))
     vocab_ok = cfg.vocab_size % tp == 0
 
+    moe_col = NamedSharding(mesh, P(None, None, AXIS_TP))
+    moe_row = NamedSharding(mesh, P(None, AXIS_TP, None))
+
     def shard_layer(layer: dict) -> dict:
         out = {}
         for name, leaf in layer.items():
@@ -49,7 +52,13 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
                              for k in leaf}
             elif name in _ROW_LINEARS:
                 out[name] = {k: (rep if k == "bias" else row) for k in leaf}
-            else:  # norms and anything scalar-ish: replicate
+            elif name == "w_gate_up":
+                # MoE experts: Megatron TP *within* each expert (expert
+                # parallelism over the ep axis comes with multi-host).
+                out[name] = moe_col
+            elif name == "w_down":
+                out[name] = moe_row
+            else:  # norms, router, anything scalar-ish: replicate
                 out[name] = jax.tree.map(lambda _: rep, leaf)
         return out
 

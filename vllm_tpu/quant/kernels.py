@@ -66,6 +66,9 @@ def quantized_matmul_xla(x: jax.Array, leaf: dict) -> jax.Array:
 
 def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     """Production entry point used by ops/linear.py."""
+    if "wscale" in leaf:  # dynamic activation quant (W8A8 int8 / fp8)
+        from vllm_tpu.quant.online import w8a8_matmul
+        return w8a8_matmul(x, leaf)
     from vllm_tpu.ops.dispatch import attention_backend
     if (attention_backend() == "pallas" and leaf["qweight"].dtype
             == jnp.uint8 and "perm" not in leaf):

@@ -1,0 +1,118 @@
+"""Online quantization: transform a dense (bf16/f32) param pytree at
+load time — no pre-quantized checkpoint needed.
+
+Ref analog: vllm/model_executor/layers/quantization/online/
+({base,fp8,int8}.py — "quantize FP16/BF16 weights at load time",
+online/base.py:80-81) with the shorthand method names registered in
+quantization/__init__.py:38-47.
+
+Methods:
+- ``int8``      weight-only per-channel int8 (W8A16)
+- ``w8a8_int8`` per-channel int8 weights + dynamic per-token int8
+                activations; int8xint8 MXU dot accumulating s32
+- ``fp8``       per-channel e4m3 weights + dynamic per-token e4m3
+                activations
+
+Leaf formats extend quant/kernels.py:
+- W8A16: {"qweight" int8 [K,N], "scales" f32 [1,N], "zbias" f32 [1,N]}
+- W8A8:  {"qweight" int8 [K,N], "wscale" f32 [1,N]}
+- FP8:   {"qweight" e4m3 [K,N], "wscale" f32 [1,N]}
+(presence of "wscale" == dynamic activation quantization)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.utils import init_logger
+
+logger = init_logger(__name__)
+
+_LINEAR_LEAVES = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+
+
+def _quant_weight_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8. w: [K, N]."""
+    absmax = np.abs(w).max(axis=0, keepdims=True)  # [1, N]
+    scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+    q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _quant_weight_fp8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel e4m3 (max 448)."""
+    absmax = np.abs(w).max(axis=0, keepdims=True)
+    scale = np.where(absmax == 0, 1.0, absmax / 448.0)
+    q = (w / scale).astype(jnp.float8_e4m3fn)
+    return q, scale.astype(np.float32)
+
+
+def quantize_params_online(params: dict, method: str) -> dict:
+    """Replace dense linear leaves with quantized ones (in place)."""
+    n = 0
+    for layer in params["layers"]:
+        for name in _LINEAR_LEAVES:
+            leaf = layer.get(name)
+            if not isinstance(leaf, dict) or "weight" not in leaf:
+                continue
+            w = np.asarray(leaf.pop("weight"), np.float32)
+            if method == "int8":
+                q, s = _quant_weight_int8(w)
+                leaf["qweight"] = jnp.asarray(q)
+                leaf["scales"] = jnp.asarray(s)
+                # centered storage contract of quant/kernels.py W8A16:
+                # stored values are q (already signed) => zbias 0.
+                leaf["zbias"] = jnp.zeros_like(jnp.asarray(s))
+            elif method == "w8a8_int8":
+                q, s = _quant_weight_int8(w)
+                leaf["qweight"] = jnp.asarray(q)
+                leaf["wscale"] = jnp.asarray(s)
+            elif method == "fp8":
+                q, s = _quant_weight_fp8(w)
+                leaf["qweight"] = jnp.asarray(q)
+                leaf["wscale"] = jnp.asarray(s)
+            else:
+                raise ValueError(f"unknown online method {method}")
+            n += 1
+    logger.info("online-quantized %d linear layers to %s", n, method)
+    return params
+
+
+# -- activation-quantized matmuls (XLA; MXU-native int8/fp8 dots) ------
+
+
+def _quant_act_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_act_fp8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 448.0)
+    q = (x / scale).astype(jnp.float8_e4m3fn)
+    return q, scale
+
+
+def w8a8_matmul(x: jax.Array, leaf: dict) -> jax.Array:
+    """Dynamic per-token activation quant + quantized dot + fused
+    dual-scale epilogue. Ref analog: cutlass w8a8 scaled_mm +
+    per_token_group_quant (csrc quantization/w8a8/)."""
+    qw = leaf["qweight"]
+    wscale = leaf["wscale"]  # [1, N]
+    if qw.dtype == jnp.int8:
+        qx, xscale = _quant_act_int8(x)
+        acc = jax.lax.dot_general(
+            qx, qw, (((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:  # fp8
+        qx, xscale = _quant_act_fp8(x)
+        acc = jax.lax.dot_general(
+            qx, qw, (((x.ndim - 1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.float32)
+    return (acc * xscale * wscale).astype(x.dtype)
