@@ -68,26 +68,30 @@ def main() -> None:
     print(f"warmup (incl compile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
-    # Timed round: prefill then steady decode.
+    # Timed round: prefill then steady decode. Decode-only rate is
+    # measured from the first step in which every request has emitted
+    # at least one token (prefill done) to completion, via the engine's
+    # generation-token counter (multi-step steps emit >1 per request).
     add_all("bench")
+    m = engine.metrics
     t_start = time.perf_counter()
-    decode_tokens = 0
-    decode_time = 0.0
+    g_start = m.generation_tokens_total
+    decode_t0 = None
+    decode_g0 = 0
+    emitted: set[str] = set()
     while engine.has_unfinished_requests():
-        t1 = time.perf_counter()
         outs = engine.step()
-        dt = time.perf_counter() - t1
-        new_toks = sum(
-            1 for o in outs for _ in [0] if not o.finished) + sum(
-                1 for o in outs if o.finished)
-        # Count only steps where every scheduled request decoded
-        # (steady-state decode steps schedule num_reqs tokens).
-        if len(outs) == num_reqs:
-            decode_tokens += len(outs)
-            decode_time += dt
-    total_time = time.perf_counter() - t_start
-    tput = decode_tokens / decode_time if decode_time else 0.0
-    total_out = num_reqs * decode_len
+        for o in outs:
+            emitted.add(o.request_id)
+        if decode_t0 is None and len(emitted) >= num_reqs:
+            decode_t0 = time.perf_counter()
+            decode_g0 = m.generation_tokens_total
+    t_end = time.perf_counter()
+    total_time = t_end - t_start
+    decode_tokens = m.generation_tokens_total - decode_g0
+    decode_time = (t_end - decode_t0) if decode_t0 else 0.0
+    tput = decode_tokens / decode_time if decode_time > 0 else 0.0
+    total_out = m.generation_tokens_total - g_start
 
     print(
         f"total: {total_out} tokens in {total_time:.2f}s "

@@ -69,7 +69,8 @@ def run_engine(spec: bool, prompt, max_tokens=24):
                           dtype="float32"),
         cache=CacheConfig(block_size=16, num_gpu_blocks=65),
         scheduler=SchedulerConfig(max_num_batched_tokens=256,
-                                  max_num_seqs=4),
+                                  max_num_seqs=4,
+                                  multi_step_decode_horizon=1),
         speculative=SpeculativeConfig(
             method="ngram" if spec else None, num_speculative_tokens=3),
     )

@@ -123,6 +123,14 @@ class SchedulerConfig:
     enable_chunked_prefill: bool = True
     long_prefill_token_threshold: int = 0  # 0 == no per-req chunk cap
     policy: Literal["fcfs", "priority"] = "fcfs"
+    # Multi-step decode: when every scheduled request is a pure decode
+    # and nothing is waiting, run up to this many decode iterations in
+    # one device program (token feedback on device, one host round trip
+    # per horizon). 1 disables. Stop conditions are checked after the
+    # horizon, so a request may overrun EOS by up to horizon-1 tokens
+    # (discarded). Ref analog: the multi-step/async-scheduling family
+    # (vllm step_with_batch_queue, async_scheduling config).
+    multi_step_decode_horizon: int = 8
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,11 @@ class SchedulerOutput:
     # purges their rows.
     finished_req_ids: set[str] = field(default_factory=set)
     preempted_req_ids: set[str] = field(default_factory=set)
+    # >1 => device-side multi-step decode of this many iterations
+    # (every scheduled request is a 1-token decode; the runner feeds
+    # sampled tokens back on device and returns horizon tokens per
+    # request).
+    decode_horizon: int = 1
 
     @property
     def num_reqs(self) -> int:

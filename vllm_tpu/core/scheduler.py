@@ -212,7 +212,40 @@ class Scheduler:
         out.total_num_scheduled_tokens = sum(
             out.num_scheduled_tokens.values())
         out.preempted_req_ids = preempted_this_step
+        self._maybe_enable_multi_step(out)
         return out
+
+    def _maybe_enable_multi_step(self, out: SchedulerOutput) -> None:
+        """Steady-state decode: extend this step to a device-side
+        multi-step horizon (see SchedulerConfig.multi_step_decode_horizon).
+        Eligible when nothing is waiting, no new/resumed requests, no
+        spec drafts, and every scheduled request runs exactly 1 token."""
+        horizon = self.config.scheduler.multi_step_decode_horizon
+        if (horizon <= 1 or self.waiting or out.scheduled_new_reqs
+                or out.scheduled_spec_decode_tokens
+                or not out.num_scheduled_tokens
+                or any(n != 1 for n in out.num_scheduled_tokens.values())):
+            return
+        reqs = [self.requests[r] for r in out.num_scheduled_tokens]
+        # Cap so no request can cross max_model_len mid-horizon.
+        h = min([horizon] +
+                [self.max_model_len - r.num_tokens for r in reqs])
+        if h <= 1:
+            return
+        # Lookahead KV slots for the h-1 future tokens (unverified:
+        # never prefix-cached).
+        for request in reqs:
+            got = self.kv_cache_manager.allocate_slots(
+                request, 1, num_lookahead_tokens=h - 1)
+            if got is None:
+                h = 1
+                break
+            if got.blocks:
+                for cr in out.scheduled_cached_reqs:
+                    if cr.req_id == request.request_id:
+                        cr.new_block_ids.extend(got.get_block_ids())
+        if h > 1:
+            out.decode_horizon = h
 
     def _find_preemption_victim(self, req_index: int) -> Request:
         # FCFS: newest request loses. Priority policy: highest priority
@@ -259,7 +292,11 @@ class Scheduler:
 
             sampled = runner_output.sampled_token_ids[i]
             spec_toks = spec_scheduled.get(req_id, [])
-            if spec_toks:
+            if scheduler_output.decode_horizon > 1 and sampled:
+                # Multi-step decode: len(sampled) inputs were consumed
+                # on device (the known token + h-1 fed-back samples).
+                request.num_computed_tokens += len(sampled)
+            elif spec_toks:
                 # Spec verification: sampled includes the bonus token.
                 # num_accepted drafts => computed advances by
                 # sched_tokens - (num_drafts - num_accepted).

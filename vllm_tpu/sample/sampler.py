@@ -91,18 +91,25 @@ def sample(
     logits: jax.Array,  # [R, V] f32
     meta: SamplingMetadata,
 ) -> jax.Array:
-    """Returns sampled token ids [R] int32."""
+    """Returns sampled token ids [R] int32.
+
+    The random path (vocab sort for top-k/p + Gumbel noise) only
+    executes when some row actually samples — all-greedy batches take
+    the argmax-only branch at runtime (lax.cond on the batch).
+    """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # Random path.
-    temp = jnp.maximum(meta.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    scaled = _apply_top_k_top_p(scaled, meta.top_k, meta.top_p)
-    scaled = _apply_min_p(scaled, meta.min_p)
-    noise = _gumbel(meta.seeds, meta.steps, logits.shape[-1])
-    random = jnp.argmax(scaled + noise, axis=-1).astype(jnp.int32)
+    def random_path(_):
+        temp = jnp.maximum(meta.temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        scaled = _apply_top_k_top_p(scaled, meta.top_k, meta.top_p)
+        scaled = _apply_min_p(scaled, meta.min_p)
+        noise = _gumbel(meta.seeds, meta.steps, logits.shape[-1])
+        random = jnp.argmax(scaled + noise, axis=-1).astype(jnp.int32)
+        return jnp.where(meta.temperature <= 0.0, greedy, random)
 
-    return jnp.where(meta.temperature <= 0.0, greedy, random)
+    any_random = jnp.any(meta.temperature > 0.0)
+    return jax.lax.cond(any_random, random_path, lambda _: greedy, None)
 
 
 def compute_token_logprobs(logits: jax.Array,

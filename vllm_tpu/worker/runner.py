@@ -38,6 +38,14 @@ from vllm_tpu.worker.input_batch import InputBatch
 logger = init_logger(__name__)
 
 
+class DecodeLoopInputs(NamedTuple):
+    cur_tokens: jax.Array  # [R] the single known token per row
+    positions: jax.Array  # [R] position of that token
+    block_tables: jax.Array  # [R, max_blocks]
+    active: jax.Array  # [R] bool
+    sampling: SamplingMetadata
+
+
 class StepInputs(NamedTuple):
     input_ids: jax.Array  # [T]
     positions: jax.Array  # [T]
@@ -110,6 +118,12 @@ class TPUModelRunner:
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
             static_argnums=(3, 4),  # q_blk, spec_k
+        )
+        self._decode_loop_fn = jax.jit(
+            functools.partial(_decode_loop_impl, self.model, mc,
+                              self.block_size),
+            donate_argnums=(1, ),
+            static_argnums=(3, ),  # horizon
         )
 
     # -- state sync ---------------------------------------------------
@@ -229,6 +243,8 @@ class TPUModelRunner:
         self.update_states(out)
         if out.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
+        if out.decode_horizon > 1:
+            return self._execute_multi_step(out)
         inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
         self.kv_caches, sampled, greedy_mat = self._step_fn(
             self.params, self.kv_caches, inputs, q_blk, self.spec_k)
@@ -275,6 +291,93 @@ class TPUModelRunner:
         if self.proposer is not None:
             result.spec_token_ids = spec_out
         return result
+
+    def _execute_multi_step(self, out: SchedulerOutput) -> ModelRunnerOutput:
+        h = out.decode_horizon
+        R = self.max_num_reqs
+        b = self.batch
+        cur = np.zeros((R, ), np.int32)
+        pos = np.zeros((R, ), np.int32)
+        active = np.zeros((R, ), bool)
+        req_ids = []
+        for req_id in out.num_scheduled_tokens:
+            st = b.reqs[req_id]
+            cur[st.row] = st.token_ids[st.num_computed_tokens]
+            pos[st.row] = st.num_computed_tokens
+            active[st.row] = True
+            req_ids.append(req_id)
+        dec = DecodeLoopInputs(
+            cur_tokens=jnp.asarray(cur),
+            positions=jnp.asarray(pos),
+            block_tables=jnp.asarray(b.block_tables),
+            active=jnp.asarray(active),
+            sampling=SamplingMetadata(
+                temperature=jnp.asarray(b.temperature),
+                top_k=jnp.asarray(b.top_k),
+                top_p=jnp.asarray(b.top_p),
+                min_p=jnp.asarray(b.min_p),
+                seeds=jnp.asarray(b.seeds),
+                steps=jnp.asarray(b.sample_steps),
+            ),
+        )
+        self.kv_caches, samples = self._decode_loop_fn(
+            self.params, self.kv_caches, dec, h)
+        samples_np = np.asarray(jax.device_get(samples))  # [h, R]
+
+        result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
+        spec_out: list[list[int]] = []
+        for req_id in req_ids:
+            st = b.reqs[req_id]
+            toks = [int(t) for t in samples_np[:, st.row]]
+            result.sampled_token_ids.append(toks)
+            st.token_ids.extend(toks)
+            st.sample_step += h
+            b.sample_steps[st.row] = st.sample_step
+            if (self.proposer is not None
+                    and st.sampling_params.temperature == 0.0):
+                spec_out.append(self.proposer.propose(st.token_ids))
+            else:
+                spec_out.append([])
+        if self.proposer is not None:
+            result.spec_token_ids = spec_out
+        return result
+
+
+def _decode_loop_impl(model, mc, block_size, params, kv_caches,
+                      dec: DecodeLoopInputs, horizon: int):
+    """Device-side multi-step decode: `horizon` forward+sample
+    iterations with token feedback in one lax.scan — one host round
+    trip per horizon instead of per token."""
+    R = dec.cur_tokens.shape[0]
+    qsl = jnp.arange(R + 1, dtype=jnp.int32)  # every row: 1 token
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    def body(carry, i):
+        kv_caches, tokens, positions = carry
+        seq_lens = jnp.where(dec.active, positions + 1, 0)
+        block_idx = positions // block_size
+        slots = (jnp.take_along_axis(dec.block_tables, block_idx[:, None],
+                                     axis=1)[:, 0] * block_size +
+                 positions % block_size)
+        # Inactive rows: block-table row is 0 -> writes land in the
+        # null block.
+        meta = AttentionMetadata(
+            slot_mapping=slots,
+            block_tables=dec.block_tables,
+            query_start_loc=qsl,
+            seq_lens=seq_lens,
+        )
+        hidden, kv_caches = model.forward(params, mc, tokens, positions,
+                                          kv_caches, meta, q_blk=16)
+        logits = model.compute_logits(params, mc, hidden)
+        sampled = sample(logits,
+                         dec.sampling._replace(steps=dec.sampling.steps + i))
+        return (kv_caches, sampled, positions + 1), sampled
+
+    (kv_caches, _, _), samples = jax.lax.scan(
+        body, (kv_caches, dec.cur_tokens, dec.positions),
+        jnp.arange(horizon, dtype=jnp.int32))
+    return kv_caches, samples  # [horizon, R]
 
 
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
