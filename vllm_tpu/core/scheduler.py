@@ -227,6 +227,13 @@ class Scheduler:
                 or any(n != 1 for n in out.num_scheduled_tokens.values())):
             return
         reqs = [self.requests[r] for r in out.num_scheduled_tokens]
+        # Penalties and logprobs need per-token host data: single-step.
+        for r in reqs:
+            sp = r.sampling_params
+            if (sp.logprobs or sp.repetition_penalty != 1.0
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0):
+                return
         # Cap so no request can cross max_model_len mid-horizon.
         h = min([horizon] +
                 [self.max_model_len - r.num_tokens for r in reqs])

@@ -67,6 +67,8 @@ class LLMEngine:
         from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger
         self.metrics = EngineMetrics()
         self.stat_logger = LoggingStatLogger(self.metrics)
+        from vllm_tpu.engine.state import SleepManager
+        self._sleep = SleepManager(self)
 
         # EOS propagation to the scheduler's stop check.
         if not getattr(mc, "eos_token_ids", None):
@@ -168,3 +170,35 @@ class LLMEngine:
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
+
+    # -- state management (ref: engine sleep/wake core.py:864-922,
+    # sharded save/restore gpu_worker.py:1190) ------------------------
+    @property
+    def is_sleeping(self) -> bool:
+        return self._sleep.is_sleeping
+
+    def sleep(self, level: int = 1) -> None:
+        """Free HBM: level 1 offloads weights to host RAM and drops
+        KV; level 2 drops both (wake reloads from disk)."""
+        self._sleep.sleep(level)
+
+    def wake_up(self) -> None:
+        self._sleep.wake_up()
+
+    def save_state(self, path: str) -> None:
+        from vllm_tpu.engine.state import save_state
+        save_state(self.runner.params, path)
+
+    def load_state(self, path: str) -> None:
+        """In-place weight reload (RL weight-sync analog,
+        ref: reload_weights gpu_worker.py:456)."""
+        import jax.numpy as jnp
+        from vllm_tpu.engine.state import load_state
+        params = load_state(path)
+        import jax
+        params = jax.tree.map(jnp.asarray, params)
+        if self.runner.mesh is not None:
+            from vllm_tpu.parallel.shard import shard_params
+            params = shard_params(params, self.config.model,
+                                  self.runner.mesh)
+        self.runner.params = params

@@ -26,6 +26,7 @@ class RequestState:
     detokenizer: Optional[IncrementalDetokenizer]
     sampling_params: SamplingParams
     output_token_ids: list[int]
+    logprobs: Optional[list[dict[int, float]]] = None
 
 
 class OutputProcessor:
@@ -42,9 +43,9 @@ class OutputProcessor:
             detok = IncrementalDetokenizer(
                 self.tokenizer, prompt_token_ids, list(params.stop or []),
                 params.include_stop_str_in_output)
-        self.states[request_id] = RequestState(request_id, prompt,
-                                               prompt_token_ids, detok,
-                                               params, [])
+        self.states[request_id] = RequestState(
+            request_id, prompt, prompt_token_ids, detok, params, [],
+            logprobs=[] if params.logprobs else None)
 
     def abort(self, request_id: str) -> None:
         self.states.pop(request_id, None)
@@ -60,6 +61,8 @@ class OutputProcessor:
             if state is None:
                 continue
             state.output_token_ids.extend(eco.new_token_ids)
+            if state.logprobs is not None and eco.new_logprobs:
+                state.logprobs.extend(eco.new_logprobs)
             finished = eco.finished
             finish_reason = eco.finish_reason
             stop_reason = eco.stop_reason
@@ -87,6 +90,14 @@ class OutputProcessor:
                             token_ids=list(state.output_token_ids),
                             finish_reason=finish_reason,
                             stop_reason=stop_reason,
+                            cumulative_logprob=(sum(
+                                lp[t] for lp, t in zip(
+                                    state.logprobs,
+                                    state.output_token_ids)
+                                if t in lp) if state.logprobs else None),
+                            logprobs=(list(state.logprobs)
+                                      if state.logprobs is not None
+                                      else None),
                         )
                     ],
                     finished=finished,

@@ -14,6 +14,8 @@ class CompletionOutput:
     finish_reason: Optional[str] = None
     stop_reason: Optional[int | str] = None
     cumulative_logprob: Optional[float] = None
+    # per output token: {token_id: logprob} incl. sampled + top-k
+    logprobs: Optional[list[dict[int, float]]] = None
 
 
 @dataclass

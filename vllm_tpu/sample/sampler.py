@@ -35,6 +35,28 @@ class SamplingMetadata(NamedTuple):
     steps: jax.Array  # i32
 
 
+class PenaltyInputs(NamedTuple):
+    """Per-row penalty controls + token statistics ([R, V] arrays are
+    host-built only for steps where some request has penalties —
+    ref analog: vllm/v1/sample/ops/penalties.py bin-count tensors)."""
+    repetition: jax.Array  # [R] f32; 1.0 == disabled
+    presence: jax.Array  # [R] f32
+    frequency: jax.Array  # [R] f32
+    out_counts: jax.Array  # [R, V] i32 output-token counts
+    all_presence: jax.Array  # [R, V] bool prompt|output presence
+
+
+def apply_penalties(logits: jax.Array, pen: PenaltyInputs) -> jax.Array:
+    """vLLM semantics: repetition penalty over prompt+output tokens;
+    presence/frequency over output tokens only."""
+    rep = pen.repetition[:, None]
+    scaled = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(pen.all_presence, scaled, logits)
+    logits = logits - pen.frequency[:, None] * pen.out_counts
+    logits = logits - pen.presence[:, None] * (pen.out_counts > 0)
+    return logits
+
+
 def _apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,
                        top_p: jax.Array) -> jax.Array:
     """Mask logits outside top-k / nucleus top-p, per row.
@@ -117,3 +139,17 @@ def compute_token_logprobs(logits: jax.Array,
     """Logprob of each chosen token; logits [R, V], token_ids [R]."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(logp, token_ids[:, None], axis=-1)[:, 0]
+
+
+def compute_topk_logprobs(
+    logits: jax.Array,  # [R, V]
+    sampled: jax.Array,  # [R]
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(sampled_logprob [R], topk_ids [R, k], topk_logprobs [R, k]).
+    Ref analog: vllm/v1/engine/logprobs.py gather."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    sampled_lp = jnp.take_along_axis(logp, sampled[:, None],
+                                     axis=-1)[:, 0]
+    top_lp, top_ids = jax.lax.top_k(logp, k)
+    return sampled_lp, top_ids.astype(jnp.int32), top_lp

@@ -29,6 +29,9 @@ class CachedReqState:
     num_computed_tokens: int
     block_ids: list[int]
     sampling_params: SamplingParams
+    # length of the prompt at admission (output tokens follow; used by
+    # the penalty bin-counts to split prompt vs output)
+    prompt_len: int = 0
     # device-side Gumbel stream position (see SamplingMetadata.steps)
     sample_step: int = 0
 
@@ -73,7 +76,7 @@ class InputBatch:
         row = self._free_rows.pop()
         state = CachedReqState(req_id, row, list(token_ids),
                                num_computed_tokens, list(block_ids),
-                               sampling_params)
+                               sampling_params, prompt_len=len(token_ids))
         self.reqs[req_id] = state
         self.row_to_req[row] = state
 

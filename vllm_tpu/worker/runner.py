@@ -31,7 +31,9 @@ from vllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
 from vllm_tpu.models.registry import get_model
 from vllm_tpu.ops.kv_cache import kv_cache_jnp_dtype, kv_cache_shape
 from vllm_tpu.ops.metadata import AttentionMetadata
-from vllm_tpu.sample.sampler import SamplingMetadata, sample
+from vllm_tpu.sample.sampler import (PenaltyInputs, SamplingMetadata,
+                                     apply_penalties, compute_topk_logprobs,
+                                     sample)
 from vllm_tpu.utils import cdiv, init_logger, padded_bucket
 from vllm_tpu.worker.input_batch import InputBatch
 
@@ -55,6 +57,9 @@ class StepInputs(NamedTuple):
     seq_lens: jax.Array  # [R]
     logits_indices: jax.Array  # [R, K+1] last-token gather indices
     sampling: SamplingMetadata
+    # None on penalty-free steps (the common case; separate compiled
+    # variant when set — ref analog: penalties applied in Sampler).
+    penalties: Optional[PenaltyInputs]
 
 
 class TPUModelRunner:
@@ -117,7 +122,7 @@ class TPUModelRunner:
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
-            static_argnums=(3, 4),  # q_blk, spec_k
+            static_argnums=(3, 4, 5),  # q_blk, spec_k, n_logprobs
         )
         self._decode_loop_fn = jax.jit(
             functools.partial(_decode_loop_impl, self.model, mc,
@@ -235,8 +240,40 @@ class TPUModelRunner:
             seq_lens=jnp.asarray(seq_lens),
             logits_indices=jnp.asarray(logits_indices),
             sampling=sampling,
+            penalties=self._build_penalties(req_ids),
         )
         return inputs, req_ids, emits, q_blk
+
+    def _build_penalties(self, req_ids) -> Optional[PenaltyInputs]:
+        """[R, V] token statistics, only when some scheduled request
+        uses penalties (ref: vllm penalties bin-count tensors)."""
+        need = any(
+            self.batch.reqs[r].sampling_params.repetition_penalty != 1.0
+            or self.batch.reqs[r].sampling_params.presence_penalty != 0.0
+            or self.batch.reqs[r].sampling_params.frequency_penalty != 0.0
+            for r in req_ids)
+        if not need:
+            return None
+        R = self.max_num_reqs
+        V = self.config.model.vocab_size
+        rep = np.ones((R, ), np.float32)
+        pres = np.zeros((R, ), np.float32)
+        freq = np.zeros((R, ), np.float32)
+        out_counts = np.zeros((R, V), np.int32)
+        all_presence = np.zeros((R, V), bool)
+        for r in req_ids:
+            st = self.batch.reqs[r]
+            sp = st.sampling_params
+            rep[st.row] = sp.repetition_penalty
+            pres[st.row] = sp.presence_penalty
+            freq[st.row] = sp.frequency_penalty
+            toks = np.asarray(st.token_ids)
+            np.add.at(out_counts[st.row],
+                      toks[st.prompt_len:][toks[st.prompt_len:] < V], 1)
+            all_presence[st.row][toks[toks < V]] = True
+        return PenaltyInputs(jnp.asarray(rep), jnp.asarray(pres),
+                             jnp.asarray(freq), jnp.asarray(out_counts),
+                             jnp.asarray(all_presence))
 
     # -- execution ----------------------------------------------------
     def execute_model(self, out: SchedulerOutput) -> ModelRunnerOutput:
@@ -246,13 +283,19 @@ class TPUModelRunner:
         if out.decode_horizon > 1:
             return self._execute_multi_step(out)
         inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
-        self.kv_caches, sampled, greedy_mat = self._step_fn(
-            self.params, self.kv_caches, inputs, q_blk, self.spec_k)
+        # Top-logprobs bucket (static): 0 disables the gather.
+        n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
+                    for r in req_ids), default=0)
+        self.kv_caches, sampled, greedy_mat, lp = self._step_fn(
+            self.params, self.kv_caches, inputs, q_blk, self.spec_k, n_lp)
         sampled_np = np.asarray(jax.device_get(sampled))
+        lp_np = jax.device_get(lp) if lp is not None else None
         greedy_np = (np.asarray(jax.device_get(greedy_mat))
                      if greedy_mat is not None else None)
 
         result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
+        if lp_np is not None:
+            result.logprobs = []
         spec_out: list[list[int]] = []
         K = self.spec_k
         for req_id, emit in zip(req_ids, emits):
@@ -262,6 +305,8 @@ class TPUModelRunner:
             if not emit:
                 result.sampled_token_ids.append([])
                 spec_out.append([])
+                if lp_np is not None:
+                    result.logprobs.append([])
                 continue
             if drafts:
                 # Greedy verification: column K-d+j is the prediction
@@ -282,9 +327,17 @@ class TPUModelRunner:
             result.sampled_token_ids.append(new_toks)
             state.token_ids.extend(new_toks)
             self.batch.bump_sample_step(req_id)
+            if lp_np is not None:
+                s_lp, t_ids, t_lp = lp_np
+                row_lp = {int(sampled_np[row]): float(s_lp[row])}
+                want = state.sampling_params.logprobs or 0
+                for tid, tlp in zip(t_ids[row][:want], t_lp[row][:want]):
+                    row_lp.setdefault(int(tid), float(tlp))
+                result.logprobs.append([row_lp])
             # Propose drafts for the next step (greedy requests only).
             if (self.proposer is not None
-                    and state.sampling_params.temperature == 0.0):
+                    and state.sampling_params.temperature == 0.0
+                    and not state.sampling_params.logprobs):
                 spec_out.append(self.proposer.propose(state.token_ids))
             else:
                 spec_out.append([])
@@ -381,7 +434,7 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
 
 
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
-               q_blk: int = 128, spec_k: int = 0):
+               q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0):
     """One fused device step: forward + logits + sample (+ greedy
     verification matrix when speculative decoding is on)."""
     meta = AttentionMetadata(
@@ -400,11 +453,15 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     if spec_k == 0:
         sampled_hidden = hidden[inputs.logits_indices[:, -1]]
         logits = model.compute_logits(params, mc, sampled_hidden)
+        if inputs.penalties is not None:
+            logits = apply_penalties(logits, inputs.penalties)
         sampled = sample(logits, inputs.sampling)
-        return kv_caches, sampled, None
+        lp = (compute_topk_logprobs(logits, sampled, n_logprobs)
+              if n_logprobs > 0 else None)
+        return kv_caches, sampled, None, lp
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
     greedy_mat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     sampled = sample(logits[:, -1], inputs.sampling)
-    return kv_caches, sampled, greedy_mat
+    return kv_caches, sampled, greedy_mat, None
