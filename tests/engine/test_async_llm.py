@@ -71,3 +71,33 @@ def test_bench_serve_metrics(async_llm):
     assert result["output_tok_per_s"] > 0
     # 4 output tokens -> 3 ITL gaps per request
     assert result["tpot_ms"]["p50"] >= 0
+
+
+def test_fault_tolerance_step_failure(async_llm):
+    """A failing step errors the affected request but the engine
+    keeps serving subsequent requests."""
+    import asyncio
+
+    async def main():
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+        # sabotage one step
+        real_step = async_llm.engine.step
+        calls = {"n": 0}
+
+        def flaky_step():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected fault")
+            return real_step()
+
+        async_llm.engine.step = flaky_step
+        with pytest.raises(RuntimeError, match="injected fault"):
+            async for _ in async_llm.generate([1, 2, 3], sp):
+                pass
+        # engine recovered: next request succeeds
+        last = None
+        async for out in async_llm.generate([4, 5, 6], sp):
+            last = out
+        assert last is not None and len(last.outputs[0].token_ids) == 4
+
+    asyncio.run(main())

@@ -230,7 +230,8 @@ class Scheduler:
         # Penalties and logprobs need per-token host data: single-step.
         for r in reqs:
             sp = r.sampling_params
-            if (sp.logprobs or sp.repetition_penalty != 1.0
+            if (sp.logprobs or sp.guided_choice
+                    or sp.repetition_penalty != 1.0
                     or sp.presence_penalty != 0.0
                     or sp.frequency_penalty != 0.0):
                 return

@@ -59,7 +59,14 @@ class AsyncLLM:
     # -- engine-thread side -------------------------------------------
     def _busy_loop(self) -> None:
         """Ref analog: EngineCoreProc.run_busy_loop (core.py:1372):
-        drain the input queue (blocking when idle), then step."""
+        drain the input queue (blocking when idle), then step.
+
+        Fault tolerance (ref analog: EngineCoreSentinel
+        fault_tolerant_wrapper, v1/fault_tolerance/engine_core_sentinel.
+        py:173): a step failure aborts the in-flight requests (each
+        caller gets the error) and the loop keeps serving; repeated
+        back-to-back failures stop the engine."""
+        consecutive_failures = 0
         while not self._shutdown.is_set():
             idle = not self.engine.has_unfinished_requests()
             try:
@@ -72,8 +79,21 @@ class AsyncLLM:
             except queue.Empty:
                 pass
             if self.engine.has_unfinished_requests():
-                for out in self.engine.step():
-                    self._emit(out)
+                try:
+                    for out in self.engine.step():
+                        self._emit(out)
+                    consecutive_failures = 0
+                except Exception as e:  # noqa: BLE001 — sentinel
+                    consecutive_failures += 1
+                    logger.exception("engine step failed (%d in a row)",
+                                     consecutive_failures)
+                    in_flight = list(self.engine.scheduler.requests)
+                    self.engine.abort_request(in_flight)
+                    for rid in in_flight:
+                        self._emit_error(rid, e)
+                    if consecutive_failures >= 3:
+                        logger.error("engine unhealthy; stopping loop")
+                        self._shutdown.set()
 
     def _handle(self, item) -> None:
         kind, payload = item

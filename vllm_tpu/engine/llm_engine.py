@@ -137,6 +137,14 @@ class LLMEngine:
         else:
             prompt_token_ids = list(prompt)
             prompt_text = None
+        if params.guided_choice:
+            assert self.tokenizer is not None, (
+                "guided_choice needs a tokenizer")
+            from vllm_tpu.structured_output.trie import \
+                build_choice_grammar
+            eos = (self.config.model.eos_token_ids or [None])[0]
+            params._grammar = build_choice_grammar(  # type: ignore[attr-defined]
+                params.guided_choice, self.tokenizer, eos)
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority)
         self.scheduler.add_request(request)

@@ -30,6 +30,9 @@ class SamplingParams:
     logprobs: Optional[int] = None
     detokenize: bool = True
     include_stop_str_in_output: bool = False
+    # Structured output: constrain generation to one of these strings
+    # (token-trie backend, see structured_output/trie.py).
+    guided_choice: Optional[list[str]] = None
 
     def __post_init__(self) -> None:
         if isinstance(self.stop, str):

@@ -34,6 +34,8 @@ class CachedReqState:
     prompt_len: int = 0
     # device-side Gumbel stream position (see SamplingMetadata.steps)
     sample_step: int = 0
+    # structured-output decoding state (structured_output/trie.py)
+    grammar: object = None
 
 
 class InputBatch:

@@ -60,6 +60,10 @@ class StepInputs(NamedTuple):
     # None on penalty-free steps (the common case; separate compiled
     # variant when set — ref analog: penalties applied in Sampler).
     penalties: Optional[PenaltyInputs]
+    # None when no structured-output request is scheduled; else a
+    # [R, V] bool mask of allowed tokens (ref analog: the grammar
+    # bitmask applied at sampling, v1/structured_output/).
+    grammar_mask: Optional[jax.Array]
 
 
 class TPUModelRunner:
@@ -140,9 +144,14 @@ class TPUModelRunner:
         for req_id in out.preempted_req_ids:
             self.batch.remove_request(req_id)
         for nr in out.scheduled_new_reqs:
-            self.batch.add_request(nr.req_id, nr.prompt_token_ids,
-                                   nr.block_ids, nr.num_computed_tokens,
-                                   nr.sampling_params)
+            state = self.batch.add_request(nr.req_id, nr.prompt_token_ids,
+                                           nr.block_ids,
+                                           nr.num_computed_tokens,
+                                           nr.sampling_params)
+            grammar = getattr(nr.sampling_params, "_grammar", None)
+            if grammar is not None:
+                from vllm_tpu.structured_output.trie import GrammarState
+                state.grammar = GrammarState(grammar)
         for cr in out.scheduled_cached_reqs:
             state = self.batch.reqs[cr.req_id]
             if cr.new_block_ids:
@@ -241,8 +250,24 @@ class TPUModelRunner:
             logits_indices=jnp.asarray(logits_indices),
             sampling=sampling,
             penalties=self._build_penalties(req_ids),
+            grammar_mask=self._build_grammar_mask(req_ids),
         )
         return inputs, req_ids, emits, q_blk
+
+    def _build_grammar_mask(self, req_ids) -> Optional[jax.Array]:
+        states = [(r, getattr(self.batch.reqs[r], "grammar", None))
+                  for r in req_ids]
+        if not any(g is not None and g.active for _, g in states):
+            return None
+        R = self.max_num_reqs
+        V = self.config.model.vocab_size
+        mask = np.ones((R, V), bool)
+        for r, g in states:
+            if g is not None and g.active:
+                row = self.batch.reqs[r].row
+                mask[row, :] = False
+                mask[row, g.allowed_tokens()] = True
+        return jnp.asarray(mask)
 
     def _build_penalties(self, req_ids) -> Optional[PenaltyInputs]:
         """[R, V] token statistics, only when some scheduled request
@@ -327,6 +352,10 @@ class TPUModelRunner:
             result.sampled_token_ids.append(new_toks)
             state.token_ids.extend(new_toks)
             self.batch.bump_sample_step(req_id)
+            g = getattr(state, "grammar", None)
+            if g is not None:
+                for t in new_toks:
+                    g.advance(t)
             if lp_np is not None:
                 s_lp, t_ids, t_lp = lp_np
                 row_lp = {int(sampled_np[row]): float(s_lp[row])}
@@ -455,6 +484,8 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         logits = model.compute_logits(params, mc, sampled_hidden)
         if inputs.penalties is not None:
             logits = apply_penalties(logits, inputs.penalties)
+        if inputs.grammar_mask is not None:
+            logits = jnp.where(inputs.grammar_mask, logits, -jnp.inf)
         sampled = sample(logits, inputs.sampling)
         lp = (compute_topk_logprobs(logits, sampled, n_logprobs)
               if n_logprobs > 0 else None)
