@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from vllm_tpu.config import ModelConfig
-from vllm_tpu.ops.dispatch import ragged_paged_attention
+from vllm_tpu.ops.dispatch import (fused_decode_attention,
+                                   ragged_paged_attention)
 from vllm_tpu.ops.kv_cache import write_kv_xla
 from vllm_tpu.ops.layers import (apply_rope, rms_norm, rope_cos_sin,
                                  silu_and_mul)
@@ -64,6 +65,14 @@ def _attention(
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if q_blk == 1 and cfg.sliding_window is None:
+        # Decode fast path (multi-step loop): row i == request row i;
+        # KV write fused into the kernel, cache updated in place.
+        out, kv_cache = fused_decode_attention(
+            q, k, v, kv_cache, meta.block_tables, meta.seq_lens,
+            sm_scale=float(D**-0.5))
+        return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
 
     # Write-through first, then attend over the whole [0, seq_len)
     # prefix from the cache — current tokens included (unified

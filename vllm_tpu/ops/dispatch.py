@@ -48,3 +48,38 @@ def ragged_paged_attention(
                                       sm_scale=sm_scale,
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap)
+
+
+def fused_decode_attention(
+    q: jax.Array,  # [R, H, D] — row i IS request row i (1 token each)
+    new_k: jax.Array,  # [R, KH, D]
+    new_v: jax.Array,  # [R, KH, D]
+    kv_cache: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,  # includes the new token
+    *,
+    sm_scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode fast path: KV write fused into the attention kernel
+    (in-place cache via input_output_aliases). XLA fallback: scatter
+    write then gather attention. Returns (out, updated cache)."""
+    if attention_backend() == "pallas":
+        from vllm_tpu.ops.pallas.decode_attention import (
+            decode_paged_attention)
+        return decode_paged_attention(q, new_k, new_v, kv_cache,
+                                      block_tables, seq_lens,
+                                      sm_scale=sm_scale)
+    from vllm_tpu.ops.attention import ragged_paged_attention_xla
+    from vllm_tpu.ops.kv_cache import write_kv_xla
+    R = q.shape[0]
+    import jax.numpy as jnp
+    block_size = kv_cache.shape[2]
+    pos = jnp.maximum(seq_lens - 1, 0)
+    slots = (jnp.take_along_axis(block_tables, (pos // block_size)[:, None],
+                                 axis=1)[:, 0] * block_size +
+             pos % block_size)
+    kv_cache = write_kv_xla(kv_cache, new_k, new_v, slots)
+    qsl = jnp.arange(R + 1, dtype=jnp.int32)
+    out = ragged_paged_attention_xla(q, kv_cache, block_tables, qsl,
+                                     seq_lens, sm_scale=sm_scale)
+    return out, kv_cache

@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: decode-specialized paged attention with fused
+KV-cache write (1 query token per row).
+
+Two decode-specific redesigns over the ragged kernel
+(ragged_attention.py):
+
+1. **Whole-block DMAs + deep ring.** Decode is DMA-latency-bound; one
+   copy per KV block brings ALL heads ([2KH, bs, Dp] contiguous in the
+   head-major layout — 8x larger transfers) through a 4-deep ring of
+   in-flight copies. q/out ride BlockSpecs (pallas pipelines them
+   across the grid).
+2. **Fused KV write-through.** The cache rides through
+   ``input_output_aliases`` (true in-place); each program *injects* its
+   new K/V row into the streamed VMEM tile of the row's current block
+   (mask select — no dynamic sublane indexing) and DMAs the modified
+   K/V tiles back. This removes the separate XLA scatter, whose
+   output-feeds-custom-call pattern forced a full cache copy per layer
+   (~4ms/iter at 1.1B).
+
+Decode causality is free: the single query sits at seq_len-1, so the
+only mask is kv_pos < seq_len (which includes the just-written token).
+
+Used by the multi-step decode loop via ops/dispatch.py (q_blk == 1).
+Ref analog: reshape_and_cache + paged attention fused, the decode half
+of triton_unified_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RING = 4  # in-flight KV-block DMAs per request
+
+
+def _kernel(
+    # scalar prefetch
+    seq_lens_ref,  # [R] SMEM
+    bt_ref,  # [R, max_blocks] SMEM
+    # inputs
+    q_ref,  # [1, H, Dp] VMEM block (this row's query)
+    new_kv_ref,  # [1, 2*KH, Dp] VMEM block (this row's new K/V row)
+    kv_hbm,  # [num_blocks, 2*KH, bs, Dp] HBM (aliased to output)
+    # outputs
+    o_ref,  # [1, H, Dp] VMEM block
+    kv_out,  # aliased kv_hbm
+    # scratch
+    kv_buf,  # [RING, 2*KH, bs, Dp] VMEM
+    sems,  # DMA sems [RING]
+    wsem,  # write-back sem
+    *,
+    sm_scale: float,
+    block_size: int,
+    KH: int,
+    G: int,
+    max_blocks: int,
+):
+    r = pl.program_id(0)
+    seq_len = seq_lens_ref[r]
+    nblk = pl.cdiv(seq_len, block_size)
+    last_blk = jnp.maximum(nblk - 1, 0)
+    off = (seq_len - 1) % block_size
+    D = q_ref.shape[-1]
+
+    def dma(slot, i):
+        bidx = jnp.minimum(i, max_blocks - 1)
+        return pltpu.make_async_copy(kv_hbm.at[bt_ref[r, bidx]],
+                                     kv_buf.at[slot], sems.at[slot])
+
+    @pl.when(seq_len > 0)
+    def _():
+        for p in range(RING):
+            @pl.when(p < nblk)
+            def _(p=p):
+                dma(p, p).start()
+
+        row_sel = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (block_size, 1), 0) == off)
+
+        def body(i, carry):
+            slot = i % RING
+            dma(slot, i).wait()
+
+            # Inject this row's new K/V into its current block's tile
+            # (mask select over the sublane dim) and write it back.
+            @pl.when(i == last_blk)
+            def _():
+                for hs in range(2 * KH):
+                    tile = kv_buf[slot, hs]  # [bs, Dp]
+                    new_row = new_kv_ref[0, hs, :][None, :]
+                    kv_buf[slot, hs] = jnp.where(row_sel, new_row, tile)
+                wb = pltpu.make_async_copy(
+                    kv_buf.at[slot], kv_out.at[bt_ref[r, last_blk]], wsem)
+                wb.start()
+                wb.wait()
+
+            kv_pos = i * block_size + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_size), 1)
+            mask = kv_pos < seq_len  # [1, bs]
+            new_carry = []
+            for h in range(KH):
+                m, l, acc = carry[h]
+                q_h = q_ref[0, h * G:(h + 1) * G, :]  # [G, Dp]
+                k = kv_buf[slot, 2 * h]  # [bs, Dp]
+                v = kv_buf[slot, 2 * h + 1]
+                s = jax.lax.dot_general(
+                    q_h, k, (((1, ), (1, )), ((), ())),
+                    preferred_element_type=jnp.float32) * sm_scale
+                s = jnp.where(mask, s, -1e30)
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                p_ = jnp.exp(s - m_new)
+                p_ = jnp.where(mask, p_, 0.0)
+                alpha = jnp.exp(m - m_new)
+                l_new = alpha * l + jnp.sum(p_, axis=1, keepdims=True)
+                acc_new = alpha * acc + jax.lax.dot_general(
+                    p_.astype(q_h.dtype), v.astype(q_h.dtype),
+                    (((1, ), (0, )), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_carry.append((m_new, l_new, acc_new))
+
+            @pl.when(i + RING < nblk)
+            def _():
+                dma(slot, i + RING).start()
+
+            return tuple(new_carry)
+
+        init = tuple(
+            (jnp.full((G, 1), -1e30, jnp.float32),
+             jnp.zeros((G, 1), jnp.float32),
+             jnp.zeros((G, D), jnp.float32)) for _ in range(KH))
+        final = jax.lax.fori_loop(0, nblk, body, init)
+        for h in range(KH):
+            m, l, acc = final[h]
+            out = acc / jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
+
+    @pl.when(seq_len <= 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "interpret"))
+def decode_paged_attention(
+    q: jax.Array,  # [R, H, D]
+    new_k: jax.Array,  # [R, KH, D] this step's K rows
+    new_v: jax.Array,  # [R, KH, D]
+    kv_cache: jax.Array,  # [num_blocks, 2*KH, bs, Dp] (donated)
+    block_tables: jax.Array,  # [R, max_blocks]
+    seq_lens: jax.Array,  # [R] length INCLUDING the new token
+    *,
+    sm_scale: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (attn_out [R, H, D], updated kv_cache)."""
+    R, H, D = q.shape
+    num_blocks, kh2, block_size, Dp = kv_cache.shape
+    KH = kh2 // 2
+    G = H // KH
+    if D < Dp:
+        pad = [(0, 0), (0, 0), (0, Dp - D)]
+        q = jnp.pad(q, pad)
+        new_k = jnp.pad(new_k, pad)
+        new_v = jnp.pad(new_v, pad)
+    # Interleave K/V rows on the head axis: [R, 2KH, Dp].
+    new_kv = jnp.stack([new_k, new_v], axis=2).reshape(R, kh2, Dp)
+    new_kv = new_kv.astype(kv_cache.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(R, ),
+        in_specs=[
+            pl.BlockSpec((1, H, Dp), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),  # q row
+            pl.BlockSpec((1, kh2, Dp), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),  # new kv row
+            pl.BlockSpec(memory_space=pltpu.HBM),  # kv cache
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, Dp), lambda r, *_: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((RING, kh2, block_size, Dp), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((RING, )),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out, kv_cache = pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale,
+                          block_size=block_size, KH=KH, G=G,
+                          max_blocks=block_tables.shape[1]),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H, Dp), q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ),
+        # args: (seq_lens, bt, q, new_kv, kv) -> kv is input 4,
+        # aliased to output 1 (true in-place cache update).
+        input_output_aliases={4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", ), ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * R * H * D * 1024,
+            bytes_accessed=int(kv_cache.size * kv_cache.dtype.itemsize),
+            transcendentals=R * H * 1024,
+        ),
+        interpret=interpret,
+    )(seq_lens, block_tables, q, new_kv, kv_cache)
+    return out[..., :D], kv_cache

@@ -449,8 +449,11 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
             query_start_loc=qsl,
             seq_lens=seq_lens,
         )
+        # q_blk=1 routes to the decode-specialized attention kernel
+        # (ops/pallas/decode_attention.py): row i of the flat token
+        # stream IS request row i in this loop.
         hidden, kv_caches = model.forward(params, mc, tokens, positions,
-                                          kv_caches, meta, q_blk=16)
+                                          kv_caches, meta, q_blk=1)
         logits = model.compute_logits(params, mc, hidden)
         sampled = sample(logits,
                          dec.sampling._replace(steps=dec.sampling.steps + i))
