@@ -25,8 +25,21 @@ def linear(leaf: dict, x: jax.Array) -> jax.Array:
         from vllm_tpu.quant.kernels import quantized_matmul
         out = quantized_matmul(x, leaf)
     else:
-        out = jnp.dot(x, leaf["weight"],
-                      preferred_element_type=x.dtype)
+        out = _dense_matmul(x, leaf["weight"])
     if "bias" in leaf:
         out = out + leaf["bias"]
     return out
+
+
+def _dense_matmul(x: jax.Array, w: jax.Array) -> jax.Array:
+    # Decode shapes (small leading dim) go through the weight-streaming
+    # Pallas matmul — XLA's dense matmul only reaches ~30% of HBM BW
+    # there (ops/pallas/matmul.py). Prefill stays on XLA.
+    from vllm_tpu.ops.dispatch import attention_backend
+    T = x.shape[0] if x.ndim == 2 else None
+    K, N = w.shape
+    if (attention_backend() == "pallas" and T is not None and T <= 64
+            and K % 256 == 0 and N % 256 == 0):
+        from vllm_tpu.ops.pallas.matmul import decode_matmul
+        return decode_matmul(x, w)
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
