@@ -76,16 +76,40 @@ class LLM:
             sampling_params = [sampling_params] * n
         assert len(sampling_params) == n
 
-        order: list[str] = []
+        # n>1 fan-out (ref analog: vllm/v1/engine/parallel_sampling.py):
+        # each sample runs as its own engine request; outputs regroup.
+        import dataclasses
+        order: list[list[str]] = []
         for prompt, sp in zip(prompts, sampling_params):
-            order.append(self.engine.add_request(prompt, sp))
+            fan = []
+            for i in range(sp.n):
+                child = sp if sp.n == 1 else dataclasses.replace(
+                    sp, n=1,
+                    seed=None if sp.seed is None else sp.seed + i)
+                fan.append(self.engine.add_request(prompt, child))
+            order.append(fan)
 
         finals: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished_requests():
             for out in self.engine.step():
                 if out.finished:
                     finals[out.request_id] = out
-        return [finals[rid] for rid in order]
+        results = []
+        for fan in order:
+            first = finals[fan[0]]
+            if len(fan) == 1:
+                results.append(first)
+                continue
+            merged = RequestOutput(
+                request_id=fan[0], prompt=first.prompt,
+                prompt_token_ids=first.prompt_token_ids, outputs=[],
+                finished=True)
+            for i, rid in enumerate(fan):
+                c = finals[rid].outputs[0]
+                c.index = i
+                merged.outputs.append(c)
+            results.append(merged)
+        return results
 
     def chat(self, messages, sampling_params=None) -> list[RequestOutput]:
         tok = self.engine.tokenizer

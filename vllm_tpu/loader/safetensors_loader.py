@@ -101,6 +101,10 @@ def load_llama_params(
                 layer["input_layernorm"] = to_jax(w)
             elif tail == "post_attention_layernorm.weight":
                 layer["post_attention_layernorm"] = to_jax(w)
+            elif tail == "self_attn.q_norm.weight":  # Qwen3 qk-norm
+                layer["q_norm"] = to_jax(w)
+            elif tail == "self_attn.k_norm.weight":
+                layer["k_norm"] = to_jax(w)
             else:
                 mod, _, kind = tail.rpartition(".")  # kind: weight|bias
                 if mod in _DIRECT:

@@ -39,7 +39,7 @@ from vllm_tpu.ops.dispatch import (fused_decode_attention,
                                    ragged_paged_attention)
 from vllm_tpu.ops.kv_cache import write_kv_xla
 from vllm_tpu.ops.layers import (apply_rope, rms_norm, rope_cos_sin,
-                                 silu_and_mul)
+                                 silu_and_mul)  # noqa: F401
 from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.metadata import AttentionMetadata
 
@@ -62,6 +62,12 @@ def _attention(
     q = q.reshape(T, H, D)
     k = k.reshape(T, KH, D)
     v = v.reshape(T, KH, D)
+
+    # Qwen3-style per-head QK RMSNorm (presence-dispatched like quant
+    # leaves; ref analog: qwen3.py q_norm/k_norm).
+    if "q_norm" in layer:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)

@@ -14,6 +14,7 @@ _REGISTRY: dict[str, str] = {
     "Qwen2ForCausalLM": "vllm_tpu.models.llama",
     "MistralForCausalLM": "vllm_tpu.models.llama",
     "TinyLlamaForCausalLM": "vllm_tpu.models.llama",
+    "Qwen3ForCausalLM": "vllm_tpu.models.llama",  # + per-head qk-norm
     "MixtralForCausalLM": "vllm_tpu.models.mixtral",
 }
 

@@ -136,6 +136,12 @@ def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
             if tail == "post_attention_layernorm.weight":
                 layers[li]["post_attention_layernorm"] = to_jax(w)
                 continue
+            if tail == "self_attn.q_norm.weight":  # Qwen3 qk-norm
+                layers[li]["q_norm"] = to_jax(w)
+                continue
+            if tail == "self_attn.k_norm.weight":
+                layers[li]["k_norm"] = to_jax(w)
+                continue
             mod, _, kind = tail.rpartition(".")
             if mod not in _FUSE:
                 logger.warning("unmapped weight %s", name)
