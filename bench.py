@@ -46,6 +46,10 @@ def main() -> None:
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
     params = llama.random_params(cfg.model, seed=0)
+    quant = __import__("os").environ.get("VLLM_TPU_BENCH_QUANT")
+    if quant:  # e.g. int4 / int8 / w8a8_int8 / fp8
+        from vllm_tpu.quant.online import quantize_params_online
+        params = quantize_params_online(params, quant)
     engine = LLMEngine(cfg, params=params, tokenizer=None)
     cfg.model.eos_token_ids = []  # type: ignore[attr-defined]
 
@@ -100,7 +104,7 @@ def main() -> None:
         file=sys.stderr)
     print(
         json.dumps({
-            "metric": "decode_tokens_per_sec_1.1B_bf16_bs32",
+            "metric": "decode_tokens_per_sec_1.1B_bs32" + ("_" + quant if quant else "_bf16"),
             "value": round(tput, 1),
             "unit": "tok/s",
             "vs_baseline": 1.0,

@@ -88,3 +88,38 @@ def test_engine_online_quant_e2e(method):
     # 8-bit weights: greedy trajectory shares a prefix with dense.
     shared = sum(1 for a, b in zip(base, got) if a == b)
     assert shared >= 2, (base, got)
+
+
+def test_online_int4_generate(tmp_path):
+    from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                 SchedulerConfig)
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.models import llama
+    from vllm_tpu.sample.params import SamplingParams
+    import copy
+    from vllm_tpu.quant.online import quantize_params_online
+
+    cfg = EngineConfig(
+        model=ModelConfig(vocab_size=512, hidden_size=256,
+                          intermediate_size=512, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=64, max_model_len=64,
+                          dtype="float32"),
+        cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+        scheduler=SchedulerConfig(max_num_batched_tokens=128,
+                                  max_num_seqs=2),
+    )
+    dense = llama.random_params(cfg.model, seed=8)
+    q = quantize_params_online(
+        {"layers": [dict(l) for l in copy.deepcopy(dense["layers"])],
+         **{k: v for k, v in dense.items() if k != "layers"}}, "int4")
+    assert "qweight" in q["layers"][0]["qkv_proj"]
+    engine = LLMEngine(cfg, params=q, tokenizer=None)
+    engine.add_request([1, 9, 17, 33],
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      ignore_eos=True))
+    toks = None
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                toks = o.outputs[0].token_ids
+    assert len(toks) == 8

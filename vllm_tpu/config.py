@@ -166,7 +166,7 @@ class ParallelConfig:
 # quantization/__init__.py:12-47). "inc" covers AutoRound exports.
 QuantMethod = Literal[
     "gptq", "awq", "auto_round", "compressed-tensors",
-    "fp8", "int8", "w8a8_int8", None,
+    "fp8", "int8", "w8a8_int8", "int4", None,
 ]
 
 

@@ -38,7 +38,9 @@ def detect_quant_config(model_path: str,
             lm_head_quantized=bool(qcfg.get("lm_head", False)),
             raw=qcfg,
         )
-    if fmt in ("fp8", "int8", "w8a8_int8"):
+    if fmt in ("fp8", "int8", "w8a8_int8", "int4"):
         # Online quantization shorthands (quantize at load).
-        return QuantizationConfig(method=fmt, bits=8, raw=qcfg)  # type: ignore[arg-type]
+        return QuantizationConfig(method=fmt,
+                                  bits=4 if fmt == "int4" else 8,
+                                  raw=qcfg)  # type: ignore[arg-type]
     raise ValueError(f"unsupported quantization method: {fmt}")

@@ -7,6 +7,8 @@ online/base.py:80-81) with the shorthand method names registered in
 quantization/__init__.py:38-47.
 
 Methods:
+- ``int4``      weight-only group-128 int4 (W4A16) -> the fused Pallas
+                dequant-GEMM path (same leaf format as GPTQ loads)
 - ``int8``      weight-only per-channel int8 (W8A16)
 - ``w8a8_int8`` per-channel int8 weights + dynamic per-token int8
                 activations; int8xint8 MXU dot accumulating s32
@@ -58,7 +60,13 @@ def quantize_params_online(params: dict, method: str) -> dict:
             if not isinstance(leaf, dict) or "weight" not in leaf:
                 continue
             w = np.asarray(leaf.pop("weight"), np.float32)
-            if method == "int8":
+            if method == "int4":
+                from vllm_tpu.quant.loader import make_device_leaf
+                from vllm_tpu.quant.ref import quantize_groupwise
+                q, s, z = quantize_groupwise(w, 4, 128, sym=True)
+                for k2, v2 in make_device_leaf(q, s, z, None, 4).items():
+                    leaf[k2] = jnp.asarray(v2)
+            elif method == "int8":
                 q, s = _quant_weight_int8(w)
                 leaf["qweight"] = jnp.asarray(q)
                 leaf["scales"] = jnp.asarray(s)
