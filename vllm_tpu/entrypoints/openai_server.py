@@ -39,6 +39,10 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
         stop=body.get("stop"),
         stop_token_ids=body.get("stop_token_ids", []),
         ignore_eos=bool(body.get("ignore_eos", False)),
+        logprobs=body.get("logprobs"),
+        guided_choice=(body.get("guided_choice")
+                       or (body.get("response_format") or {}).get(
+                           "choices")),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),

@@ -35,6 +35,9 @@ _FUSED = {
 _DIRECT = {
     "self_attn.o_proj": "o_proj",
     "mlp.down_proj": "down_proj",
+    # phi3-style checkpoints ship qkv/gate_up already fused
+    "self_attn.qkv_proj": "qkv_proj",
+    "mlp.gate_up_proj": "gate_up_proj",
 }
 
 

@@ -83,8 +83,14 @@ def w4a16_matmul(
     assert K % BK == 0, f"K={K} must be a multiple of {BK}"
 
     bt = min(bt, max(8, 1 << (T - 1).bit_length()))
-    if N % bn != 0:
-        bn = N  # fall back to one N tile for odd widths
+    # Widest N tile that divides N (fewer grid steps => less per-step
+    # overhead; decode perf is sensitive to grid-step count).
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if cand <= bn * 4 and N % cand == 0:
+            bn = cand
+            break
+    else:
+        bn = N
     n_t, n_n, n_k = cdiv(T, bt), N // bn, K // BK
 
     # Leading-indexed scale layout (see module doc).
