@@ -180,6 +180,61 @@ class LLMEngine:
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
 
+    def warmup(self) -> None:
+        """Pre-compile the program ladder by running dummy generations
+        through the real path (ref analog: compile_or_warm_up_model,
+        gpu_worker.py:680).
+
+        The reachable program set is structured: decode-ish steps
+        (q_blk=16) only produce small token buckets (~R+slack), while
+        prefill/mixed steps (q_blk=128) produce buckets >= 256. One
+        sequential dummy request per prefill bucket + one batch of
+        small requests covers every program a serve workload hits.
+        """
+        import time as _time
+        t0 = _time.monotonic()
+        R = self.config.scheduler.max_num_seqs
+        budget = self.config.scheduler.max_num_batched_tokens
+        horizon = max(2, self.config.scheduler.multi_step_decode_horizon)
+        max_len = self.config.model.max_model_len
+        cap_len = max_len - horizon - 4
+
+        saved_eos = getattr(self.config.model, "eos_token_ids", [])
+        self.config.model.eos_token_ids = []  # type: ignore[attr-defined]
+        sp = lambda: SamplingParams(temperature=0.0,
+                                    max_tokens=horizon + 2,
+                                    ignore_eos=True, detokenize=False)
+
+        def drain(limit):
+            n = 0
+            while self.scheduler.has_unfinished_requests() and n < limit:
+                self.step()
+                n += 1
+            return n
+
+        steps = 0
+        # Wave A: one request per prefill bucket (>=256), sequentially.
+        lengths, b = [], 256
+        from vllm_tpu.utils import round_up
+        while b <= round_up(budget, 128):
+            lengths.append(min(b - 128, cap_len, budget))
+            b *= 2
+        lengths.append(min(budget, cap_len))
+        for i, L in enumerate(dict.fromkeys(lengths)):
+            self.add_request([1] * max(L, 4), sp(),
+                             request_id=f"warmup-a{i}")
+            steps += drain(3 * horizon + 8)
+        # Wave B: a batch of small requests (decode buckets with many
+        # active rows + the multi-step loop).
+        for i in range(R):
+            self.add_request([1] * 8, sp(), request_id=f"warmup-b{i}")
+        steps += drain(4 * R)
+        self.config.model.eos_token_ids = saved_eos  # type: ignore[attr-defined]
+        # Dummy requests must not pollute the prefix cache.
+        self.scheduler.kv_cache_manager.reset_prefix_cache()
+        logger.info("warmup: %d steps, %.1fs", steps,
+                    _time.monotonic() - t0)
+
     # -- state management (ref: engine sleep/wake core.py:864-922,
     # sharded save/restore gpu_worker.py:1190) ------------------------
     @property

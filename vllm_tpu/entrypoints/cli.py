@@ -57,6 +57,8 @@ def cmd_serve(args) -> None:
     if config.parallel.world_size > 1:
         mesh = make_mesh(config.parallel)
     async_llm = AsyncLLM(config, mesh=mesh)
+    if not args.no_warmup:
+        async_llm.engine.warmup()
 
     async def main():
         async_llm.start()
@@ -90,6 +92,7 @@ def cmd_bench(args) -> None:
     else:  # serve
         from vllm_tpu.engine.async_llm import AsyncLLM
         async_llm = AsyncLLM(config)
+        async_llm.engine.warmup()
         result = bench_serve(async_llm, num_prompts=args.num_prompts,
                              input_len=args.input_len,
                              output_len=args.output_len,
@@ -107,6 +110,7 @@ def main(argv=None) -> None:
     serve_p.add_argument("--host", default="0.0.0.0")
     serve_p.add_argument("--port", type=int, default=8000)
     serve_p.add_argument("--served-model-name", default=None)
+    serve_p.add_argument("--no-warmup", action="store_true")
     serve_p.set_defaults(fn=cmd_serve)
 
     bench_p = sub.add_parser("bench", help="run benchmarks")
