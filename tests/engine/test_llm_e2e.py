@@ -125,3 +125,16 @@ def test_max_model_len_guard(tiny_model):
     with pytest.raises(ValueError, match="KV capacity"):
         LLM(path, dtype="float32", max_model_len=256, block_size=16,
             num_kv_blocks=4)
+
+
+def test_warmup_then_generate(llm):
+    """Warmup must leave the engine fully functional and the prefix
+    cache empty."""
+    llm.engine.warmup()
+    pool = llm.engine.scheduler.kv_cache_manager.block_pool
+    assert pool.num_free_blocks == pool.num_blocks - 1  # all freed
+    assert not pool._cache  # no warmup pollution
+    outs = llm.generate(["Hello world"],
+                        SamplingParams(temperature=0.0, max_tokens=4,
+                                       ignore_eos=True))
+    assert len(outs[0].outputs[0].token_ids) == 4
