@@ -86,3 +86,19 @@ def test_gqa_and_mha():
         np.testing.assert_allclose(np.asarray(got_out),
                                    np.asarray(ref_out), rtol=2e-5,
                                    atol=2e-5)
+
+
+def test_fp8_cache():
+    rng = np.random.default_rng(9)
+    q, nk, nv, kv, bt, sl = make_case(rng, [20, 47], dtype=jnp.float32)
+    kv8 = kv.astype(jnp.float8_e4m3fn)
+    ref_out, ref_kv = xla_reference(q, nk, nv, kv8, bt, sl, 16)
+    got_out, got_kv = decode_paged_attention(q, nk, nv, kv8, bt, sl,
+                                             sm_scale=0.125,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got_out, np.float32),
+                               np.asarray(ref_out, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(
+        np.asarray(got_kv.astype(jnp.float32)),
+        np.asarray(ref_kv.astype(jnp.float32)))

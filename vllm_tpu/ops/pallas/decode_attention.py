@@ -105,8 +105,10 @@ def _kernel(
             for h in range(KH):
                 m, l, acc = carry[h]
                 q_h = q_ref[0, h * G:(h + 1) * G, :]  # [G, Dp]
-                k = kv_buf[slot, 2 * h]  # [bs, Dp]
-                v = kv_buf[slot, 2 * h + 1]
+                # Upcast quantized (fp8) caches at the VMEM boundary
+                # (ref analog: _cast_kv_tile in-kernel dequant).
+                k = kv_buf[slot, 2 * h].astype(q_h.dtype)  # [bs, Dp]
+                v = kv_buf[slot, 2 * h + 1].astype(q_h.dtype)
                 s = jax.lax.dot_general(
                     q_h, k, (((1, ), (1, )), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
