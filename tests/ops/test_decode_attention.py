@@ -102,3 +102,27 @@ def test_fp8_cache():
     np.testing.assert_array_equal(
         np.asarray(got_kv.astype(jnp.float32)),
         np.asarray(ref_kv.astype(jnp.float32)))
+
+
+def test_sliding_window_and_softcap():
+    rng = np.random.default_rng(11)
+    q, nk, nv, kv, bt, sl = make_case(rng, [40, 90])
+    R = 2
+    qsl = jnp.arange(R + 1, dtype=jnp.int32)
+    for win, cap in [(16, None), (None, 20.0), (24, 30.0)]:
+        pos = jnp.maximum(sl - 1, 0)
+        slots = (jnp.take_along_axis(bt, (pos // 16)[:, None],
+                                     axis=1)[:, 0] * 16 + pos % 16)
+        kv2 = write_kv_xla(kv, nk, nv, slots)
+        ref = ragged_paged_attention_xla(q, kv2, bt, qsl, sl,
+                                         sm_scale=0.125,
+                                         sliding_window=win,
+                                         logit_softcap=cap)
+        got, _ = decode_paged_attention(q, nk, nv, kv, bt, sl,
+                                        sm_scale=0.125,
+                                        sliding_window=win,
+                                        logit_softcap=cap,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"win={win} cap={cap}")

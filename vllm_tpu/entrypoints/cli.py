@@ -101,6 +101,27 @@ def cmd_bench(args) -> None:
     print_result(args.bench_cmd, result)
 
 
+def cmd_collect_env(args) -> None:
+    import platform
+
+    import jax
+    import jaxlib
+
+    import vllm_tpu
+    print(f"vllm_tpu: {vllm_tpu.__version__}")
+    print(f"python: {platform.python_version()} ({platform.platform()})")
+    print(f"jax: {jax.__version__}  jaxlib: {jaxlib.__version__}")
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        lim = stats.get("bytes_limit")
+        if lim:
+            print(f"hbm: {lim/2**30:.1f} GiB")
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="vllm_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -123,6 +144,9 @@ def main(argv=None) -> None:
     bench_p.add_argument("--num-prompts", type=int, default=64)
     bench_p.add_argument("--request-rate", type=float, default=8.0)
     bench_p.set_defaults(fn=cmd_bench)
+
+    env_p = sub.add_parser("collect-env", help="print environment info")
+    env_p.set_defaults(fn=cmd_collect_env)
 
     args = parser.parse_args(argv)
     args.fn(args)

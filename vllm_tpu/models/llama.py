@@ -72,12 +72,13 @@ def _attention(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if q_blk == 1 and cfg.sliding_window is None:
+    if q_blk == 1:
         # Decode fast path (multi-step loop): row i == request row i;
         # KV write fused into the kernel, cache updated in place.
         out, kv_cache = fused_decode_attention(
             q, k, v, kv_cache, meta.block_tables, meta.seq_lens,
-            sm_scale=float(D**-0.5))
+            sm_scale=float(D**-0.5), sliding_window=cfg.sliding_window,
+            logit_softcap=None)
         return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
 
     # Write-through first, then attend over the whole [0, seq_len)

@@ -59,6 +59,8 @@ def fused_decode_attention(
     seq_lens: jax.Array,  # includes the new token
     *,
     sm_scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode fast path: KV write fused into the attention kernel
     (in-place cache via input_output_aliases). XLA fallback: scatter
@@ -68,7 +70,9 @@ def fused_decode_attention(
             decode_paged_attention)
         return decode_paged_attention(q, new_k, new_v, kv_cache,
                                       block_tables, seq_lens,
-                                      sm_scale=sm_scale)
+                                      sm_scale=sm_scale,
+                                      sliding_window=sliding_window,
+                                      logit_softcap=logit_softcap)
     from vllm_tpu.ops.attention import ragged_paged_attention_xla
     from vllm_tpu.ops.kv_cache import write_kv_xla
     R = q.shape[0]
@@ -81,5 +85,7 @@ def fused_decode_attention(
     kv_cache = write_kv_xla(kv_cache, new_k, new_v, slots)
     qsl = jnp.arange(R + 1, dtype=jnp.int32)
     out = ragged_paged_attention_xla(q, kv_cache, block_tables, qsl,
-                                     seq_lens, sm_scale=sm_scale)
+                                     seq_lens, sm_scale=sm_scale,
+                                     sliding_window=sliding_window,
+                                     logit_softcap=logit_softcap)
     return out, kv_cache

@@ -58,10 +58,15 @@ def _kernel(
     KH: int,
     G: int,
     max_blocks: int,
+    sliding_window: int | None,
+    logit_softcap: float | None,
 ):
     r = pl.program_id(0)
     seq_len = seq_lens_ref[r]
     nblk = pl.cdiv(seq_len, block_size)
+    # Sliding window: blocks fully below the window are skipped.
+    first_blk = (jnp.maximum(seq_len - sliding_window, 0) // block_size
+                 if sliding_window is not None else 0)
     last_blk = jnp.maximum(nblk - 1, 0)
     off = (seq_len - 1) % block_size
     D = q_ref.shape[-1]
@@ -73,10 +78,12 @@ def _kernel(
 
     @pl.when(seq_len > 0)
     def _():
+        # Prime the ring; slot = absolute block index mod RING so the
+        # body (which starts at first_blk) waits on matching slots.
         for p in range(RING):
-            @pl.when(p < nblk)
+            @pl.when(first_blk + p < nblk)
             def _(p=p):
-                dma(p, p).start()
+                dma((first_blk + p) % RING, first_blk + p).start()
 
         row_sel = (jax.lax.broadcasted_iota(jnp.int32,
                                             (block_size, 1), 0) == off)
@@ -101,6 +108,9 @@ def _kernel(
             kv_pos = i * block_size + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_size), 1)
             mask = kv_pos < seq_len  # [1, bs]
+            if sliding_window is not None:
+                # decode query position is seq_len - 1
+                mask &= kv_pos > seq_len - 1 - sliding_window
             new_carry = []
             for h in range(KH):
                 m, l, acc = carry[h]
@@ -112,6 +122,8 @@ def _kernel(
                 s = jax.lax.dot_general(
                     q_h, k, (((1, ), (1, )), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
+                if logit_softcap is not None:
+                    s = logit_softcap * jnp.tanh(s / logit_softcap)
                 s = jnp.where(mask, s, -1e30)
                 m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
                 p_ = jnp.exp(s - m_new)
@@ -134,7 +146,7 @@ def _kernel(
             (jnp.full((G, 1), -1e30, jnp.float32),
              jnp.zeros((G, 1), jnp.float32),
              jnp.zeros((G, D), jnp.float32)) for _ in range(KH))
-        final = jax.lax.fori_loop(0, nblk, body, init)
+        final = jax.lax.fori_loop(first_blk, nblk, body, init)
         for h in range(KH):
             m, l, acc = final[h]
             out = acc / jnp.where(l == 0.0, 1.0, l)
@@ -146,7 +158,8 @@ def _kernel(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "interpret"))
+                   static_argnames=("sm_scale", "sliding_window",
+                                    "logit_softcap", "interpret"))
 def decode_paged_attention(
     q: jax.Array,  # [R, H, D]
     new_k: jax.Array,  # [R, KH, D] this step's K rows
@@ -156,6 +169,8 @@ def decode_paged_attention(
     seq_lens: jax.Array,  # [R] length INCLUDING the new token
     *,
     sm_scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (attn_out [R, H, D], updated kv_cache)."""
@@ -196,7 +211,9 @@ def decode_paged_attention(
     out, kv_cache = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale,
                           block_size=block_size, KH=KH, G=G,
-                          max_blocks=block_tables.shape[1]),
+                          max_blocks=block_tables.shape[1],
+                          sliding_window=sliding_window,
+                          logit_softcap=logit_softcap),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, H, Dp), q.dtype),

@@ -135,74 +135,6 @@ class TPUModelRunner:
             static_argnums=(3, ),  # horizon
         )
 
-    # -- warmup -------------------------------------------------------
-    def warmup(self) -> None:
-        """Pre-compile the (T_bucket, q_blk) program ladder + the
-        multi-step decode loop (ref analog: compile_or_warm_up_model,
-        gpu_worker.py:680 — the CUDA-graph capture ladder). One-time
-        per config thanks to the persistent compile cache."""
-        import time as _time
-        R = self.max_num_reqs
-        cap = self.max_tokens_bucket + 128
-        buckets = []
-        t = 32
-        while t < cap:
-            buckets.append(t)
-            t *= 2
-        buckets.append(cap)
-        sm = SamplingMetadata(
-            temperature=jnp.zeros((R, )), top_k=jnp.zeros((R, ), jnp.int32),
-            top_p=jnp.ones((R, )), min_p=jnp.zeros((R, )),
-            seeds=jnp.zeros((R, ), jnp.int32),
-            steps=jnp.zeros((R, ), jnp.int32))
-        K = self.spec_k
-        t0 = _time.time()
-        n = 0
-        for T_pad in buckets:
-            for q_blk in (16, 128):
-                # One active request covering min(T_pad, a few blocks):
-                # warmup must exercise the kernels' real control flow
-                # (zero-length batches skip the DMA paths and leave
-                # first-execution costs behind).
-                q_len = min(T_pad // 2 + 1, 64)
-                inputs = StepInputs(
-                    input_ids=jnp.zeros((T_pad, ), jnp.int32),
-                    positions=jnp.arange(T_pad, dtype=jnp.int32) % q_len,
-                    slot_mapping=jnp.arange(T_pad, dtype=jnp.int32) %
-                    self.block_size,
-                    block_tables=jnp.zeros(
-                        (R, self.max_blocks_per_req), jnp.int32),
-                    query_start_loc=jnp.minimum(
-                        jnp.arange(R + 1, dtype=jnp.int32) * q_len,
-                        q_len),
-                    seq_lens=jnp.where(
-                        jnp.arange(R, dtype=jnp.int32) == 0, q_len, 0),
-                    logits_indices=jnp.zeros((R, K + 1), jnp.int32),
-                    sampling=sm,
-                    penalties=None,
-                    grammar_mask=None,
-                )
-                self.kv_caches, sampled, *_ = self._step_fn(
-                    self.params, self.kv_caches, inputs, q_blk, K, 0)
-                jax.block_until_ready(sampled)
-                n += 1
-        horizon = self.config.scheduler.multi_step_decode_horizon
-        if horizon > 1 and K == 0:
-            dec = DecodeLoopInputs(
-                cur_tokens=jnp.zeros((R, ), jnp.int32),
-                positions=jnp.ones((R, ), jnp.int32),
-                block_tables=jnp.zeros((R, self.max_blocks_per_req),
-                                       jnp.int32),
-                active=jnp.ones((R, ), bool),
-                sampling=sm,
-            )
-            self.kv_caches, samples = self._decode_loop_fn(
-                self.params, self.kv_caches, dec, horizon)
-            jax.block_until_ready(samples)
-            n += 1
-        logger.info("warmup: compiled %d programs in %.1fs", n,
-                    _time.time() - t0)
-
     # -- state sync ---------------------------------------------------
     def update_states(self, out: SchedulerOutput) -> None:
         """Apply the scheduler's diffs to the persistent batch
