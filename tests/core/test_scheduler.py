@@ -240,3 +240,27 @@ class TestFairness:
             if not s.has_unfinished_requests():
                 break
         assert served == ["req-0", "req-1", "req-2"]
+
+
+class TestPriorityPolicy:
+
+    def test_priority_admission_order(self):
+        from tests.core.utils import create_scheduler
+        from vllm_tpu.core.request import Request
+        from vllm_tpu.sample.params import SamplingParams
+        s = create_scheduler(max_num_seqs=1)
+        s.config.scheduler.policy = "priority"
+        for i, prio in enumerate([5, 1, 3]):
+            s.add_request(
+                Request(f"p{i}", [i, i + 1, i + 2],
+                        SamplingParams(max_tokens=2), priority=prio))
+        served = []
+        for _ in range(20):
+            out, eco = step(s)
+            for e in eco:
+                if e.finished:
+                    served.append(e.req_id)
+            if not s.has_unfinished_requests():
+                break
+        # priority 1 (p1) first, then 3 (p2), then 5 (p0)
+        assert served == ["p1", "p2", "p0"]

@@ -60,7 +60,18 @@ class Scheduler:
                 f"prompt ({request.num_prompt_tokens} tokens) >= "
                 f"max_model_len ({self.max_model_len})")
         self.requests[request.request_id] = request
-        self.waiting.append(request)
+        if self.config.scheduler.policy == "priority":
+            # Admission order: (priority, arrival) — lower first
+            # (ref analog: request_queue.py priority heap).
+            idx = len(self.waiting)
+            key = (request.priority, request.arrival_time)
+            for i, r in enumerate(self.waiting):
+                if (r.priority, r.arrival_time) > key:
+                    idx = i
+                    break
+            self.waiting.insert(idx, request)
+        else:
+            self.waiting.append(request)
 
     def finish_requests(self, request_ids: Iterable[str],
                         status: RequestStatus) -> None:
