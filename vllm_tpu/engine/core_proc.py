@@ -33,10 +33,12 @@ class EngineCoreProc:
         self.output_sock = self.ctx.socket(zmq.PUSH)
         self.output_sock.bind(output_addr)
         self._running = True
+        # request_id -> tokens already streamed (a step can emit
+        # several tokens: multi-step decode horizon, accepted drafts).
+        self._emitted: dict[str, int] = {}
 
     def run_busy_loop(self) -> None:
         self.output_sock.send(proto.encode(proto.READY, {}))
-        from vllm_tpu.core.request import RequestStatus
         while self._running:
             timeout = 0 if self.engine.has_unfinished_requests() else 50
             while self.input_sock.poll(timeout):
@@ -49,6 +51,8 @@ class EngineCoreProc:
                                             priority=req.priority)
                 elif msg_type == proto.ABORT:
                     self.engine.abort_request(body["request_ids"])
+                    for rid in body["request_ids"]:
+                        self._emitted.pop(rid, None)
                 elif msg_type == proto.SHUTDOWN:
                     self._running = False
                 timeout = 0
@@ -57,21 +61,25 @@ class EngineCoreProc:
             if self.engine.has_unfinished_requests():
                 outs = self.engine.step()
                 if outs:
-                    wire = [
-                        proto.WireOutput(
-                            request_id=o.request_id,
-                            new_token_ids=list(
-                                o.outputs[0].token_ids[-1:])
-                            if not o.finished else [],
-                            finished=o.finished,
-                            finish_reason=o.outputs[0].finish_reason,
-                            stop_reason=o.outputs[0].stop_reason,
-                        ) for o in outs
-                    ]
-                    # Send full final token list on finish.
-                    for w, o in zip(wire, outs):
-                        if w.finished:
-                            w.new_token_ids = list(o.outputs[0].token_ids)
+                    wire = []
+                    for o in outs:
+                        toks = list(o.outputs[0].token_ids)
+                        if o.finished:
+                            # Full final list: the client reconciles.
+                            new = toks
+                            self._emitted.pop(o.request_id, None)
+                        else:
+                            sent = self._emitted.get(o.request_id, 0)
+                            new = toks[sent:]
+                            self._emitted[o.request_id] = len(toks)
+                        wire.append(
+                            proto.WireOutput(
+                                request_id=o.request_id,
+                                new_token_ids=new,
+                                finished=o.finished,
+                                finish_reason=o.outputs[0].finish_reason,
+                                stop_reason=o.outputs[0].stop_reason,
+                            ))
                     self.output_sock.send(proto.encode(proto.OUTPUTS,
                                                        wire))
         self.output_sock.close(0)

@@ -75,8 +75,13 @@ class OutputProcessor:
                     finish_reason = "stop"
                     stop_reason = stop_hit
                     to_abort.append(eco.req_id)
+                # Streaming consumers diff consecutive `text` values, so
+                # hold back stop_buffer chars until finish: a partially
+                # formed stop string must never be streamed out (the
+                # final update() truncation would otherwise shrink text
+                # below what was already sent).
                 text = state.detokenizer.get_next_output_text(
-                    buffered=False, finished=finished)
+                    buffered=True, finished=finished)
 
             results.append(
                 RequestOutput(

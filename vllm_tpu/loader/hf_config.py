@@ -19,7 +19,6 @@ SUPPORTED_ARCHS = {
     "TinyLlamaForCausalLM": "llama",
     "Qwen3ForCausalLM": "llama",  # + qk-norm (handled in model)
     "MixtralForCausalLM": "mixtral",
-    "Qwen2MoeForCausalLM": "qwen2_moe",
 }
 
 

@@ -79,10 +79,11 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
 
 
 def kv_cache_sharding(cfg: ModelConfig, mesh: Mesh) -> NamedSharding:
-    """[num_blocks, block_size, 2*KH, D]: shard heads over tp."""
+    """[num_blocks, 2*KH, block_size, Dp]: shard the head axis (axis 1)
+    over tp, matching the head-sharded k/v from column-parallel QKV."""
     tp = mesh.shape[AXIS_TP]
     if (2 * cfg.num_kv_heads) % tp == 0 and tp <= 2 * cfg.num_kv_heads:
-        return NamedSharding(mesh, P(None, None, AXIS_TP, None))
+        return NamedSharding(mesh, P(None, AXIS_TP, None, None))
     return NamedSharding(mesh, P())
 
 

@@ -363,10 +363,16 @@ class TPUModelRunner:
                 for tid, tlp in zip(t_ids[row][:want], t_lp[row][:want]):
                     row_lp.setdefault(int(tid), float(tlp))
                 result.logprobs.append([row_lp])
-            # Propose drafts for the next step (greedy requests only).
-            if (self.proposer is not None
-                    and state.sampling_params.temperature == 0.0
-                    and not state.sampling_params.logprobs):
+            # Propose drafts for the next step. Greedy-only, and skip
+            # penalty/grammar requests: their verification columns would
+            # need per-position token stats / grammar states, so they
+            # stay single-token (their column-K logits remain exact).
+            sp = state.sampling_params
+            if (self.proposer is not None and sp.temperature == 0.0
+                    and not sp.logprobs and g is None
+                    and sp.repetition_penalty == 1.0
+                    and sp.presence_penalty == 0.0
+                    and sp.frequency_penalty == 0.0):
                 spec_out.append(self.proposer.propose(state.token_ids))
             else:
                 spec_out.append([])
@@ -496,6 +502,21 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
+    # Penalties/grammar apply to every column: column K is the sampled
+    # token, earlier columns feed greedy verification (rows with
+    # penalties/grammar never get drafts — see execute_model — so for
+    # them only column K matters and it is exact).
+    if inputs.penalties is not None:
+        logits = apply_penalties(
+            logits.reshape(R * K1, -1),
+            jax.tree.map(lambda a: jnp.repeat(a, K1, axis=0),
+                         inputs.penalties)).reshape(R, K1, -1)
+    if inputs.grammar_mask is not None:
+        logits = jnp.where(inputs.grammar_mask[:, None, :], logits,
+                           -jnp.inf)
     greedy_mat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    sampled = sample(logits[:, -1], inputs.sampling)
-    return kv_caches, sampled, greedy_mat, None
+    last = logits[:, -1]
+    sampled = sample(last, inputs.sampling)
+    lp = (compute_topk_logprobs(last, sampled, n_logprobs)
+          if n_logprobs > 0 else None)
+    return kv_caches, sampled, greedy_mat, lp
