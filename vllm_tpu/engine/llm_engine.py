@@ -180,6 +180,11 @@ class LLMEngine:
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
 
+    def step_dummy(self) -> None:
+        """Execute the forward program with no real tokens (DP wave
+        lockstep participation; see engine/dp.py)."""
+        self.runner.execute_dummy()
+
     def warmup(self) -> None:
         """Pre-compile the program ladder by running dummy generations
         through the real path (ref analog: compile_or_warm_up_model,

@@ -28,6 +28,11 @@ ABORT = "abort"
 OUTPUTS = "out"
 READY = "ready"
 SHUTDOWN = "shutdown"
+# DP control plane (ref analog: vllm/v1/engine/coordinator.py wire
+# traffic): rank -> coordinator load report; coordinator -> ranks wave
+# state broadcast.
+REPORT = "report"
+WAVE = "wave"
 
 
 @dataclass

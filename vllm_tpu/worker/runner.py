@@ -380,6 +380,31 @@ class TPUModelRunner:
             result.spec_token_ids = spec_out
         return result
 
+    def execute_dummy(self) -> None:
+        """Run the forward program on an all-padding batch. DP wave
+        lockstep: when EP spans DP ranks, every rank must execute the
+        collective program each wave step even with no real tokens
+        (ref analog: DP dummy steps, vllm dp_utils.py)."""
+        R = self.max_num_reqs
+        b = self.batch
+        dec = DecodeLoopInputs(
+            cur_tokens=jnp.zeros((R, ), jnp.int32),
+            positions=jnp.zeros((R, ), jnp.int32),
+            block_tables=jnp.asarray(b.block_tables),
+            active=jnp.zeros((R, ), bool),
+            sampling=SamplingMetadata(
+                temperature=jnp.asarray(b.temperature),
+                top_k=jnp.asarray(b.top_k),
+                top_p=jnp.asarray(b.top_p),
+                min_p=jnp.asarray(b.min_p),
+                seeds=jnp.asarray(b.seeds),
+                steps=jnp.asarray(b.sample_steps),
+            ),
+        )
+        self.kv_caches, samples = self._decode_loop_fn(
+            self.params, self.kv_caches, dec, 1)
+        jax.block_until_ready(samples)
+
     def _execute_multi_step(self, out: SchedulerOutput) -> ModelRunnerOutput:
         h = out.decode_horizon
         R = self.max_num_reqs
