@@ -134,6 +134,55 @@ def sample(
     return jax.lax.cond(any_random, random_path, lambda _: greedy, None)
 
 
+def spec_verify_outputs(
+    logits: jax.Array,  # [R, K1, V] f32 (penalties/grammar applied)
+    draft_targets: jax.Array,  # [R, K1] i32 draft token per column (-1 pad)
+    meta: SamplingMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    """Stochastic rejection-sampling support (ngram drafts: draft
+    probability == 1). Returns per column j:
+
+    - tgt_prob [R, K1]: target probability of the draft token under the
+      row's processed distribution (temperature/top-k/top-p applied) —
+      the host accepts draft j iff u_j < tgt_prob (ref:
+      vllm/v1/sample/rejection_sampler.py rejection_random_sample_kernel,
+      NO_DRAFT_PROBS branch).
+    - recovered [R, K1]: a sample from the processed distribution with
+      the draft token masked out (the "recovered" token emitted on the
+      first rejection; ref: sample_recovered_tokens_kernel).
+
+    The Gumbel stream is fold_in(row stream, 7919 + column) so recovered
+    draws are independent of the bonus sample and replayable.
+    """
+    R, K1, V = logits.shape
+    temp = jnp.maximum(meta.temperature, 1e-6)[:, None, None]
+    scaled = logits / temp
+    flat = scaled.reshape(R * K1, V)
+    flat = _apply_top_k_top_p(flat, jnp.repeat(meta.top_k, K1),
+                              jnp.repeat(meta.top_p, K1))
+    flat = _apply_min_p(flat, jnp.repeat(meta.min_p, K1))
+    probs = jax.nn.softmax(flat, axis=-1).reshape(R, K1, V)
+
+    safe_targets = jnp.clip(draft_targets, 0, V - 1)
+    tgt_prob = jnp.take_along_axis(probs, safe_targets[..., None],
+                                   axis=-1)[..., 0]
+
+    # Recovered: argmax(p * exp(gumbel)) == sample from p; mask the
+    # draft token so the recovered token always differs from it.
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K1, V), 2)
+    masked = jnp.where(col == safe_targets[..., None], 0.0, probs)
+
+    def row_noise(seed, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        key = jax.random.fold_in(key, 7919)
+        return jax.random.gumbel(key, (K1, V), jnp.float32)
+
+    noise = jax.vmap(row_noise)(meta.seeds, meta.steps)  # [R, K1, V]
+    recovered = jnp.argmax(jnp.log(jnp.maximum(masked, 1e-30)) + noise,
+                           axis=-1).astype(jnp.int32)
+    return tgt_prob, recovered
+
+
 def compute_token_logprobs(logits: jax.Array,
                            token_ids: jax.Array) -> jax.Array:
     """Logprob of each chosen token; logits [R, V], token_ids [R]."""

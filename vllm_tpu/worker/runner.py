@@ -33,7 +33,7 @@ from vllm_tpu.ops.kv_cache import kv_cache_jnp_dtype, kv_cache_shape
 from vllm_tpu.ops.metadata import AttentionMetadata
 from vllm_tpu.sample.sampler import (PenaltyInputs, SamplingMetadata,
                                      apply_penalties, compute_topk_logprobs,
-                                     sample)
+                                     sample, spec_verify_outputs)
 from vllm_tpu.utils import cdiv, init_logger, padded_bucket
 from vllm_tpu.worker.input_batch import InputBatch
 
@@ -64,6 +64,9 @@ class StepInputs(NamedTuple):
     # [R, V] bool mask of allowed tokens (ref analog: the grammar
     # bitmask applied at sampling, v1/structured_output/).
     grammar_mask: Optional[jax.Array]
+    # Spec decode only: [R, K+1] draft token per verification column
+    # (-1 where no draft; column K is the bonus position).
+    draft_targets: Optional[jax.Array] = None
 
 
 class TPUModelRunner:
@@ -194,6 +197,7 @@ class TPUModelRunner:
         qsl = np.zeros((R + 1, ), np.int32)
         seq_lens = np.zeros((R, ), np.int32)
         logits_indices = np.zeros((R, K + 1), np.int32)
+        draft_targets = np.full((R, K + 1), -1, np.int32)
 
         req_ids: list[str] = []
         emits: list[bool] = []
@@ -224,6 +228,10 @@ class TPUModelRunner:
             # step the last len(drafts)+1 columns cover [t0, d1..dk].
             for j in range(K + 1):
                 logits_indices[row, j] = t + max(n - 1 - (K - j), 0)
+            # Column K-d+j predicts after consuming the j-th
+            # verification input, so draft j is judged there.
+            for j, d_tok in enumerate(drafts):
+                draft_targets[row, K - len(drafts) + j] = d_tok
             t += n
             qsl[row + 1] = t
             prev_row = row
@@ -251,6 +259,8 @@ class TPUModelRunner:
             sampling=sampling,
             penalties=self._build_penalties(req_ids),
             grammar_mask=self._build_grammar_mask(req_ids),
+            draft_targets=(jnp.asarray(draft_targets)
+                           if K > 0 else None),
         )
         return inputs, req_ids, emits, q_blk
 
@@ -311,12 +321,14 @@ class TPUModelRunner:
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
                     for r in req_ids), default=0)
-        self.kv_caches, sampled, greedy_mat, lp = self._step_fn(
+        self.kv_caches, sampled, spec_mats, lp = self._step_fn(
             self.params, self.kv_caches, inputs, q_blk, self.spec_k, n_lp)
         sampled_np = np.asarray(jax.device_get(sampled))
         lp_np = jax.device_get(lp) if lp is not None else None
-        greedy_np = (np.asarray(jax.device_get(greedy_mat))
-                     if greedy_mat is not None else None)
+        greedy_np = tgt_np = rec_np = None
+        if spec_mats is not None:
+            greedy_np, tgt_np, rec_np = map(np.asarray,
+                                            jax.device_get(spec_mats))
 
         result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
         if lp_np is not None:
@@ -333,7 +345,7 @@ class TPUModelRunner:
                 if lp_np is not None:
                     result.logprobs.append([])
                 continue
-            if drafts:
+            if drafts and state.sampling_params.temperature == 0.0:
                 # Greedy verification: column K-d+j is the prediction
                 # after consuming the j-th verification input
                 # (j=0 -> after t0). Accept drafts while they match.
@@ -347,6 +359,25 @@ class TPUModelRunner:
                     else:
                         break
                 new_toks.append(int(preds[len(new_toks)]))
+            elif drafts:
+                # Stochastic rejection sampling (ngram: draft prob ==
+                # 1): accept draft j iff u_j < p_target(draft_j); on
+                # the first rejection emit the recovered sample; if all
+                # accepted, append the bonus token (ref:
+                # vllm/v1/sample/rejection_sampler.py:38, the
+                # NO_DRAFT_PROBS accept rule).
+                d = len(drafts)
+                rng = np.random.default_rng(
+                    (int(self.batch.seeds[row]), int(state.sample_step)))
+                new_toks = []
+                for j, draft in enumerate(drafts):
+                    if rng.random() < float(tgt_np[row, K - d + j]):
+                        new_toks.append(draft)
+                    else:
+                        new_toks.append(int(rec_np[row, K - d + j]))
+                        break
+                else:
+                    new_toks.append(int(sampled_np[row]))  # bonus
             else:
                 new_toks = [int(sampled_np[row])]
             result.sampled_token_ids.append(new_toks)
@@ -363,12 +394,14 @@ class TPUModelRunner:
                 for tid, tlp in zip(t_ids[row][:want], t_lp[row][:want]):
                     row_lp.setdefault(int(tid), float(tlp))
                 result.logprobs.append([row_lp])
-            # Propose drafts for the next step. Greedy-only, and skip
-            # penalty/grammar requests: their verification columns would
-            # need per-position token stats / grammar states, so they
-            # stay single-token (their column-K logits remain exact).
+            # Propose drafts for the next step (greedy-match or
+            # stochastic rejection verification). Skip penalty/grammar/
+            # logprobs requests: their verification columns would need
+            # per-position token stats / grammar states / logprob
+            # alignment, so they stay single-token (their column-K
+            # logits remain exact).
             sp = state.sampling_params
-            if (self.proposer is not None and sp.temperature == 0.0
+            if (self.proposer is not None
                     and not sp.logprobs and g is None
                     and sp.repetition_penalty == 1.0
                     and sp.presence_penalty == 0.0
@@ -544,4 +577,17 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     sampled = sample(last, inputs.sampling)
     lp = (compute_topk_logprobs(last, sampled, n_logprobs)
           if n_logprobs > 0 else None)
-    return kv_caches, sampled, greedy_mat, lp
+    # Stochastic verification support (skipped at runtime for
+    # all-greedy batches, like sample()'s random path).
+    meta = inputs.sampling
+
+    def stochastic(_):
+        return spec_verify_outputs(logits, inputs.draft_targets, meta)
+
+    def greedy_only(_):
+        return (jnp.zeros((R, K1), jnp.float32),
+                jnp.zeros((R, K1), jnp.int32))
+
+    tgt_prob, recovered = jax.lax.cond(
+        jnp.any(meta.temperature > 0.0), stochastic, greedy_only, None)
+    return kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp
