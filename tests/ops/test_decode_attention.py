@@ -76,16 +76,26 @@ def test_fused_matches_xla(ctx_lens):
 
 
 def test_gqa_and_mha():
-    for H, KH in [(8, 8), (8, 2)]:
+    # (8, 8) one group; (8, 2) GQA; (16, 16) and (32, 32) exercise the
+    # multi-head-group grid (n_hg = 2 and 4 at MAX_HG=8) that unblocks
+    # MHA models like Llama-2-7B (KH=32).
+    for H, KH in [(8, 8), (8, 2), (16, 16), (32, 32)]:
         rng = np.random.default_rng(H + KH)
         q, nk, nv, kv, bt, sl = make_case(rng, [20, 47], H=H, KH=KH)
-        ref_out, _ = xla_reference(q, nk, nv, kv, bt, sl, 16)
-        got_out, _ = decode_paged_attention(q, nk, nv, kv, bt, sl,
-                                            sm_scale=0.125,
-                                            interpret=True)
+        ref_out, ref_kv = xla_reference(q, nk, nv, kv, bt, sl, 16)
+        got_out, got_kv = decode_paged_attention(q, nk, nv, kv, bt, sl,
+                                                 sm_scale=0.125,
+                                                 interpret=True)
         np.testing.assert_allclose(np.asarray(got_out),
                                    np.asarray(ref_out), rtol=2e-5,
-                                   atol=2e-5)
+                                   atol=2e-5, err_msg=f"H={H} KH={KH}")
+        # Multi-group fused writes must land in every group's planes.
+        bt_np = np.asarray(bt)
+        for i, cl in enumerate([20, 47]):
+            for b in bt_np[i][:-(-cl // 16)]:
+                np.testing.assert_allclose(
+                    np.asarray(got_kv[b]), np.asarray(ref_kv[b]),
+                    rtol=2e-5, atol=2e-5, err_msg=f"KH={KH} block {b}")
 
 
 def test_fp8_cache():

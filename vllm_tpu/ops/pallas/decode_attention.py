@@ -1,12 +1,12 @@
 """Pallas TPU kernel: decode-specialized paged attention with fused
 KV-cache write (1 query token per row).
 
-Two decode-specific redesigns over the ragged kernel
+Decode-specific redesigns over the ragged kernel
 (ragged_attention.py):
 
 1. **Whole-block DMAs + deep ring.** Decode is DMA-latency-bound; one
-   copy per KV block brings ALL heads ([2KH, bs, Dp] contiguous in the
-   head-major layout — 8x larger transfers) through a 4-deep ring of
+   copy per KV block brings a whole head-group slice ([2*HG, bs, Dp]
+   contiguous in the head-major layout) through a 4-deep ring of
    in-flight copies. q/out ride BlockSpecs (pallas pipelines them
    across the grid).
 2. **Fused KV write-through.** The cache rides through
@@ -16,6 +16,11 @@ Two decode-specific redesigns over the ragged kernel
    K/V tiles back. This removes the separate XLA scatter, whose
    output-feeds-custom-call pattern forced a full cache copy per layer
    (~4ms/iter at 1.1B).
+3. **Head-group grid dimension.** The grid is (R, KH // HG): each
+   program owns HG kv heads (a *static* unroll bounded at HG <= 8), so
+   MHA models (KH = 32, e.g. Llama-2-7B) compile — the old whole-KH
+   unroll blew up Mosaic code size. Programs touching the same block
+   write disjoint head slices, so the fused write stays race-free.
 
 Decode causality is free: the single query sits at seq_len-1, so the
 only mask is kv_pos < seq_len (which includes the just-written token).
@@ -34,7 +39,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RING = 4  # in-flight KV-block DMAs per request
+RING = 4  # in-flight KV-block DMAs per program
+MAX_HG = 8  # max kv heads statically unrolled per program
+
+
+def _pick_head_group(KH: int) -> int:
+    """Largest divisor of KH that is <= MAX_HG."""
+    for hg in range(min(KH, MAX_HG), 0, -1):
+        if KH % hg == 0:
+            return hg
+    return 1
 
 
 def _kernel(
@@ -42,26 +56,28 @@ def _kernel(
     seq_lens_ref,  # [R] SMEM
     bt_ref,  # [R, max_blocks] SMEM
     # inputs
-    q_ref,  # [1, H, Dp] VMEM block (this row's query)
-    new_kv_ref,  # [1, 2*KH, Dp] VMEM block (this row's new K/V row)
+    q_ref,  # [1, HG*G, Dp] VMEM block (this row's query, this group)
+    new_kv_ref,  # [1, 2*HG, Dp] VMEM block (new K/V rows, this group)
     kv_hbm,  # [num_blocks, 2*KH, bs, Dp] HBM (aliased to output)
     # outputs
-    o_ref,  # [1, H, Dp] VMEM block
+    o_ref,  # [1, HG*G, Dp] VMEM block
     kv_out,  # aliased kv_hbm
     # scratch
-    kv_buf,  # [RING, 2*KH, bs, Dp] VMEM
+    kv_buf,  # [RING, 2*HG, bs, Dp] VMEM
     sems,  # DMA sems [RING]
     wsem,  # write-back sem
     *,
     sm_scale: float,
     block_size: int,
-    KH: int,
+    HG: int,
     G: int,
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
 ):
     r = pl.program_id(0)
+    hg = pl.program_id(1)
+    head0 = hg * 2 * HG  # first kv-plane slot of this head group
     seq_len = seq_lens_ref[r]
     nblk = pl.cdiv(seq_len, block_size)
     # Sliding window: blocks fully below the window are skipped.
@@ -73,8 +89,9 @@ def _kernel(
 
     def dma(slot, i):
         bidx = jnp.minimum(i, max_blocks - 1)
-        return pltpu.make_async_copy(kv_hbm.at[bt_ref[r, bidx]],
-                                     kv_buf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            kv_hbm.at[bt_ref[r, bidx], pl.ds(head0, 2 * HG)],
+            kv_buf.at[slot], sems.at[slot])
 
     @pl.when(seq_len > 0)
     def _():
@@ -96,12 +113,14 @@ def _kernel(
             # (mask select over the sublane dim) and write it back.
             @pl.when(i == last_blk)
             def _():
-                for hs in range(2 * KH):
+                for hs in range(2 * HG):
                     tile = kv_buf[slot, hs]  # [bs, Dp]
                     new_row = new_kv_ref[0, hs, :][None, :]
                     kv_buf[slot, hs] = jnp.where(row_sel, new_row, tile)
                 wb = pltpu.make_async_copy(
-                    kv_buf.at[slot], kv_out.at[bt_ref[r, last_blk]], wsem)
+                    kv_buf.at[slot],
+                    kv_out.at[bt_ref[r, last_blk], pl.ds(head0, 2 * HG)],
+                    wsem)
                 wb.start()
                 wb.wait()
 
@@ -112,7 +131,7 @@ def _kernel(
                 # decode query position is seq_len - 1
                 mask &= kv_pos > seq_len - 1 - sliding_window
             new_carry = []
-            for h in range(KH):
+            for h in range(HG):
                 m, l, acc = carry[h]
                 q_h = q_ref[0, h * G:(h + 1) * G, :]  # [G, Dp]
                 # Upcast quantized (fp8) caches at the VMEM boundary
@@ -145,9 +164,9 @@ def _kernel(
         init = tuple(
             (jnp.full((G, 1), -1e30, jnp.float32),
              jnp.zeros((G, 1), jnp.float32),
-             jnp.zeros((G, D), jnp.float32)) for _ in range(KH))
+             jnp.zeros((G, D), jnp.float32)) for _ in range(HG))
         final = jax.lax.fori_loop(first_blk, nblk, body, init)
-        for h in range(KH):
+        for h in range(HG):
             m, l, acc = final[h]
             out = acc / jnp.where(l == 0.0, 1.0, l)
             o_ref[0, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
@@ -178,6 +197,8 @@ def decode_paged_attention(
     num_blocks, kh2, block_size, Dp = kv_cache.shape
     KH = kh2 // 2
     G = H // KH
+    HG = _pick_head_group(KH)
+    n_hg = KH // HG
     if D < Dp:
         pad = [(0, 0), (0, 0), (0, Dp - D)]
         q = jnp.pad(q, pad)
@@ -189,28 +210,28 @@ def decode_paged_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(R, ),
+        grid=(R, n_hg),
         in_specs=[
-            pl.BlockSpec((1, H, Dp), lambda r, *_: (r, 0, 0),
-                         memory_space=pltpu.VMEM),  # q row
-            pl.BlockSpec((1, kh2, Dp), lambda r, *_: (r, 0, 0),
-                         memory_space=pltpu.VMEM),  # new kv row
+            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
+                         memory_space=pltpu.VMEM),  # q head-group
+            pl.BlockSpec((1, 2 * HG, Dp), lambda r, g, *_: (r, g, 0),
+                         memory_space=pltpu.VMEM),  # new kv head-group
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv cache
         ],
         out_specs=(
-            pl.BlockSpec((1, H, Dp), lambda r, *_: (r, 0, 0),
+            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, kh2, block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RING, 2 * HG, block_size, Dp), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((RING, )),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out, kv_cache = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale,
-                          block_size=block_size, KH=KH, G=G,
+                          block_size=block_size, HG=HG, G=G,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap),
@@ -223,7 +244,7 @@ def decode_paged_attention(
         # aliased to output 1 (true in-place cache update).
         input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", ), ),
+            dimension_semantics=("arbitrary", "arbitrary"), ),
         cost_estimate=pl.CostEstimate(
             flops=4 * R * H * D * 1024,
             bytes_accessed=int(kv_cache.size * kv_cache.dtype.itemsize),
