@@ -241,7 +241,7 @@ class Scheduler:
         # Penalties and logprobs need per-token host data: single-step.
         for r in reqs:
             sp = r.sampling_params
-            if (sp.logprobs or sp.guided_choice
+            if (sp.logprobs or sp.guided
                     or sp.repetition_penalty != 1.0
                     or sp.presence_penalty != 0.0
                     or sp.frequency_penalty != 0.0):

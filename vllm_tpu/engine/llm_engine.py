@@ -138,14 +138,9 @@ class LLMEngine:
         else:
             prompt_token_ids = list(prompt)
             prompt_text = None
-        if params.guided_choice:
-            assert self.tokenizer is not None, (
-                "guided_choice needs a tokenizer")
-            from vllm_tpu.structured_output.trie import \
-                build_choice_grammar
-            eos = (self.config.model.eos_token_ids or [None])[0]
-            params._grammar = build_choice_grammar(  # type: ignore[attr-defined]
-                params.guided_choice, self.tokenizer, eos)
+        if (params.guided_choice or params.guided_regex
+                or params.guided_json is not None):
+            params._grammar = self._get_grammar(params)  # type: ignore[attr-defined]
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority)
         self.scheduler.add_request(request)
@@ -153,6 +148,53 @@ class LLMEngine:
         self.output_processor.add_request(request_id, prompt_text,
                                           prompt_token_ids, params)
         return request_id
+
+    def _get_grammar(self, params: SamplingParams):
+        """Compile (or fetch cached) grammar for guided decoding.
+
+        Compiled grammars are cached by constraint so repeated
+        requests share one FSM and its per-state bitmask cache (ref
+        analog: StructuredOutputManager's grammar cache,
+        v1/structured_output/__init__.py)."""
+        assert self.tokenizer is not None, "guided decoding needs a tokenizer"
+        import json as _json
+        eos = (self.config.model.eos_token_ids or [None])[0]
+        V = self.config.model.vocab_size
+        cache = getattr(self, "_grammar_cache", None)
+        if cache is None:
+            cache = self._grammar_cache = {}
+        if params.guided_choice:
+            key = ("choice", tuple(params.guided_choice))
+        elif params.guided_regex:
+            key = ("regex", params.guided_regex)
+        else:
+            schema = params.guided_json
+            key = ("json", schema if isinstance(schema, str) else
+                   _json.dumps(schema, sort_keys=True))
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        if key[0] == "choice":
+            from vllm_tpu.structured_output.trie import \
+                build_choice_grammar
+            g = build_choice_grammar(params.guided_choice, self.tokenizer,
+                                     eos)
+        else:
+            from vllm_tpu.structured_output import token_fsm
+            bt = getattr(self, "_token_byte_table", None)
+            if bt is None:
+                bt = self._token_byte_table = \
+                    token_fsm._token_byte_matrix(self.tokenizer, V)
+            if key[0] == "regex":
+                g = token_fsm.build_regex_grammar(params.guided_regex,
+                                                  self.tokenizer, V, eos,
+                                                  bt)
+            else:
+                g = token_fsm.build_json_grammar(params.guided_json,
+                                                 self.tokenizer, V, eos,
+                                                 bt)
+        cache[key] = g
+        return g
 
     def abort_request(self, request_ids: list[str]) -> None:
         self.scheduler.finish_requests(request_ids,

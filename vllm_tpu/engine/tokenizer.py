@@ -23,6 +23,13 @@ class Tokenizer:
     def vocab_size(self) -> int:
         return len(self._tok)
 
+    def __len__(self) -> int:
+        return len(self._tok)
+
+    @property
+    def all_special_ids(self) -> list[int]:
+        return self._tok.all_special_ids
+
     def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
         return self._tok.encode(text, add_special_tokens=add_special_tokens)
 

@@ -28,6 +28,14 @@ logger = init_logger(__name__)
 
 
 def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
+    # response_format follows the OpenAI structured-output surface:
+    # {"type": "json_schema", "json_schema": {"schema": {...}}} (ref:
+    # vllm/entrypoints/openai/protocol.py response_format handling);
+    # guided_* are the vLLM extension params.
+    rf = body.get("response_format") or {}
+    guided_json = body.get("guided_json")
+    if guided_json is None and rf.get("type") == "json_schema":
+        guided_json = (rf.get("json_schema") or {}).get("schema")
     return SamplingParams(
         n=1,
         temperature=float(body.get("temperature", 1.0)),
@@ -41,8 +49,9 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=body.get("logprobs"),
         guided_choice=(body.get("guided_choice")
-                       or (body.get("response_format") or {}).get(
-                           "choices")),
+                       or rf.get("choices")),
+        guided_regex=body.get("guided_regex"),
+        guided_json=guided_json,
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),

@@ -30,9 +30,15 @@ class SamplingParams:
     logprobs: Optional[int] = None
     detokenize: bool = True
     include_stop_str_in_output: bool = False
-    # Structured output: constrain generation to one of these strings
-    # (token-trie backend, see structured_output/trie.py).
+    # Structured output (ref: vllm guided decoding params). Exactly one
+    # of these may be set:
+    # - guided_choice: one of N strings (token-trie backend)
+    # - guided_regex: output matches the pattern (regex->DFA backend)
+    # - guided_json: output is JSON valid under the schema
+    #   (schema->regex->DFA, see structured_output/json_schema.py)
     guided_choice: Optional[list[str]] = None
+    guided_regex: Optional[str] = None
+    guided_json: Union[dict, str, None] = None
 
     def __post_init__(self) -> None:
         if isinstance(self.stop, str):
@@ -47,7 +53,19 @@ class SamplingParams:
             raise ValueError("top_k must be >= 0 (0 disables)")
         if self.max_tokens < 1:
             raise ValueError("max_tokens must be >= 1")
+        n_guided = sum(x is not None and x != []
+                       for x in (self.guided_choice, self.guided_regex,
+                                 self.guided_json))
+        if n_guided > 1:
+            raise ValueError("at most one of guided_choice/guided_regex/"
+                             "guided_json may be set")
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0
+
+    @property
+    def guided(self) -> bool:
+        """Any structured-output constraint set."""
+        return bool(self.guided_choice) or bool(self.guided_regex) or \
+            self.guided_json is not None

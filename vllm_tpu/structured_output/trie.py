@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 
 class TokenTrieGrammar:
     """Trie over token sequences; state = node id."""
@@ -67,11 +69,14 @@ def build_choice_grammar(choices: list[str], tokenizer,
 
 
 class GrammarState:
-    """Per-request decoding state carried by the runner."""
+    """Per-request decoding state carried by the runner.
 
-    def __init__(self, grammar: TokenTrieGrammar) -> None:
+    Works with any grammar speaking the allowed/advance protocol
+    (token trie here, DFA-backed token FSM in token_fsm.py)."""
+
+    def __init__(self, grammar) -> None:
         self.grammar = grammar
-        self.node: Optional[int] = TokenTrieGrammar.ROOT
+        self.node: Optional[int] = grammar.ROOT
 
     @property
     def active(self) -> bool:
@@ -80,6 +85,30 @@ class GrammarState:
     def allowed_tokens(self) -> list[int]:
         assert self.node is not None
         return self.grammar.allowed_tokens(self.node)
+
+    def allowed_mask_packed(self, vocab_size: int) -> np.ndarray:
+        """uint32[ceil(V/32)] little-endian allow-bitmask for the
+        current state, cached per grammar state (the per-step host
+        cost is a dict hit + memcpy, not O(V) writes — ref analog:
+        xgrammar's fill_next_token_bitmask)."""
+        assert self.node is not None
+        g = self.grammar
+        if hasattr(g, "allowed_mask"):  # TokenFSMGrammar: native
+            return g.allowed_mask(self.node)
+        cache = getattr(g, "_packed_cache", None)
+        if cache is None:
+            cache = g._packed_cache = {}
+        hit = cache.get(self.node)
+        if hit is None:
+            allow = np.zeros((vocab_size, ), bool)
+            toks = [t for t in g.allowed_tokens(self.node)
+                    if t < vocab_size]
+            allow[toks] = True
+            words = (vocab_size + 31) // 32
+            packed = np.packbits(allow, bitorder="little")
+            packed = np.pad(packed, (0, words * 4 - len(packed)))
+            hit = cache[self.node] = packed.view(np.uint32)
+        return hit
 
     def advance(self, token: int) -> None:
         if self.node is not None:

@@ -61,8 +61,9 @@ class StepInputs(NamedTuple):
     # variant when set — ref analog: penalties applied in Sampler).
     penalties: Optional[PenaltyInputs]
     # None when no structured-output request is scheduled; else a
-    # [R, V] bool mask of allowed tokens (ref analog: the grammar
-    # bitmask applied at sampling, v1/structured_output/).
+    # packed [R, ceil(V/32)] uint32 allow-bitmask, unpacked on device
+    # (ref analog: the grammar bitmask applied at sampling,
+    # v1/structured_output/ — 32x less host work + H2D than bools).
     grammar_mask: Optional[jax.Array]
     # Spec decode only: [R, K+1] draft token per verification column
     # (-1 where no draft; column K is the bonus position).
@@ -271,13 +272,13 @@ class TPUModelRunner:
             return None
         R = self.max_num_reqs
         V = self.config.model.vocab_size
-        mask = np.ones((R, V), bool)
+        W = (V + 31) // 32
+        packed = np.full((R, W), 0xFFFFFFFF, np.uint32)
         for r, g in states:
             if g is not None and g.active:
                 row = self.batch.reqs[r].row
-                mask[row, :] = False
-                mask[row, g.allowed_tokens()] = True
-        return jnp.asarray(mask)
+                packed[row] = g.allowed_mask_packed(V)
+        return jnp.asarray(packed)
 
     def _build_penalties(self, req_ids) -> Optional[PenaltyInputs]:
         """[R, V] token statistics, only when some scheduled request
@@ -529,6 +530,14 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
     return kv_caches, samples  # [horizon, R]
 
 
+def _unpack_grammar_mask(packed: jax.Array, vocab_size: int) -> jax.Array:
+    """[R, W] uint32 -> [R, V] bool (little-endian bit order)."""
+    R, W = packed.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(R, W * 32)[:, :vocab_size] != 0
+
+
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0):
     """One fused device step: forward + logits + sample (+ greedy
@@ -552,7 +561,9 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         if inputs.penalties is not None:
             logits = apply_penalties(logits, inputs.penalties)
         if inputs.grammar_mask is not None:
-            logits = jnp.where(inputs.grammar_mask, logits, -jnp.inf)
+            allow = _unpack_grammar_mask(inputs.grammar_mask,
+                                         logits.shape[-1])
+            logits = jnp.where(allow, logits, -jnp.inf)
         sampled = sample(logits, inputs.sampling)
         lp = (compute_topk_logprobs(logits, sampled, n_logprobs)
               if n_logprobs > 0 else None)
@@ -570,8 +581,9 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
             jax.tree.map(lambda a: jnp.repeat(a, K1, axis=0),
                          inputs.penalties)).reshape(R, K1, -1)
     if inputs.grammar_mask is not None:
-        logits = jnp.where(inputs.grammar_mask[:, None, :], logits,
-                           -jnp.inf)
+        allow = _unpack_grammar_mask(inputs.grammar_mask,
+                                     logits.shape[-1])
+        logits = jnp.where(allow[:, None, :], logits, -jnp.inf)
     greedy_mat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     last = logits[:, -1]
     sampled = sample(last, inputs.sampling)
