@@ -83,13 +83,13 @@ def test_kv_cache_sharding_replicates_when_indivisible(cpu_devices):
     from vllm_tpu.parallel.shard import kv_cache_sharding
     cfg = make_cfg(tp=8).model
     mesh = make_mesh(ParallelConfig(tensor_parallel_size=8))
-    sh = kv_cache_sharding(cfg, mesh)  # 2*KH=8 divisible
+    sh, _ = kv_cache_sharding(cfg, mesh)  # 2*KH=8 divisible
     # Cache layout [num_blocks, 2*KH, block_size, Dp]: heads (axis 1)
     # shard 8-way; block_size/Dp stay whole.
     assert sh.shard_shape((10, 8, 16, 128)) == (10, 1, 16, 128)
     cfg2 = ModelConfig(num_heads=6, num_kv_heads=3, hidden_size=48,
                        head_dim=8)
-    sh2 = kv_cache_sharding(cfg2, mesh)  # 2*KH=6 not divisible by 8
+    sh2, _ = kv_cache_sharding(cfg2, mesh)  # 2*KH=6 not divisible by 8
     assert sh2.shard_shape((10, 6, 16, 128)) == (10, 6, 16, 128)
 
 

@@ -47,7 +47,7 @@ def test_pallas_w4a16_matches_xla(T, K, N):
     ref = np.asarray(quantized_matmul_xla(x, leaf))
     got = np.asarray(
         w4a16_matmul(x, leaf["qweight"], leaf["scales"], leaf["zbias"],
-                     bt=8 if T <= 8 else 64, bn=128, interpret=True))
+                     interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
@@ -58,7 +58,7 @@ def test_pallas_w4a16_asym():
     ref = np.asarray(x) @ w_ref
     got = np.asarray(
         w4a16_matmul(x, leaf["qweight"], leaf["scales"], leaf["zbias"],
-                     bt=16, bn=128, interpret=True))
+                     interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 

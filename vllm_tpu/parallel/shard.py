@@ -44,20 +44,45 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     moe_col = NamedSharding(mesh, P(None, None, AXIS_TP))
     moe_row = NamedSharding(mesh, P(None, AXIS_TP, None))
 
+    # Tile-major prepacked W4A16 qweight [n_n, n_k, HALF, bn]
+    # (quant/pallas_w4a16.prepack_tiled): the output dim is axis 0,
+    # the input dim axis 1.
+    col4 = NamedSharding(mesh, P(AXIS_TP, None, None, None))
+    row4 = NamedSharding(mesh, P(None, AXIS_TP, None, None))
+
+    def linear_spec(leaf: dict, key: str, col_parallel: bool):
+        v = leaf[key]
+        if key == "bias":
+            return col_bias if col_parallel else rep
+        if key == "qweight" and getattr(v, "ndim", 0) == 4:
+            return col4 if col_parallel else row4
+        return col if col_parallel else row
+
     def shard_layer(layer: dict) -> dict:
         out = {}
         for name, leaf in layer.items():
             if name in _COL_LINEARS:
-                out[name] = {k: (col_bias if k == "bias" else col)
-                             for k in leaf}
+                out[name] = {k: linear_spec(leaf, k, True) for k in leaf}
             elif name in _ROW_LINEARS:
-                out[name] = {k: (rep if k == "bias" else row) for k in leaf}
-            elif name == "w_gate_up":
+                out[name] = {k: linear_spec(leaf, k, False) for k in leaf}
+            elif name in ("w_gate_up", "w_down"):
                 # MoE experts: Megatron TP *within* each expert (expert
                 # parallelism over the ep axis comes with multi-host).
-                out[name] = moe_col
-            elif name == "w_down":
-                out[name] = moe_row
+                colp = name == "w_gate_up"
+                if isinstance(leaf, dict):  # WNA16 stacked-expert leaf
+                    q5_col = NamedSharding(
+                        mesh, P(None, AXIS_TP, None, None, None))
+                    q5_row = NamedSharding(
+                        mesh, P(None, None, AXIS_TP, None, None))
+                    out[name] = {
+                        k: ((q5_col if colp else q5_row)
+                            if k == "qweight"
+                            and getattr(leaf[k], "ndim", 0) == 5 else
+                            (moe_col if colp else moe_row))
+                        for k in leaf
+                    }
+                else:
+                    out[name] = moe_col if colp else moe_row
             else:  # norms, router, anything scalar-ish: replicate
                 out[name] = jax.tree.map(lambda _: rep, leaf)
         return out
@@ -78,13 +103,22 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     return shardings
 
 
-def kv_cache_sharding(cfg: ModelConfig, mesh: Mesh) -> NamedSharding:
-    """[num_blocks, 2*KH, block_size, Dp]: shard the head axis (axis 1)
-    over tp, matching the head-sharded k/v from column-parallel QKV."""
+def kv_cache_sharding(cfg: ModelConfig, mesh: Mesh):
+    """(data, scales) shardings. data [num_blocks, 2*KH, block_size,
+    Dp]: shard the head axis (axis 1) over tp, matching the
+    head-sharded k/v from column-parallel QKV. scales [num_blocks,
+    SP2, LANE] (per-token-head quant): shard the plane axis the same
+    way when the padded plane count divides."""
     tp = mesh.shape[AXIS_TP]
+    from vllm_tpu.ops.kv_cache import scale_planes
     if (2 * cfg.num_kv_heads) % tp == 0 and tp <= 2 * cfg.num_kv_heads:
-        return NamedSharding(mesh, P(None, AXIS_TP, None, None))
-    return NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, AXIS_TP, None, None))
+        sp2 = scale_planes(cfg.num_kv_heads)
+        scales = (NamedSharding(mesh, P(None, AXIS_TP, None))
+                  if sp2 == 2 * cfg.num_kv_heads else
+                  NamedSharding(mesh, P()))
+        return (data, scales)
+    return (NamedSharding(mesh, P()), NamedSharding(mesh, P()))
 
 
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:

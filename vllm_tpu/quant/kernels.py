@@ -45,6 +45,9 @@ def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
     qw = leaf["qweight"]
     scales = leaf["scales"]
     zbias = leaf["zbias"]
+    if qw.ndim == 4:  # tile-major prepack (pallas_w4a16.prepack_tiled)
+        from vllm_tpu.quant.pallas_w4a16 import unpack_tiled
+        qw = unpack_tiled(qw)
     if qw.dtype == jnp.uint8:
         q = unpack_w4_halfsplit_jnp(qw).astype(jnp.float32)
     else:
@@ -70,8 +73,10 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
         from vllm_tpu.quant.online import w8a8_matmul
         return w8a8_matmul(x, leaf)
     from vllm_tpu.ops.dispatch import attention_backend
+    x_k = x.shape[-1]
     if (attention_backend() == "pallas" and leaf["qweight"].dtype
-            == jnp.uint8 and "perm" not in leaf):
+            == jnp.uint8 and "perm" not in leaf
+            and leaf["scales"].shape[0] * 128 == x_k):
         from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
@@ -79,3 +84,46 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
                            leaf["zbias"])
         return out.reshape(*orig_shape[:-1], out.shape[-1])
     return quantized_matmul_xla(x, leaf)
+
+
+def prepare_weights(params):
+    """One-time device-side weight repack for the active backend (the
+    analog of process_weights_after_loading, ref MPLinearKernel.py:57):
+    W4A16 leaves gain the tile-major layout the Pallas kernel streams
+    contiguously. No-op off-TPU or for non-4bit leaves."""
+    from vllm_tpu.ops.dispatch import attention_backend
+    if attention_backend() != "pallas":
+        return params
+    from vllm_tpu.quant.pallas_w4a16 import pick_bn, prepack_tiled
+
+    def visit(node):
+        if isinstance(node, dict):
+            qw = node.get("qweight")
+            if (qw is not None and getattr(qw, "dtype", None) == jnp.uint8
+                    and qw.ndim == 2 and "perm" not in node
+                    and qw.shape[0] % 128 == 0
+                    and node["scales"].shape[0] * 64 == qw.shape[0]):
+                bn = pick_bn(qw.shape[1], 32)
+                if qw.shape[1] % bn == 0:
+                    node = dict(node)
+                    node["qweight"] = jax.jit(
+                        prepack_tiled, static_argnums=1)(qw, bn)
+            elif (qw is not None
+                  and getattr(qw, "dtype", None) == jnp.uint8
+                  and qw.ndim == 3 and qw.shape[1] % 128 == 0):
+                # Stacked MoE experts [NE, K/2, N] -> tile-major 5-D.
+                from vllm_tpu.quant.pallas_moe import \
+                    prepack_tiled_experts
+                bn = pick_bn(qw.shape[2], 32)
+                if qw.shape[2] % bn == 0:
+                    node = dict(node)
+                    node["qweight"] = jax.jit(
+                        prepack_tiled_experts, static_argnums=1)(qw, bn)
+            return {k: visit(v) if isinstance(v, (dict, list)) else v
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) if isinstance(v, (dict, list)) else v
+                    for v in node]
+        return node
+
+    return visit(params)

