@@ -78,7 +78,8 @@ class ModelConfig:
 
 # Cache dtype surface mirrors the reference's CacheDType
 # (ref: vllm/config/cache.py:19-35): auto/bf16 plus quantized modes.
-CacheDType = Literal["auto", "bfloat16", "fp8", "int8", "int4"]
+CacheDType = Literal["auto", "bfloat16", "fp8", "fp8_pth", "int8",
+                     "int4"]
 
 
 @dataclass
@@ -101,7 +102,7 @@ class CacheConfig:
 
     @property
     def is_quantized(self) -> bool:
-        return self.cache_dtype in ("fp8", "int8", "int4")
+        return self.cache_dtype in ("fp8", "fp8_pth", "int8", "int4")
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +166,13 @@ class ParallelConfig:
 # QuantizationMethods registry, ref: vllm/model_executor/layers/
 # quantization/__init__.py:12-47). "inc" covers AutoRound exports.
 QuantMethod = Literal[
-    "gptq", "awq", "auto_round", "compressed-tensors",
+    "gptq", "awq", "auto_round",
+    # compressed-tensors checkpoint schemes (llm-compressor exports):
+    # pack-quantized WNA16, int-quantized W8A8, float-quantized FP8
+    "ct_wna16", "ct_w8a8_int8", "ct_fp8",
+    # FP8 checkpoints with per-tensor/channel weight scales (ref fp8.py)
+    "fp8_ckpt",
+    # online (quantize-at-load) shorthands
     "fp8", "int8", "w8a8_int8", "int4", None,
 ]
 

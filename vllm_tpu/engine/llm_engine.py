@@ -98,8 +98,10 @@ class LLMEngine:
         # Memory-based sizing (ref analog: determine_available_memory,
         # gpu_worker.py:461): device memory x utilization - weights.
         mc = self.config.model
-        per_block_bytes = (cc.block_size * 2 * mc.num_kv_heads *
-                           mc.head_dim * 2 * mc.num_layers)  # bf16
+        from vllm_tpu.ops.kv_cache import kv_cache_bytes_per_block
+        per_block_bytes = kv_cache_bytes_per_block(
+            cc.block_size, mc.num_kv_heads, mc.head_dim, cc.cache_dtype,
+            mc.dtype) * mc.num_layers
         try:
             import jax
             dev = jax.local_devices()[0]

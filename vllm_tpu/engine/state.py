@@ -135,8 +135,7 @@ class SleepManager:
     def wake_up(self) -> None:
         import jax
         import jax.numpy as jnp
-        from vllm_tpu.ops.kv_cache import (kv_cache_jnp_dtype,
-                                           kv_cache_shape)
+        from vllm_tpu.ops.kv_cache import make_kv_cache
         assert self.level > 0
         engine = self.engine
         runner = engine.runner
@@ -159,17 +158,14 @@ class SleepManager:
         mc = engine.config.model
         cc = engine.config.cache
         num_blocks = engine.scheduler.kv_cache_manager.block_pool.num_blocks
-        shape = kv_cache_shape(num_blocks, cc.block_size, mc.num_kv_heads,
-                               mc.head_dim)
-        dtype = kv_cache_jnp_dtype(cc.cache_dtype, mc.dtype)
         kv_sh = None
         if runner.mesh is not None:
             from vllm_tpu.parallel.shard import kv_cache_sharding
             kv_sh = kv_cache_sharding(mc, runner.mesh)
         runner.kv_caches = [
-            jax.device_put(jnp.zeros(shape, dtype), kv_sh)
-            if kv_sh is not None else jnp.zeros(shape, dtype)
-            for _ in range(mc.num_layers)
+            make_kv_cache(num_blocks, cc.block_size, mc.num_kv_heads,
+                          mc.head_dim, cc.cache_dtype, mc.dtype,
+                          sharding=kv_sh) for _ in range(mc.num_layers)
         ]
         engine.scheduler.kv_cache_manager.reset_prefix_cache()
         self.level = 0

@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from vllm_tpu.ops.kv_cache import split_kv
+from vllm_tpu.ops.kv_cache import QuantKV, dequant_block_kv, split_kv
 
 
 def token_row_ids(query_start_loc: jax.Array, num_tokens: int) -> jax.Array:
@@ -54,6 +54,10 @@ def ragged_paged_attention_xla(
     Pallas kernel streams blocks instead."""
     T, H, D = q.shape
     R, max_blocks = block_tables.shape
+    if isinstance(kv_cache, QuantKV):
+        # Per-token-head dequant (ref analog: _cast_kv_tile INT8/FP8
+        # modes, triton_unified_attention.py:38).
+        kv_cache = dequant_block_kv(kv_cache)
     _, kh2, block_size, _ = kv_cache.shape
     KH = kh2 // 2
     G = H // KH  # query heads per KV head

@@ -74,10 +74,11 @@ def fused_decode_attention(
                                       sliding_window=sliding_window,
                                       logit_softcap=logit_softcap)
     from vllm_tpu.ops.attention import ragged_paged_attention_xla
-    from vllm_tpu.ops.kv_cache import write_kv_xla
+    from vllm_tpu.ops.kv_cache import QuantKV, write_kv_xla
     R = q.shape[0]
     import jax.numpy as jnp
-    block_size = kv_cache.shape[2]
+    data = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
+    block_size = data.shape[2]
     pos = jnp.maximum(seq_lens - 1, 0)
     slots = (jnp.take_along_axis(block_tables, (pos // block_size)[:, None],
                                  axis=1)[:, 0] * block_size +

@@ -19,6 +19,8 @@ shape contract of AttentionBackend (vllm/v1/attention/backend.py).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Union
+
 import jax
 import jax.numpy as jnp
 
@@ -29,24 +31,94 @@ from vllm_tpu.utils import round_up
 # scheduler's null block) — harmlessly overwritten garbage.
 
 LANE = 128
+SUBLANE = 8
+
+
+class QuantKV(NamedTuple):
+    """Per-token-head quantized paged KV cache (ref analog:
+    vllm/v1/attention/ops/int4_per_token_head.py int8/int4 modes +
+    KVQuantMode, kv_cache_interface.py:33).
+
+    data:   [num_blocks, 2*KH, block_size, Dp] int8 / float8_e4m3fn
+    scales: [num_blocks, SP2, LANE] f32 — scale[b, hs, t] dequantizes
+            plane hs (k=2h, v=2h+1) of token t in block b. Tokens ride
+            the LANE dim so kernels apply K-scales to score columns and
+            V-scales to prob columns — no sublane/lane transposes.
+            SP2 = round_up(2*KH, SUBLANE) so per-head-group DMA slices
+            stay (8, 128)-tile aligned; block_size <= LANE assumed.
+    """
+    data: jax.Array
+    scales: jax.Array
+
+
+KVCache = Union[jax.Array, QuantKV]
 
 
 def kv_cache_jnp_dtype(cache_dtype: str, model_dtype: str):
-    """Resolve CacheConfig.cache_dtype to a jnp dtype.
+    """Resolve CacheConfig.cache_dtype to the *data* jnp dtype.
 
     fp8 == e4m3 (the reference's default fp8 KV flavor, ref:
-    vllm/config/cache.py:19-35 CacheDType). int8 per-token-head arrives
-    with its scale-packed layout; fp8 uses scale 1.0 (e4m3 dynamic
-    range covers bf16 KV magnitudes; per-layer scales can be loaded
-    from checkpoints later).
+    vllm/config/cache.py:19-35 CacheDType), scale-less dynamic-range
+    cast. int8 / fp8_pth are per-token-head modes carrying a QuantKV
+    scale plane (see make_kv_cache).
     """
     if cache_dtype == "auto":
         return jnp.dtype(model_dtype)
-    if cache_dtype == "fp8":
+    if cache_dtype in ("fp8", "fp8_pth"):
         return jnp.float8_e4m3fn
+    if cache_dtype == "int8":
+        return jnp.int8
     if cache_dtype in ("bfloat16", "float32", "float16"):
         return jnp.dtype(cache_dtype)
     raise NotImplementedError(f"cache_dtype {cache_dtype}")
+
+
+def is_per_token_head(cache_dtype: str) -> bool:
+    return cache_dtype in ("int8", "fp8_pth")
+
+
+def quant_max(dtype) -> float:
+    """Largest representable magnitude of the quantized data dtype."""
+    return 127.0 if dtype == jnp.int8 else 448.0  # e4m3 max
+
+
+def scale_planes(num_kv_heads: int) -> int:
+    return max(round_up(2 * num_kv_heads, SUBLANE), SUBLANE)
+
+
+def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
+                  head_dim: int, cache_dtype: str, model_dtype: str,
+                  sharding=None) -> KVCache:
+    """Allocate one layer's cache (plain array or QuantKV)."""
+    assert block_size <= LANE, "per-token-head scales assume bs <= 128"
+    dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
+    shape = kv_cache_shape(num_blocks, block_size, num_kv_heads, head_dim)
+
+    def put(x, sh):
+        return jax.device_put(x, sh) if sh is not None else x
+
+    data_sh = scale_sh = None
+    if sharding is not None:
+        data_sh, scale_sh = (sharding if isinstance(sharding, tuple)
+                             else (sharding, None))
+    data = put(jnp.zeros(shape, dtype), data_sh)
+    if not is_per_token_head(cache_dtype):
+        return data
+    scales = put(
+        jnp.ones((num_blocks, scale_planes(num_kv_heads), LANE),
+                 jnp.float32), scale_sh)
+    return QuantKV(data, scales)
+
+
+def kv_cache_bytes_per_block(block_size: int, num_kv_heads: int,
+                             head_dim: int, cache_dtype: str,
+                             model_dtype: str) -> int:
+    dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
+    n = (2 * num_kv_heads * block_size * padded_head_dim(head_dim) *
+         jnp.dtype(dtype).itemsize)
+    if is_per_token_head(cache_dtype):
+        n += scale_planes(num_kv_heads) * LANE * 4
+    return n
 
 
 def padded_head_dim(head_dim: int) -> int:
@@ -64,23 +136,62 @@ def split_kv(kv_cache: jax.Array) -> tuple[jax.Array, jax.Array]:
     return kv_cache[:, 0::2], kv_cache[:, 1::2]
 
 
+def quantize_rows(kv: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
+    """Per-(token, plane) symmetric quantization.
+
+    kv [T, 2KH, Dp] float -> (q [T, 2KH, Dp] qdtype, scales [T, 2KH]
+    f32). Round-half-up (floor(x+0.5)) — the Pallas write path uses the
+    identical formula so cache contents are bit-equal across paths.
+    """
+    kvf = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kvf), axis=-1)  # [T, 2KH]
+    qmax = quant_max(qdtype)
+    scale = amax / qmax
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0),
+                    0.0)
+    scaled = kvf * inv[..., None]
+    if qdtype == jnp.int8:
+        q = jnp.clip(jnp.floor(scaled + 0.5), -qmax, qmax).astype(
+            jnp.int8)
+    else:
+        q = scaled.astype(qdtype)
+    return q, scale
+
+
+def dequant_block_kv(qkv: QuantKV) -> jax.Array:
+    """Materialize the float cache [num_blocks, 2KH, bs, Dp] f32
+    (XLA reference path; kernels dequantize in VMEM instead)."""
+    data, scales = qkv
+    num_blocks, kh2, bs, dp = data.shape
+    s = scales[:, :kh2, :bs]  # [B, 2KH, bs]
+    return data.astype(jnp.float32) * s[..., None]
+
+
 def write_kv_xla(
-    kv_cache: jax.Array,  # [num_blocks, 2*KH, block_size, Dp]
+    kv_cache: KVCache,  # [num_blocks, 2*KH, block_size, Dp] (+scales)
     k: jax.Array,  # [T, KH, D]
     v: jax.Array,  # [T, KH, D]
     slot_mapping: jax.Array,  # [T] int32, flat slots
-) -> jax.Array:
+) -> KVCache:
     """Scatter new K/V rows into the paged cache (functional; caller
     donates kv_cache under jit so XLA updates in place)."""
-    num_blocks, kh2, block_size, dp = kv_cache.shape
+    data = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
+    num_blocks, kh2, block_size, dp = data.shape
     T, KH, D = k.shape
     if D < dp:
         pad = [(0, 0), (0, 0), (0, dp - D)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
     kv = jnp.stack([k, v], axis=2).reshape(T, kh2, dp)
-    kv = kv.astype(kv_cache.dtype)
     block_idx = slot_mapping // block_size
     offset = slot_mapping % block_size
+    if isinstance(kv_cache, QuantKV):
+        q, scale = quantize_rows(kv, data.dtype)
+        new_data = data.at[block_idx, :, offset, :].set(q)
+        # scales [B, SP2, LANE]: plane rows x token lanes.
+        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
+            scale)
+        return QuantKV(new_data, new_scales)
+    kv = kv.astype(data.dtype)
     # Advanced indexing: per token t, cache[block[t], :, offset[t], :] = kv[t]
-    return kv_cache.at[block_idx, :, offset, :].set(kv)
+    return data.at[block_idx, :, offset, :].set(kv)

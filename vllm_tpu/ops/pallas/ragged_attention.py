@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vllm_tpu.ops.kv_cache import LANE, QuantKV
+
 DEFAULT_QBLK = 128
 DEFAULT_F = 4  # KV blocks fetched per flash iteration
 NEG_INF = -1e30
@@ -193,6 +195,175 @@ def _kernel(
         jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
+def _qkernel(
+    # scalar prefetch
+    qsl_ref,  # [R+1] SMEM
+    seq_lens_ref,  # [R] SMEM
+    bt_ref,  # [R, max_blocks] SMEM
+    # inputs (HBM)
+    q_hbm,  # [T_slack, H, Dp]
+    kv_hbm,  # [num_blocks, 2*KH, bs, Dp] int8/fp8
+    sc_hbm,  # [num_blocks, SP2, LANE] f32
+    # output (HBM)
+    out_hbm,  # [T_slack, H, Dp]
+    # scratch
+    q_buf,  # [QBLK, H, Dp] VMEM
+    k_buf,  # [2, F*bs, D] VMEM (quant dtype)
+    v_buf,  # [2, F*bs, D] VMEM (quant dtype)
+    s_buf,  # [2, F*SP2, LANE] VMEM f32
+    o_buf,  # [QBLK, H, D] VMEM
+    q_sem,
+    kv_sems,  # DMA sems [2, 3, F]
+    o_sem,
+    *,
+    sm_scale: float,
+    block_size: int,
+    QBLK: int,
+    F: int,
+    KH: int,
+    G: int,
+    SP2: int,
+    max_blocks: int,
+    sliding_window: int | None,
+    logit_softcap: float | None,
+):
+    """Per-token-head quantized variant: K-scales multiply score
+    columns, V-scales multiply prob columns, so the flash update runs
+    per KV block (scale rows are lane-resident per block — no
+    transposes). Ref analog: unified_attention_int4
+    (v1/attention/ops/int4_per_token_head.py)."""
+    r = pl.program_id(0)
+    q_start = qsl_ref[r]
+    q_len = qsl_ref[r + 1] - q_start
+    seq_len = seq_lens_ref[r]
+    FS = F * block_size
+    D = q_buf.shape[-1]
+    int8 = k_buf.dtype == jnp.int8
+
+    def kv_dma(slot, i, f, h):
+        bidx = jnp.minimum(i * F + f, max_blocks - 1)
+        bid = bt_ref[r, bidx]
+        k_cp = pltpu.make_async_copy(
+            kv_hbm.at[bid, 2 * h],
+            k_buf.at[slot, pl.ds(f * block_size, block_size), :],
+            kv_sems.at[slot, 0, f])
+        v_cp = pltpu.make_async_copy(
+            kv_hbm.at[bid, 2 * h + 1],
+            v_buf.at[slot, pl.ds(f * block_size, block_size), :],
+            kv_sems.at[slot, 1, f])
+        s_cp = pltpu.make_async_copy(
+            sc_hbm.at[bid], s_buf.at[slot, pl.ds(f * SP2, SP2), :],
+            kv_sems.at[slot, 2, f])
+        return k_cp, v_cp, s_cp
+
+    def kv_start(slot, i, h):
+        for f in range(F):
+            for cp in kv_dma(slot, i, f, h):
+                cp.start()
+
+    def kv_wait(slot, i, h):
+        for f in range(F):
+            for cp in kv_dma(slot, i, f, h):
+                cp.wait()
+
+    @pl.when(q_len > 0)
+    def _process():
+        num_chunks = pl.cdiv(q_len, QBLK)
+
+        def chunk_body(c, _):
+            chunk_start = q_start + c * QBLK
+            q_cp = pltpu.make_async_copy(
+                q_hbm.at[pl.ds(chunk_start, QBLK)], q_buf, q_sem)
+            q_cp.start()
+
+            chunk_q_end = jnp.minimum((c + 1) * QBLK, q_len)
+            kv_hi = seq_len - q_len + chunk_q_end  # exclusive
+            num_iters = pl.cdiv(kv_hi, FS)
+
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (QBLK * G, 1), 0)
+            q_local = row_ids // G
+            q_pos = seq_len - q_len + c * QBLK + q_local  # [QG, 1]
+            valid_row = q_local < (chunk_q_end - c * QBLK)
+
+            q_cp.wait()
+
+            for h in range(KH):
+                kv_start(0, 0, h)
+                q2 = q_buf[:, h * G:(h + 1) * G, :].reshape(QBLK * G, D)
+
+                def flash_iter(i, carry, h=h):
+                    slot = i % 2
+
+                    @pl.when(i + 1 < num_iters)
+                    def _():
+                        kv_start((i + 1) % 2, i + 1, h)
+
+                    kv_wait(slot, i, h)
+                    m, l, acc = carry
+                    # Per-block flash: each block's lane-resident scale
+                    # rows dequantize scores/probs.
+                    for f in range(F):
+                        blk = pl.ds(f * block_size, block_size)
+                        if int8:
+                            k = k_buf[slot, blk, :].astype(
+                                jnp.int32).astype(jnp.float32).astype(
+                                    q2.dtype)
+                            v = v_buf[slot, blk, :].astype(
+                                jnp.int32).astype(jnp.float32).astype(
+                                    q2.dtype)
+                        else:
+                            k = k_buf[slot, blk, :].astype(q2.dtype)
+                            v = v_buf[slot, blk, :].astype(q2.dtype)
+                        s_k = s_buf[slot, f * SP2 + 2 * h:
+                                    f * SP2 + 2 * h + 1, :block_size]
+                        s_v = s_buf[slot, f * SP2 + 2 * h + 1:
+                                    f * SP2 + 2 * h + 2, :block_size]
+                        s = jax.lax.dot_general(
+                            q2, k, (((1, ), (1, )), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        s = s * s_k * sm_scale
+                        if logit_softcap is not None:
+                            s = logit_softcap * jnp.tanh(s / logit_softcap)
+                        kv_pos = (i * FS + f * block_size +
+                                  jax.lax.broadcasted_iota(
+                                      jnp.int32, (1, block_size), 1))
+                        mask = ((kv_pos <= q_pos) & (kv_pos < seq_len)
+                                & valid_row)
+                        if sliding_window is not None:
+                            mask &= kv_pos > q_pos - sliding_window
+                        s = jnp.where(mask, s, NEG_INF)
+
+                        m_new = jnp.maximum(
+                            m, jnp.max(s, axis=1, keepdims=True))
+                        p = jnp.exp(s - m_new)
+                        p = jnp.where(mask, p, 0.0)
+                        alpha = jnp.exp(m - m_new)
+                        l = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                        acc = alpha * acc + jax.lax.dot_general(
+                            (p * s_v).astype(q2.dtype), v,
+                            (((1, ), (0, )), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        m = m_new
+                    return m, l, acc
+
+                m0 = jnp.full((QBLK * G, 1), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((QBLK * G, 1), jnp.float32)
+                acc0 = jnp.zeros((QBLK * G, D), jnp.float32)
+                m, l, acc = jax.lax.fori_loop(0, num_iters, flash_iter,
+                                              (m0, l0, acc0))
+                out = acc / jnp.where(l == 0.0, 1.0, l)
+                o_buf[:, h * G:(h + 1) * G, :] = out.reshape(
+                    QBLK, G, D).astype(o_buf.dtype)
+
+            o_cp = pltpu.make_async_copy(
+                o_buf, out_hbm.at[pl.ds(chunk_start, QBLK)], o_sem)
+            o_cp.start()
+            o_cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "q_blk", "f_blocks", "causal",
@@ -217,7 +388,9 @@ def ragged_paged_attention(
     T, H, D = q.shape
     T_in = T
     R, max_blocks = block_tables.shape
-    num_blocks, kh2, block_size, Dp = kv_cache.shape
+    quant = isinstance(kv_cache, QuantKV)
+    data = kv_cache.data if quant else kv_cache
+    num_blocks, kh2, block_size, Dp = data.shape
     KH = kh2 // 2
     G = H // KH
     F = f_blocks
@@ -231,6 +404,48 @@ def ragged_paged_attention(
     if pad_d or pad_t:
         q = jnp.pad(q, [(0, pad_t), (0, 0), (0, pad_d)])
     T = q.shape[0]
+
+    if quant:
+        SP2 = kv_cache.scales.shape[1]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(R, ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # q
+                pl.BlockSpec(memory_space=pltpu.HBM),  # kv data
+                pl.BlockSpec(memory_space=pltpu.HBM),  # kv scales
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((QBLK, H, Dp), q.dtype),
+                pltpu.VMEM((2, F * block_size, Dp), data.dtype),
+                pltpu.VMEM((2, F * block_size, Dp), data.dtype),
+                pltpu.VMEM((2, F * SP2, LANE), jnp.float32),
+                pltpu.VMEM((QBLK, H, Dp), q.dtype),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, 3, F)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        kernel = functools.partial(
+            _qkernel, sm_scale=sm_scale, block_size=block_size,
+            QBLK=QBLK, F=F, KH=KH, G=G, SP2=SP2, max_blocks=max_blocks,
+            sliding_window=sliding_window, logit_softcap=logit_softcap)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", ), ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * T * H * D * 1024,
+                bytes_accessed=int(data.size * data.dtype.itemsize),
+                transcendentals=T * H * 1024,
+            ),
+            interpret=interpret,
+        )(query_start_loc, seq_lens, block_tables, q, data,
+          kv_cache.scales)
+        return out[:T_in, :, :D]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
