@@ -45,20 +45,24 @@ def topk_softmax_routing(
 def fused_moe_apply(
     x: jax.Array,  # [T, H]
     router_leaf: dict,
-    w_gate_up: jax.Array,  # [E, H, 2I]
-    w_down: jax.Array,  # [E, I, H]
+    w_gate_up,  # [E, H, 2I] array, or WNA16 dict leaf (stacked experts)
+    w_down,  # [E, I, H] array, or WNA16 dict leaf
     top_k: int,
     renormalize: bool = True,
 ) -> jax.Array:
     from vllm_tpu.ops.linear import linear
     T, H = x.shape
-    E = w_gate_up.shape[0]
     A = T * top_k  # total assignments (static)
 
     router_logits = linear(router_leaf, x)  # [T, E]
     weights, expert_ids = topk_softmax_routing(router_logits, top_k,
                                                renormalize)
 
+    if isinstance(w_gate_up, dict):
+        return _quantized_moe(x, weights, expert_ids, w_gate_up, w_down,
+                              top_k)
+
+    E = w_gate_up.shape[0]
     # Sort assignments by expert (stable) — static-shape "alignment".
     flat_experts = expert_ids.reshape(A)
     order = jnp.argsort(flat_experts, stable=True)  # [A]
@@ -71,6 +75,60 @@ def fused_moe_apply(
     out = jax.lax.ragged_dot(h, w_down.astype(x.dtype), group_sizes)
 
     # Combine: weighted scatter-add back to token rows.
+    w_flat = weights.reshape(A)[order].astype(out.dtype)
+    out = out * w_flat[:, None]
+    return jnp.zeros((T, H), out.dtype).at[token_of].add(out)
+
+
+def _quantized_moe(x, weights, expert_ids, gu_leaf: dict, dn_leaf: dict,
+                   top_k: int) -> jax.Array:
+    """WNA16 expert path (ref analog: moe_wna16.cu grouped GEMM +
+    WNA16MoE oracle, auto_gptq.py:73 get_moe_quant_method).
+
+    Pallas backend: tile-aligned expert-sorted layout feeds the grouped
+    dequant-GEMM (quant/pallas_moe.py). XLA fallback: dequantize the
+    stacked experts and reuse ragged_dot (ground truth / CPU path).
+    """
+    from vllm_tpu.ops.dispatch import attention_backend
+    T, H = x.shape
+    A = T * top_k
+    NE = gu_leaf["scales"].shape[0]
+
+    use_pallas = (attention_backend() == "pallas"
+                  and gu_leaf["qweight"].dtype == jnp.uint8
+                  and gu_leaf["qweight"].ndim == 5)
+    if not use_pallas:
+        from vllm_tpu.quant.kernels import dequant_weight_xla
+        dq = jax.vmap(lambda qw, s, zb: dequant_weight_xla(
+            {"qweight": qw, "scales": s, "zbias": zb}, x.dtype))
+        w_gate_up = dq(gu_leaf["qweight"], gu_leaf["scales"],
+                       gu_leaf["zbias"])
+        w_down = dq(dn_leaf["qweight"], dn_leaf["scales"],
+                    dn_leaf["zbias"])
+        flat_experts = expert_ids.reshape(A)
+        order = jnp.argsort(flat_experts, stable=True)
+        token_of = order // top_k
+        group_sizes = jnp.bincount(flat_experts, length=NE)
+        xs = x[token_of]
+        h = jax.lax.ragged_dot(xs, w_gate_up, group_sizes)
+        h = silu_and_mul(h)
+        out = jax.lax.ragged_dot(h, w_down, group_sizes)
+        w_flat = weights.reshape(A)[order].astype(out.dtype)
+        out = out * w_flat[:, None]
+        return jnp.zeros((T, H), out.dtype).at[token_of].add(out)
+
+    from vllm_tpu.quant.pallas_moe import moe_align, moe_w4a16_matmul
+    bt = 16 if A <= 512 else 256
+    order, pos, emap, A_pad = moe_align(expert_ids, NE, top_k, bt)
+    token_of = order // top_k
+    xs_pad = jnp.zeros((A_pad, H), x.dtype).at[pos].set(x[token_of])
+    h = moe_w4a16_matmul(xs_pad, emap, gu_leaf["qweight"],
+                         gu_leaf["scales"], gu_leaf["zbias"], bt=bt)
+    h = silu_and_mul(h)  # [A_pad, I]
+    out_pad = moe_w4a16_matmul(h, emap, dn_leaf["qweight"],
+                               dn_leaf["scales"], dn_leaf["zbias"],
+                               bt=bt)
+    out = out_pad[pos]  # [A] sorted-assignment outputs
     w_flat = weights.reshape(A)[order].astype(out.dtype)
     out = out * w_flat[:, None]
     return jnp.zeros((T, H), out.dtype).at[token_of].add(out)

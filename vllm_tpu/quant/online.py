@@ -84,8 +84,36 @@ def quantize_params_online(params: dict, method: str) -> dict:
             else:
                 raise ValueError(f"unknown online method {method}")
             n += 1
+        # MoE expert stacks (WNA16 int4 only for now — ref analog:
+        # moe_wna16 / get_moe_quant_method, auto_gptq.py:73).
+        if method == "int4":
+            for name in ("w_gate_up", "w_down"):
+                w = layer.get(name)
+                if w is None or isinstance(w, dict):
+                    continue
+                layer[name] = _quantize_experts_int4(np.asarray(
+                    w, np.float32))
+                n += 1
     logger.info("online-quantized %d linear layers to %s", n, method)
     return params
+
+
+def _quantize_experts_int4(w: np.ndarray) -> dict:
+    """[NE, K, N] -> stacked WNA16 leaf (group-128 sym int4)."""
+    from vllm_tpu.quant.loader import make_device_leaf
+    from vllm_tpu.quant.ref import quantize_groupwise
+    qws, ss, zbs = [], [], []
+    for e in range(w.shape[0]):
+        q, s, z = quantize_groupwise(w[e], 4, 128, sym=True)
+        leaf = make_device_leaf(q, s, z, None, 4)
+        qws.append(leaf["qweight"])
+        ss.append(leaf["scales"])
+        zbs.append(leaf["zbias"])
+    return {
+        "qweight": jnp.asarray(np.stack(qws)),
+        "scales": jnp.asarray(np.stack(ss)),
+        "zbias": jnp.asarray(np.stack(zbs)),
+    }
 
 
 # -- activation-quantized matmuls (XLA; MXU-native int8/fp8 dots) ------
