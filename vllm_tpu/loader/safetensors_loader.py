@@ -55,8 +55,32 @@ def _iter_safetensors(model_path: str):
         files = [os.path.join(model_path, s) for s in shards]
     for fn in files:
         with safe_open(fn, framework="np") as f:
-            for name in f.keys():
-                yield name, f.get_tensor(name)
+            names = list(f.keys())
+            for name in names:
+                try:
+                    yield name, f.get_tensor(name)
+                except Exception:
+                    # dtypes numpy can't express natively (float8):
+                    # reread via torch and reinterpret with ml_dtypes.
+                    yield name, _get_tensor_torch(fn, name)
+
+
+def _get_tensor_torch(fn: str, name: str):
+    import ml_dtypes
+    import numpy as _np
+    import torch
+    from safetensors import safe_open as _so
+    _F8 = {
+        torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+        torch.float8_e5m2: ml_dtypes.float8_e5m2,
+    }
+    with _so(fn, framework="pt") as f:
+        t = f.get_tensor(name)
+    if t.dtype in _F8:
+        return t.view(torch.uint8).numpy().view(_F8[t.dtype])
+    if t.dtype == torch.bfloat16:
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return _np.asarray(t.numpy())
 
 
 def load_llama_params(

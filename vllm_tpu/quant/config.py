@@ -38,9 +38,45 @@ def detect_quant_config(model_path: str,
             lm_head_quantized=bool(qcfg.get("lm_head", False)),
             raw=qcfg,
         )
+    if fmt == "compressed-tensors":
+        return _parse_compressed_tensors(qcfg)
+    if fmt == "fp8" and qcfg:
+        # Checkpoint FP8 (scales serialized; ref: quantization/fp8.py).
+        # Bare "fp8" via method_hint stays the online shorthand below.
+        return QuantizationConfig(method="fp8_ckpt", bits=8, raw=qcfg)
     if fmt in ("fp8", "int8", "w8a8_int8", "int4"):
         # Online quantization shorthands (quantize at load).
         return QuantizationConfig(method=fmt,
                                   bits=4 if fmt == "int4" else 8,
                                   raw=qcfg)  # type: ignore[arg-type]
     raise ValueError(f"unsupported quantization method: {fmt}")
+
+
+def _parse_compressed_tensors(qcfg: dict) -> QuantizationConfig:
+    """llm-compressor config_groups -> scheme (ref:
+    compressed_tensors.py get_scheme; we support one uniform group)."""
+    groups = qcfg.get("config_groups") or {}
+    if not groups:
+        raise ValueError("compressed-tensors config without config_groups")
+    spec = next(iter(groups.values()))
+    w = spec.get("weights") or {}
+    bits = int(w.get("num_bits", 4))
+    wtype = w.get("type", "int")
+    strategy = w.get("strategy", "group")
+    sym = bool(w.get("symmetric", True))
+    group_size = int(w.get("group_size") or 0) or 128
+    fmt = qcfg.get("format", "")
+    acts = spec.get("input_activations")
+    if fmt == "pack-quantized" or (wtype == "int" and acts is None):
+        return QuantizationConfig(method="ct_wna16", bits=bits,
+                                  group_size=(group_size
+                                              if strategy == "group"
+                                              else 0),
+                                  sym=sym, raw=qcfg)
+    if wtype == "int":
+        return QuantizationConfig(method="ct_w8a8_int8", bits=8,
+                                  sym=sym, raw=qcfg)
+    if wtype == "float":
+        return QuantizationConfig(method="ct_fp8", bits=8, sym=True,
+                                  raw=qcfg)
+    raise ValueError(f"unsupported compressed-tensors scheme: {spec}")

@@ -36,7 +36,15 @@ _FUSE = {
     "self_attn.o_proj": ("o_proj", 0, 1),
     "mlp.down_proj": ("down_proj", 0, 1),
 }
-_QUANT_TENSORS = ("qweight", "qzeros", "scales", "g_idx")
+_QUANT_TENSORS = (
+    # GPTQ/AWQ/AutoRound
+    "qweight", "qzeros", "scales", "g_idx",
+    # compressed-tensors / fp8 checkpoints
+    "weight_packed", "weight_scale", "weight_zero_point", "weight_shape",
+    "weight_g_idx", "input_scale",
+)
+# Methods whose quantized tensor is plain "weight" (int8/float8 data).
+_WEIGHT_IS_QUANT = ("ct_w8a8_int8", "ct_fp8", "fp8_ckpt")
 
 
 def canonical_from_module(tensors: dict[str, np.ndarray],
@@ -56,7 +64,29 @@ def canonical_from_module(tensors: dict[str, np.ndarray],
         q, s, z = decode_awq(tensors["qweight"], tensors["qzeros"],
                              tensors["scales"], quant.bits)
         return q, s, z, None
+    if quant.method == "ct_wna16":
+        from vllm_tpu.quant.ct_format import decode_ct_wna16
+        wp = tensors["weight_packed"]
+        shape = tensors.get("weight_shape")
+        K = (int(shape[1]) if shape is not None else
+             wp.shape[1] * (32 // quant.bits))
+        return decode_ct_wna16(wp, tensors["weight_scale"],
+                               tensors.get("weight_zero_point"),
+                               quant.bits, K)
     raise ValueError(f"unsupported quant method {quant.method}")
+
+
+def module_leaf(tensors: dict[str, np.ndarray],
+                quant: QuantizationConfig) -> dict:
+    """Decode one module's checkpoint tensors into a device leaf
+    (numpy values; caller converts to jax)."""
+    if quant.method in _WEIGHT_IS_QUANT:
+        from vllm_tpu.quant.ct_format import decode_ct_w8
+        qw, wscale = decode_ct_w8(tensors["weight"],
+                                  tensors["weight_scale"])
+        return {"qweight": qw, "wscale": wscale}
+    q, s, z, perm = canonical_from_module(tensors, quant)
+    return make_device_leaf(q, s, z, perm, quant.bits)
 
 
 def make_device_leaf(qvals: np.ndarray, scales: np.ndarray,
@@ -93,7 +123,7 @@ def _concat_leaves(parts: list[dict]) -> dict:
                 "fused projections with differing g_idx permutations")
     out = {
         k: np.concatenate([p[k] for p in parts], axis=1)
-        for k in ("qweight", "scales", "zbias")
+        for k in parts[0] if k != "perm"
     }
     if "perm" in parts[0]:
         out["perm"] = parts[0]["perm"]
@@ -146,7 +176,9 @@ def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
             if mod not in _FUSE:
                 logger.warning("unmapped weight %s", name)
                 continue
-            if kind in _QUANT_TENSORS:
+            if kind in _QUANT_TENSORS or (
+                    kind == "weight"
+                    and quant.method in _WEIGHT_IS_QUANT):
                 staging.setdefault((li, mod), {})[kind] = w
             elif kind == "bias":
                 bias_staging[(li, mod, 0)] = w
@@ -160,8 +192,7 @@ def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
     fused_parts: dict[tuple[int, str], list] = {}
     for (li, mod), tensors in staging.items():
         leaf_name, slot, n_slots = _FUSE[mod]
-        q, s, z, perm = canonical_from_module(tensors, quant)
-        leaf = make_device_leaf(q, s, z, perm, quant.bits)
+        leaf = module_leaf(tensors, quant)
         fused_parts.setdefault((li, leaf_name), [None] * n_slots)[slot] = \
             leaf
 
@@ -169,14 +200,9 @@ def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
         assert all(p is not None for p in parts), (
             f"layer {li} {leaf_name}: missing quant parts")
         merged = _concat_leaves(parts)
-        leaf = {
-            "qweight": jnp.asarray(merged["qweight"]),
-            "scales": jnp.asarray(merged["scales"]),
-            "zbias": jnp.asarray(merged["zbias"]),
+        layers[li][leaf_name] = {
+            k: jnp.asarray(v) for k, v in merged.items()
         }
-        if "perm" in merged:
-            leaf["perm"] = jnp.asarray(merged["perm"])
-        layers[li][leaf_name] = leaf
 
     # Attach biases (qkv bias etc.).
     for (li, mod, _), b in bias_staging.items():
@@ -192,8 +218,7 @@ def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
                     leaf["bias"] = to_jax(np.concatenate(parts))
 
     if lm_head_staging and quant.lm_head_quantized:
-        q, s, z, perm = canonical_from_module(lm_head_staging, quant)
-        leaf = make_device_leaf(q, s, z, perm, quant.bits)
+        leaf = module_leaf(lm_head_staging, quant)
         params["lm_head"] = {k: jnp.asarray(v) for k, v in leaf.items()}
 
     return params
