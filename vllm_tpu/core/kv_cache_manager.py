@@ -41,11 +41,17 @@ class KVCacheManager:
         block_size: int,
         enable_caching: bool = True,
         hash_algo: str = "builtin",
+        sliding_window: Optional[int] = None,
     ) -> None:
         self.block_size = block_size
         self.enable_caching = enable_caching
         self.hash_algo = hash_algo
+        self.sliding_window = sliding_window
         self.block_pool = BlockPool(num_blocks, enable_caching)
+        # Per-request count of leading blocks already swapped for the
+        # null block (sliding window; ref analog: SlidingWindowManager
+        # remove_skipped_blocks, v1/core/single_type_kv_cache_manager.py).
+        self._num_nulled: dict[str, int] = {}
         # request_id -> blocks owned by that request (ordered).
         self.req_to_blocks: dict[str, list[KVCacheBlock]] = {}
         # request_id -> chained hashes of its full blocks (cached
@@ -117,6 +123,7 @@ class KVCacheManager:
         assert num_new_tokens > 0
         new_computed = new_computed_blocks.blocks if new_computed_blocks else []
         req_blocks = self.req_to_blocks.setdefault(request.request_id, [])
+        self._free_out_of_window(request, req_blocks)
 
         num_computed_tokens = (request.num_computed_tokens +
                                len(new_computed) * self.block_size)
@@ -165,11 +172,37 @@ class KVCacheManager:
                     request.request_id] = num_full_after
         return KVCacheBlocks(new_blocks)
 
+    def _free_out_of_window(self, request: Request,
+                            req_blocks: list[KVCacheBlock]) -> None:
+        """Sliding window: blocks whose every token sits below the
+        attention window of ALL future queries are swapped for the null
+        block and returned to the pool — bounded KV for long
+        generations (ref: SlidingWindowSpec kv_cache_interface.py:559,
+        SlidingWindowManager.remove_skipped_blocks). The decode kernel
+        independently skips those blocks (first_blk), and prefill masks
+        them, so stale worker block-table entries are never *used*."""
+        if self.sliding_window is None:
+            return
+        # Earliest kv position any future query (pos >= computed) can
+        # attend: computed - window + 1. Blocks fully below are dead.
+        boundary = request.num_computed_tokens - self.sliding_window + 1
+        n_dead = min(boundary // self.block_size, len(req_blocks))
+        start = self._num_nulled.get(request.request_id, 0)
+        if n_dead <= start:
+            return
+        null = self.block_pool.null_block
+        dead = [b for b in req_blocks[start:n_dead] if b is not null]
+        for i in range(start, n_dead):
+            req_blocks[i] = null
+        self.block_pool.free_blocks(list(reversed(dead)))
+        self._num_nulled[request.request_id] = n_dead
+
     def free(self, request: Request) -> None:
         """Release all blocks. Reverse order => sequence tails evict
         before shared prefixes."""
         blocks = self.req_to_blocks.pop(request.request_id, [])
         self.num_cached_blocks.pop(request.request_id, None)
+        self._num_nulled.pop(request.request_id, None)
         self.block_pool.free_blocks(list(reversed(blocks)))
 
     def free_block_hashes(self, request: Request) -> None:

@@ -44,6 +44,7 @@ class Scheduler:
             block_size=config.cache.block_size,
             enable_caching=config.cache.enable_prefix_caching,
             hash_algo=config.cache.prefix_caching_hash_algo,
+            sliding_window=config.model.sliding_window,
         )
 
         self.requests: dict[str, Request] = {}

@@ -52,11 +52,18 @@ class LLMEngine:
         num_blocks = self._determine_num_kv_blocks()
         # Guard: every request must be able to fit (a request needing
         # more blocks than the pool stalls the scheduler forever).
+        # Sliding-window models free out-of-window blocks, so the
+        # per-request requirement is bounded by the window (+ one block
+        # of slack for the partially-dead leading block).
         kv_capacity = (num_blocks - 1) * config.cache.block_size
-        if mc.max_model_len > kv_capacity:
+        per_req_need = mc.max_model_len
+        if mc.sliding_window is not None:
+            per_req_need = min(per_req_need,
+                               mc.sliding_window + config.cache.block_size)
+        if per_req_need > kv_capacity:
             raise ValueError(
-                f"max_model_len={mc.max_model_len} exceeds KV capacity "
-                f"{kv_capacity} tokens ({num_blocks} blocks x "
+                f"max per-request KV {per_req_need} tokens exceeds KV "
+                f"capacity {kv_capacity} tokens ({num_blocks} blocks x "
                 f"{config.cache.block_size}); lower max_model_len or "
                 f"raise num_kv_blocks/memory")
 
