@@ -174,3 +174,61 @@ def test_metrics_endpoint(tokenizer):
         assert "vllm_tpu:time_to_first_token_seconds_count 1" in text
 
     with_client(t, tokenizer)
+
+
+def test_lora_model_routing(tokenizer):
+    """model=<adapter> routes to the LoRA; /v1/models lists it;
+    /v1/load_lora_adapter registers dynamically."""
+    import numpy as np
+
+    from vllm_tpu.lora import from_arrays
+
+    rng = np.random.default_rng(5)
+    tensors = {}
+    for li in range(2):
+        tensors[(li, "q_proj")] = (
+            rng.standard_normal((64, 4)).astype(np.float32) * 0.3,
+            rng.standard_normal((4, 64)).astype(np.float32) * 0.3)
+    adapter = from_arrays("sql-lora", 4, 1.0, tensors)
+
+    async def t(client):
+        r = await client.get("/v1/models")
+        ids = [m["id"] for m in (await r.json())["data"]]
+        assert "sql-lora" in ids and "tiny" in ids
+        body = dict(prompt="a b c d e f", max_tokens=6, temperature=0.0,
+                    ignore_eos=True)
+        base = await (await client.post("/v1/completions",
+                                        json=body)).json()
+        lora = await (await client.post(
+            "/v1/completions", json=dict(body, model="sql-lora"))).json()
+        assert base["choices"][0]["text"] != lora["choices"][0]["text"]
+        # dynamic load: bad path errors cleanly
+        r = await client.post("/v1/load_lora_adapter",
+                              json={"lora_name": "x", "lora_path": "/nope"})
+        assert r.status == 400
+
+    async def main():
+        from aiohttp.test_utils import TestClient, TestServer
+        # Vocab must match the tokenizer or sampled ids decode to "".
+        vocab = len(tokenizer._tok)
+        cfg = EngineConfig(
+            model=ModelConfig(vocab_size=vocab, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=2,
+                              max_model_len=128, dtype="float32"),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=65),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=8),
+        )
+        cfg.model.eos_token_ids = []
+        llm = AsyncLLM(cfg, params=llama.random_params(cfg.model, seed=1),
+                       tokenizer=tokenizer)
+        try:
+            llm.add_lora("sql-lora", adapter=adapter)
+            app = OpenAIServer(llm, model_name="tiny").build_app()
+            async with TestClient(TestServer(app)) as client:
+                await t(client)
+        finally:
+            llm.shutdown()
+
+    run(main())

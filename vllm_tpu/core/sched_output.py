@@ -25,6 +25,7 @@ class NewRequestData:
     block_ids: list[int]
     num_computed_tokens: int
     sampling_params: "SamplingParams"
+    lora_name: "str | None" = None
 
 
 @dataclass

@@ -207,6 +207,7 @@ class Scheduler:
                                 request.request_id),
                             num_computed_tokens=request.num_computed_tokens,
                             sampling_params=request.sampling_params,
+                            lora_name=request.lora_name,
                         ))
                 else:
                     out.scheduled_new_reqs.append(
@@ -217,6 +218,7 @@ class Scheduler:
                                 request.request_id),
                             num_computed_tokens=request.num_computed_tokens,
                             sampling_params=request.sampling_params,
+                            lora_name=request.lora_name,
                         ))
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens

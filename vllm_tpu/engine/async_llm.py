@@ -98,11 +98,18 @@ class AsyncLLM:
     def _handle(self, item) -> None:
         kind, payload = item
         if kind == "add":
-            req_id, prompt, params = payload
+            req_id, prompt, params, lora_name = payload
             try:
-                self.engine.add_request(prompt, params, req_id)
-            except ValueError as e:
+                self.engine.add_request(prompt, params, req_id,
+                                        lora_name=lora_name)
+            except (ValueError, KeyError, AssertionError) as e:
                 self._emit_error(req_id, e)
+        elif kind == "add_lora":
+            name, path, adapter = payload
+            try:
+                self.engine.add_lora(name, path, adapter)
+            except Exception:  # noqa: BLE001 — log, keep serving
+                logger.exception("add_lora(%r) failed", name)
         elif kind == "abort":
             self.engine.abort_request(payload)
 
@@ -117,11 +124,34 @@ class AsyncLLM:
             self._loop.call_soon_threadsafe(q.put_nowait, err)
 
     # -- asyncio side -------------------------------------------------
+    def add_lora(self, name: str, path: Optional[str] = None,
+                 adapter=None) -> None:
+        """Register a LoRA adapter. Before the engine thread starts
+        this applies synchronously; afterwards it rides the request
+        queue (FIFO with generate(), so a subsequent request naming
+        the adapter sees it registered). Ref analog: AsyncLLM.add_lora
+        (vllm/v1/engine/async_llm.py)."""
+        if adapter is None:
+            # Parse the checkpoint here so bad paths fail the caller,
+            # not the engine thread.
+            from vllm_tpu.lora import load_peft_adapter
+            adapter = load_peft_adapter(name, path)
+        if not self._started:
+            self.engine.add_lora(name, adapter=adapter)
+        else:
+            self._new_requests.put(("add_lora", (name, None, adapter)))
+
+    @property
+    def lora_adapters(self) -> list[str]:
+        reg = self.engine.runner.lora_registry
+        return list(reg.adapters) if reg is not None else []
+
     async def generate(
         self,
         prompt: Union[str, list[int]],
         sampling_params: Optional[SamplingParams] = None,
         request_id: Optional[str] = None,
+        lora_name: Optional[str] = None,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Yields incremental RequestOutputs until finished."""
         self.start()
@@ -129,7 +159,7 @@ class AsyncLLM:
         req_id = request_id or f"async-{next(self._counter)}"
         out_q: asyncio.Queue = asyncio.Queue()
         self._request_queues[req_id] = out_q
-        self._new_requests.put(("add", (req_id, prompt, params)))
+        self._new_requests.put(("add", (req_id, prompt, params, lora_name)))
         # Wake the engine thread if it's blocked on the queue.
         try:
             while True:

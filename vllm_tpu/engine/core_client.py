@@ -37,12 +37,18 @@ class ZmqSyncClient:
         assert msg_type == proto.READY, msg_type
 
     def add_request(self, request_id: str, prompt_token_ids: list[int],
-                    params: SamplingParams, priority: int = 0) -> None:
+                    params: SamplingParams, priority: int = 0,
+                    lora_name: Optional[str] = None) -> None:
         self.input_sock.send(
             proto.encode(
                 proto.ADD,
                 proto.WireRequest.from_params(request_id, prompt_token_ids,
-                                              params, priority)))
+                                              params, priority, lora_name)))
+
+    def add_lora(self, name: str, path: str) -> None:
+        """Register a PEFT adapter on the remote engine core."""
+        self.input_sock.send(
+            proto.encode(proto.ADD_LORA, {"name": name, "path": path}))
 
     def abort_requests(self, request_ids: list[str]) -> None:
         self.input_sock.send(

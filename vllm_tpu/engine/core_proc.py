@@ -48,7 +48,10 @@ class EngineCoreProc:
                     self.engine.add_request(req.prompt_token_ids,
                                             req.to_sampling_params(),
                                             req.request_id,
-                                            priority=req.priority)
+                                            priority=req.priority,
+                                            lora_name=req.lora_name)
+                elif msg_type == proto.ADD_LORA:
+                    self.engine.add_lora(body["name"], body["path"])
                 elif msg_type == proto.ABORT:
                     self.engine.abort_request(body["request_ids"])
                     for rid in body["request_ids"]:

@@ -61,11 +61,19 @@ class LLM:
         self.engine = LLMEngine(engine_config, params=params,
                                 tokenizer=tokenizer, mesh=mesh)
 
+    def add_lora(self, name: str, path: Optional[str] = None,
+                 adapter=None) -> None:
+        """Register a LoRA adapter for use via generate(lora_name=...).
+        Ref analog: LLM.generate(lora_request=...) registration
+        (vllm/entrypoints/llm.py)."""
+        self.engine.add_lora(name, path, adapter)
+
     def generate(
         self,
         prompts: Union[str, Sequence[Union[str, list[int]]]],
         sampling_params: Optional[Union[SamplingParams,
                                         Sequence[SamplingParams]]] = None,
+        lora_name: Optional[str] = None,
     ) -> list[RequestOutput]:
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -86,7 +94,8 @@ class LLM:
                 child = sp if sp.n == 1 else dataclasses.replace(
                     sp, n=1,
                     seed=None if sp.seed is None else sp.seed + i)
-                fan.append(self.engine.add_request(prompt, child))
+                fan.append(self.engine.add_request(prompt, child,
+                                                   lora_name=lora_name))
             order.append(fan)
 
         finals: dict[str, RequestOutput] = {}

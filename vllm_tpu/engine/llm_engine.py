@@ -130,12 +130,31 @@ class LLMEngine:
         return min(want, cap)
 
     # -- API ----------------------------------------------------------
+    def add_lora(self, name: str, path: Optional[str] = None,
+                 adapter=None) -> int:
+        """Register a LoRA adapter (PEFT checkpoint dir, or an
+        in-memory LoRAAdapter). Ref analog: LLMEngine.add_lora /
+        LoRAModelManager (vllm/lora/model_manager.py)."""
+        from vllm_tpu.lora import LoRARegistry, load_peft_adapter
+        if self.runner.lora_registry is None:
+            reg = LoRARegistry(self.config.model.num_layers,
+                               model_config=self.config.model)
+        else:
+            reg = self.runner.lora_registry
+        if adapter is None:
+            assert path is not None, "need path or adapter"
+            adapter = load_peft_adapter(name, path)
+        slot = reg.add(adapter)
+        self.runner.set_lora_registry(reg)
+        return slot
+
     def add_request(
         self,
         prompt: Union[str, list[int]],
         params: Optional[SamplingParams] = None,
         request_id: Optional[str] = None,
         priority: int = 0,
+        lora_name: Optional[str] = None,
     ) -> str:
         params = params or SamplingParams()
         if request_id is None:
@@ -150,8 +169,16 @@ class LLMEngine:
         if (params.guided_choice or params.guided_regex
                 or params.guided_json is not None):
             params._grammar = self._get_grammar(params)  # type: ignore[attr-defined]
+        if lora_name is not None:
+            reg = self.runner.lora_registry
+            if reg is None:
+                raise ValueError("no LoRA adapters registered")
+            try:
+                reg.slot_of(lora_name)  # validate early
+            except KeyError as e:
+                raise ValueError(str(e)) from e
         request = Request(request_id, prompt_token_ids, params,
-                          priority=priority)
+                          priority=priority, lora_name=lora_name)
         self.scheduler.add_request(request)
         self.metrics.on_request_added(request_id, len(prompt_token_ids))
         self.output_processor.add_request(request_id, prompt_text,

@@ -25,6 +25,9 @@ from vllm_tpu.sample.params import SamplingParams
 # Message types
 ADD = "add"
 ABORT = "abort"
+# Dynamic LoRA registration (ref analog: vllm's add_lora RPC on the
+# engine-core boundary, v1/engine/core.py add_lora handler).
+ADD_LORA = "add_lora"
 OUTPUTS = "out"
 READY = "ready"
 SHUTDOWN = "shutdown"
@@ -41,16 +44,18 @@ class WireRequest:
     prompt_token_ids: list[int]
     sampling: dict[str, Any] = field(default_factory=dict)
     priority: int = 0
+    lora_name: Optional[str] = None
 
     def to_sampling_params(self) -> SamplingParams:
         return SamplingParams(**self.sampling)
 
     @staticmethod
     def from_params(request_id: str, prompt_token_ids: list[int],
-                    params: SamplingParams,
-                    priority: int = 0) -> "WireRequest":
+                    params: SamplingParams, priority: int = 0,
+                    lora_name: Optional[str] = None) -> "WireRequest":
         return WireRequest(request_id, list(prompt_token_ids),
-                           dataclasses.asdict(params), priority)
+                           dataclasses.asdict(params), priority,
+                           lora_name)
 
 
 @dataclass

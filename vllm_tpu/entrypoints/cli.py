@@ -57,6 +57,13 @@ def cmd_serve(args) -> None:
     if config.parallel.world_size > 1:
         mesh = make_mesh(config.parallel)
     async_llm = AsyncLLM(config, mesh=mesh)
+    # Register static adapters before warmup so the warmed programs
+    # already carry the LoRA stacks (adding one later recompiles).
+    for spec in args.lora_modules or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--lora-modules wants name=path, got {spec!r}")
+        async_llm.add_lora(name, path)
     if not args.no_warmup:
         async_llm.engine.warmup()
 
@@ -132,6 +139,10 @@ def main(argv=None) -> None:
     serve_p.add_argument("--port", type=int, default=8000)
     serve_p.add_argument("--served-model-name", default=None)
     serve_p.add_argument("--no-warmup", action="store_true")
+    serve_p.add_argument(
+        "--lora-modules", nargs="+", default=None, metavar="NAME=PATH",
+        help="static LoRA adapters to serve (PEFT checkpoint dirs); "
+        "select per-request via the OpenAI 'model' field")
     serve_p.set_defaults(fn=cmd_serve)
 
     bench_p = sub.add_parser("bench", help="run benchmarks")

@@ -61,9 +61,23 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
 class OpenAIServer:
 
     def __init__(self, async_llm: AsyncLLM,
-                 model_name: str = "vllm-tpu-model") -> None:
+                 model_name: str = "vllm-tpu-model",
+                 lora_modules: Optional[dict[str, str]] = None) -> None:
         self.llm = async_llm
         self.model_name = model_name
+        # name -> path; registered eagerly so the first request pays no
+        # stack-build latency (ref analog: --lora-modules,
+        # vllm/entrypoints/openai/serving_models.py LoRAModulePath).
+        for name, path in (lora_modules or {}).items():
+            self.llm.add_lora(name, path)
+
+    def _route_model(self, body: dict) -> Optional[str]:
+        """OpenAI `model` routing: a registered adapter name selects
+        that LoRA (ref analog: serving_engine._maybe_get_adapters)."""
+        model = body.get("model")
+        if model and model in self.llm.lora_adapters:
+            return model
+        return None
 
     # -- routes -------------------------------------------------------
     def build_app(self) -> web.Application:
@@ -73,6 +87,7 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         return app
 
     async def health(self, request: web.Request) -> web.Response:
@@ -85,15 +100,35 @@ class OpenAIServer:
                             charset="utf-8")
 
     async def models(self, request: web.Request) -> web.Response:
-        return web.json_response({
-            "object": "list",
-            "data": [{
-                "id": self.model_name,
-                "object": "model",
-                "created": int(time.time()),
-                "owned_by": "vllm_tpu",
-            }],
-        })
+        now = int(time.time())
+        data = [{
+            "id": self.model_name,
+            "object": "model",
+            "created": now,
+            "owned_by": "vllm_tpu",
+        }]
+        data += [{
+            "id": name,
+            "object": "model",
+            "created": now,
+            "owned_by": "vllm_tpu",
+            "parent": self.model_name,
+        } for name in self.llm.lora_adapters]
+        return web.json_response({"object": "list", "data": data})
+
+    async def load_lora(self, request: web.Request) -> web.Response:
+        """Dynamic adapter registration (ref analog: the
+        /v1/load_lora_adapter route, vllm api_server.py)."""
+        body = await request.json()
+        name, path = body.get("lora_name"), body.get("lora_path")
+        if not name or not path:
+            return _err("need 'lora_name' and 'lora_path'")
+        try:
+            self.llm.add_lora(name, path)
+        except Exception as e:  # noqa: BLE001 — surface to client
+            return _err(f"failed to load adapter: {e}", 400)
+        return web.json_response(
+            {"status": "ok", "lora_name": name})
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
@@ -103,11 +138,13 @@ class OpenAIServer:
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
             prompt = prompt[0]  # batch-of-one only for now
         params = _sampling_params_from(body)
+        lora = self._route_model(body)
         req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await self._stream(request, req_id, prompt, params,
-                                      chat=False)
-        return await self._complete(req_id, prompt, params, chat=False)
+                                      chat=False, lora_name=lora)
+        return await self._complete(req_id, prompt, params, chat=False,
+                                    lora_name=lora)
 
     async def chat_completions(self,
                                request: web.Request) -> web.StreamResponse:
@@ -127,17 +164,21 @@ class OpenAIServer:
             prompt = "".join(f"{m['role']}: {m['content']}\n"
                              for m in messages) + "assistant:"
         params = _sampling_params_from(body)
+        lora = self._route_model(body)
         req_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
             return await self._stream(request, req_id, prompt, params,
-                                      chat=True)
-        return await self._complete(req_id, prompt, params, chat=True)
+                                      chat=True, lora_name=lora)
+        return await self._complete(req_id, prompt, params, chat=True,
+                                    lora_name=lora)
 
     # -- impl ---------------------------------------------------------
     async def _complete(self, req_id: str, prompt, params: SamplingParams,
-                        chat: bool) -> web.Response:
+                        chat: bool,
+                        lora_name: Optional[str] = None) -> web.Response:
         final = None
-        async for out in self.llm.generate(prompt, params, req_id):
+        async for out in self.llm.generate(prompt, params, req_id,
+                                           lora_name=lora_name):
             final = out
         assert final is not None
         c = final.outputs[0]
@@ -170,8 +211,8 @@ class OpenAIServer:
         return web.json_response(payload)
 
     async def _stream(self, request: web.Request, req_id: str, prompt,
-                      params: SamplingParams,
-                      chat: bool) -> web.StreamResponse:
+                      params: SamplingParams, chat: bool,
+                      lora_name: Optional[str] = None) -> web.StreamResponse:
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -180,7 +221,8 @@ class OpenAIServer:
         sent_text = 0
         obj = "chat.completion.chunk" if chat else "text_completion"
         try:
-            async for out in self.llm.generate(prompt, params, req_id):
+            async for out in self.llm.generate(prompt, params, req_id,
+                                               lora_name=lora_name):
                 c = out.outputs[0]
                 delta = c.text[sent_text:]
                 sent_text = len(c.text)
@@ -232,8 +274,9 @@ def _err(msg: str, status: int = 400) -> web.Response:
 
 
 async def serve(async_llm: AsyncLLM, host: str = "0.0.0.0",
-                port: int = 8000, model_name: str = "vllm-tpu-model"):
-    server = OpenAIServer(async_llm, model_name)
+                port: int = 8000, model_name: str = "vllm-tpu-model",
+                lora_modules: Optional[dict[str, str]] = None):
+    server = OpenAIServer(async_llm, model_name, lora_modules)
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()

@@ -44,6 +44,17 @@ from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.metadata import AttentionMetadata
 
 
+def _lora_linear(layer: dict, name: str, x: jax.Array,
+                 lora: dict | None, lora_idx) -> jax.Array:
+    """linear() + batched multi-LoRA delta when adapters target this
+    leaf (ref analog: the LoRA layer wrappers, vllm lora/layers/)."""
+    out = linear(layer[name], x)
+    if lora is not None and name in lora:
+        from vllm_tpu.ops.lora import lora_apply
+        out = lora_apply(x, out, lora[name], lora_idx)
+    return out
+
+
 def _attention(
     cfg: ModelConfig,
     layer: dict,
@@ -53,11 +64,13 @@ def _attention(
     kv_cache: jax.Array,
     meta: AttentionMetadata,
     q_blk: int,
+    lora: dict | None = None,
+    lora_idx=None,
 ) -> tuple[jax.Array, jax.Array]:
     T = x.shape[0]
     H, KH, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    qkv = linear(layer["qkv_proj"], x)  # [T, (H+2KH)*D]
+    qkv = _lora_linear(layer, "qkv_proj", x, lora, lora_idx)
     q, k, v = jnp.split(qkv, [H * D, (H + KH) * D], axis=-1)
     q = q.reshape(T, H, D)
     k = k.reshape(T, KH, D)
@@ -79,7 +92,8 @@ def _attention(
             q, k, v, kv_cache, meta.block_tables, meta.seq_lens,
             sm_scale=float(D**-0.5), sliding_window=cfg.sliding_window,
             logit_softcap=None)
-        return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
+        return _lora_linear(layer, "o_proj", out.reshape(T, H * D),
+                            lora, lora_idx), kv_cache
 
     # Write-through first, then attend over the whole [0, seq_len)
     # prefix from the cache — current tokens included (unified
@@ -96,12 +110,15 @@ def _attention(
         sliding_window=cfg.sliding_window,
         q_blk=q_blk,
     )
-    return linear(layer["o_proj"], out.reshape(T, H * D)), kv_cache
+    return _lora_linear(layer, "o_proj", out.reshape(T, H * D), lora,
+                        lora_idx), kv_cache
 
 
-def _mlp(layer: dict, x: jax.Array) -> jax.Array:
-    return linear(layer["down_proj"],
-                  silu_and_mul(linear(layer["gate_up_proj"], x)))
+def _mlp(layer: dict, x: jax.Array, lora: dict | None = None,
+         lora_idx=None) -> jax.Array:
+    h = silu_and_mul(_lora_linear(layer, "gate_up_proj", x, lora,
+                                  lora_idx))
+    return _lora_linear(layer, "down_proj", h, lora, lora_idx)
 
 
 def forward(
@@ -112,21 +129,38 @@ def forward(
     kv_caches: list[jax.Array],
     meta: AttentionMetadata,
     q_blk: int = 128,  # static: attention kernel query-window rows
+    lora: dict | None = None,  # {leaf_name: stack} per layer list
+    lora_idx=None,  # [T] adapter slot per token row
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Returns (hidden_states [T, E], updated kv_caches)."""
     x = params["embed_tokens"]["weight"][input_ids]
     cos, sin = rope_cos_sin(positions, cfg)
     new_caches = []
     for i, layer in enumerate(params["layers"]):
+        llora = lora[i] if lora is not None else None
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         attn_out, kvc = _attention(cfg, layer, h, cos, sin, kv_caches[i],
-                                   meta, q_blk)
+                                   meta, q_blk, llora, lora_idx)
         new_caches.append(kvc)
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, llora, lora_idx)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_caches
+
+
+def _lm_head_matmul(hidden: jax.Array, w: jax.Array) -> jax.Array:
+    """Dense LM head. Decode shapes stream the [E, V] weight through
+    the Pallas matmul (XLA's dense dot reaches ~30% HBM BW at T<=64);
+    prefill gathers only sampled rows first so T is small too, but
+    large-T fallbacks stay on XLA."""
+    from vllm_tpu.ops.dispatch import attention_backend
+    T, K = hidden.shape
+    if (attention_backend() == "pallas" and T <= 64 and K % 512 == 0
+            and w.shape[1] % 128 == 0):
+        from vllm_tpu.ops.pallas.matmul import decode_matmul
+        return decode_matmul(hidden, w, out_dtype=jnp.float32)
+    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
 
 
 def compute_logits(params: dict, cfg: ModelConfig,
@@ -143,8 +177,7 @@ def compute_logits(params: dict, cfg: ModelConfig,
         if "qweight" in lm_head:
             logits = linear(lm_head, hidden).astype(jnp.float32)
         else:
-            logits = jnp.dot(hidden, lm_head["weight"],
-                             preferred_element_type=jnp.float32)
+            logits = _lm_head_matmul(hidden, lm_head["weight"])
     if cfg.logit_softcap is not None:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
     return logits

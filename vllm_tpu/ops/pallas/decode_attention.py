@@ -4,23 +4,27 @@ KV-cache write (1 query token per row).
 Decode-specific redesigns over the ragged kernel
 (ragged_attention.py):
 
-1. **Whole-block DMAs + deep ring.** Decode is DMA-latency-bound; one
-   copy per KV block brings a whole head-group slice ([2*HG, bs, Dp]
-   contiguous in the head-major layout) through a 4-deep ring of
-   in-flight copies. q/out ride BlockSpecs (pallas pipelines them
-   across the grid).
-2. **Fused KV write-through.** The cache rides through
+1. **Row-batched programs + interleaved DMA rings.** Decode is
+   DMA-latency-bound; each program owns RB request rows and issues
+   their block copies through one interleaved ring, so the stream of
+   in-flight copies never drains at row boundaries (measured 4.0 ->
+   3.1 ms/step at 8B bs32 from this alone).
+2. **Multi-block supersteps (F).** Each ring slot carries F=4 KV
+   blocks, so the per-head score/value dots run at [G, Dp] x [Dp,
+   F*bs] instead of F tiny [.., bs] dots — decode flash math was
+   small-dot-overhead-bound (together with RB: 4.0 -> 1.1 ms/step).
+3. **Fused KV write-through.** The cache rides through
    ``input_output_aliases`` (true in-place); each program *injects* its
    new K/V row into the streamed VMEM tile of the row's current block
    (mask select — no dynamic sublane indexing) and DMAs the modified
    K/V tiles back. This removes the separate XLA scatter, whose
    output-feeds-custom-call pattern forced a full cache copy per layer
    (~4ms/iter at 1.1B).
-3. **Head-group grid dimension.** The grid is (R, KH // HG): each
-   program owns HG kv heads (a *static* unroll bounded at HG <= 8), so
-   MHA models (KH = 32, e.g. Llama-2-7B) compile — the old whole-KH
-   unroll blew up Mosaic code size. Programs touching the same block
-   write disjoint head slices, so the fused write stays race-free.
+4. **Head-group grid dimension.** The grid is (R/RB, KH // HG): each
+   program owns HG kv heads (a *static* unroll bounded so MHA models
+   (KH = 32, e.g. Llama-2-7B) compile — the old whole-KH unroll blew
+   up Mosaic code size). Programs touching the same block write
+   disjoint head slices, so the fused write stays race-free.
 
 Decode causality is free: the single query sits at seq_len-1, so the
 only mask is kv_pos < seq_len (which includes the just-written token).
@@ -42,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_tpu.ops.kv_cache import (LANE, QuantKV, quant_max,
                                    scale_planes)
 
-RING = 4  # in-flight KV-block DMAs per program
+RING = 4  # in-flight superstep slots per program
+F_BLOCKS = 4  # KV blocks per superstep (bf16 kernel)
 MAX_HG = 8  # max kv heads statically unrolled per program
+MAX_UNROLL = 32  # bound on RB * HG (Mosaic code size)
 
 
 def _pick_head_group(KH: int, aligned: bool = False) -> int:
@@ -60,93 +66,127 @@ def _pick_head_group(KH: int, aligned: bool = False) -> int:
     return 1
 
 
+def _pick_row_batch(R: int, HG: int) -> int:
+    for rb in (4, 2, 1):
+        if R % rb == 0 and rb * HG <= MAX_UNROLL:
+            return rb
+    return 1
+
+
 def _kernel(
     # scalar prefetch
     seq_lens_ref,  # [R] SMEM
     bt_ref,  # [R, max_blocks] SMEM
     # inputs
-    q_ref,  # [1, HG*G, Dp] VMEM block (this row's query, this group)
-    new_kv_ref,  # [1, 2*HG, Dp] VMEM block (new K/V rows, this group)
+    q_ref,  # [RB, HG*G, Dp] VMEM block (row-batch queries, this group)
+    new_kv_ref,  # [RB, 2*HG, Dp] VMEM block (new K/V rows, this group)
     kv_hbm,  # [num_blocks, 2*KH, bs, Dp] HBM (aliased to output)
     # outputs
-    o_ref,  # [1, HG*G, Dp] VMEM block
+    o_ref,  # [RB, HG*G, Dp] VMEM block
     kv_out,  # aliased kv_hbm
     # scratch
-    kv_buf,  # [RING, 2*HG, bs, Dp] VMEM
-    sems,  # DMA sems [RING]
+    kv_buf,  # [RING, 2*HG, F*bs, Dp] VMEM
+    sems,  # DMA sems [RING, F]
     wsem,  # write-back sem
     *,
     sm_scale: float,
     block_size: int,
     HG: int,
     G: int,
+    RB: int,
+    F: int,
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
 ):
-    r = pl.program_id(0)
+    t = pl.program_id(0)
     hg = pl.program_id(1)
     head0 = hg * 2 * HG  # first kv-plane slot of this head group
-    seq_len = seq_lens_ref[r]
-    nblk = pl.cdiv(seq_len, block_size)
-    # Sliding window: blocks fully below the window are skipped.
-    first_blk = (jnp.maximum(seq_len - sliding_window, 0) // block_size
-                 if sliding_window is not None else 0)
-    last_blk = jnp.maximum(nblk - 1, 0)
-    off = (seq_len - 1) % block_size
+    row0 = t * RB
+    FS = F * block_size
+    seq_lens = [seq_lens_ref[row0 + r] for r in range(RB)]
+    niters = [pl.cdiv(s, FS) for s in seq_lens]
+    nit_max = functools.reduce(jnp.maximum, niters)
+    first = 0
+    if sliding_window is not None:
+        # Supersteps fully below every row's window are skipped; the
+        # per-row mask trims the rest.
+        firsts = [jnp.maximum(s - sliding_window, 0) // FS
+                  for s in seq_lens]
+        first = functools.reduce(jnp.minimum, firsts)
+    last_blks = [jnp.maximum(pl.cdiv(s, block_size) - 1, 0)
+                 for s in seq_lens]
+    offs = [(s - 1) % block_size for s in seq_lens]
     D = q_ref.shape[-1]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
 
-    def dma(slot, i):
-        bidx = jnp.minimum(i, max_blocks - 1)
-        return pltpu.make_async_copy(
-            kv_hbm.at[bt_ref[r, bidx], pl.ds(head0, 2 * HG)],
-            kv_buf.at[slot], sems.at[slot])
+    def dmas(slot, p):
+        """F block copies for superstep p (= iter * RB + r)."""
+        it = p // RB
+        r = p % RB
+        cps = []
+        for f in range(F):
+            blk = it * F + f
+            bidx = jnp.minimum(blk, max_blocks - 1)
+            bid = bt_ref[row0 + r, bidx]
+            cps.append(pltpu.make_async_copy(
+                kv_hbm.at[bid, pl.ds(head0, 2 * HG)],
+                kv_buf.at[slot, :, pl.ds(f * block_size, block_size), :],
+                sems.at[slot, f]))
+        return cps
 
-    @pl.when(seq_len > 0)
-    def _():
-        # Prime the ring; slot = absolute block index mod RING so the
-        # body (which starts at first_blk) waits on matching slots.
-        for p in range(RING):
-            @pl.when(first_blk + p < nblk)
-            def _(p=p):
-                dma((first_blk + p) % RING, first_blk + p).start()
+    def start(slot, p):
+        for cp in dmas(slot, p):
+            cp.start()
 
-        row_sel = (jax.lax.broadcasted_iota(jnp.int32,
-                                            (block_size, 1), 0) == off)
+    def wait(slot, p):
+        for cp in dmas(slot, p):
+            cp.wait()
 
-        def body(i, carry):
-            slot = i % RING
-            dma(slot, i).wait()
+    total = nit_max * RB
+    p0 = first * RB
+    for k in range(RING):
+        @pl.when(p0 + k < total)
+        def _(k=k):
+            start((p0 + k) % RING, p0 + k)
+
+    def body(it, carry):
+        nc = list(carry)
+        for r in range(RB):
+            p = it * RB + r
+            slot_h = p % RING
+            wait(slot_h, p)
 
             # Inject this row's new K/V into its current block's tile
             # (mask select over the sublane dim) and write it back.
-            @pl.when(i == last_blk)
-            def _():
+            @pl.when((it == last_blks[r] // F) & (seq_lens[r] > 0))
+            def _(r=r, slot=slot_h):
+                sub = pl.ds((last_blks[r] % F) * block_size, block_size)
                 for hs in range(2 * HG):
-                    tile = kv_buf[slot, hs]  # [bs, Dp]
-                    new_row = new_kv_ref[0, hs, :][None, :]
-                    kv_buf[slot, hs] = jnp.where(row_sel, new_row, tile)
+                    tile = kv_buf[slot, hs, sub, :]
+                    new_row = new_kv_ref[r, hs, :][None, :]
+                    kv_buf[slot, hs, sub, :] = jnp.where(
+                        row_iota == offs[r], new_row, tile)
                 wb = pltpu.make_async_copy(
-                    kv_buf.at[slot],
-                    kv_out.at[bt_ref[r, last_blk], pl.ds(head0, 2 * HG)],
-                    wsem)
+                    kv_buf.at[slot, :, sub, :],
+                    kv_out.at[bt_ref[row0 + r, last_blks[r]],
+                              pl.ds(head0, 2 * HG)], wsem)
                 wb.start()
                 wb.wait()
 
-            kv_pos = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_size), 1)
-            mask = kv_pos < seq_len  # [1, bs]
+            kv_pos = it * FS + jax.lax.broadcasted_iota(
+                jnp.int32, (1, FS), 1)
+            mask = kv_pos < seq_lens[r]
             if sliding_window is not None:
                 # decode query position is seq_len - 1
-                mask &= kv_pos > seq_len - 1 - sliding_window
-            new_carry = []
+                mask &= kv_pos > seq_lens[r] - 1 - sliding_window
             for h in range(HG):
-                m, l, acc = carry[h]
-                q_h = q_ref[0, h * G:(h + 1) * G, :]  # [G, Dp]
+                m, l, acc = nc[r * HG + h]
+                q_h = q_ref[r, h * G:(h + 1) * G, :]  # [G, Dp]
                 # Upcast quantized (fp8) caches at the VMEM boundary
                 # (ref analog: _cast_kv_tile in-kernel dequant).
-                k = kv_buf[slot, 2 * h].astype(q_h.dtype)  # [bs, Dp]
-                v = kv_buf[slot, 2 * h + 1].astype(q_h.dtype)
+                k = kv_buf[slot_h, 2 * h].astype(q_h.dtype)  # [FS, Dp]
+                v = kv_buf[slot_h, 2 * h + 1].astype(q_h.dtype)
                 s = jax.lax.dot_general(
                     q_h, k, (((1, ), (1, )), ((), ())),
                     preferred_element_type=jnp.float32) * sm_scale
@@ -162,27 +202,23 @@ def _kernel(
                     p_.astype(q_h.dtype), v.astype(q_h.dtype),
                     (((1, ), (0, )), ((), ())),
                     preferred_element_type=jnp.float32)
-                new_carry.append((m_new, l_new, acc_new))
+                nc[r * HG + h] = (m_new, l_new, acc_new)
 
-            @pl.when(i + RING < nblk)
-            def _():
-                dma(slot, i + RING).start()
+            @pl.when(p + RING < total)
+            def _(slot=slot_h, p=p):
+                start(slot, p + RING)
+        return tuple(nc)
 
-            return tuple(new_carry)
-
-        init = tuple(
-            (jnp.full((G, 1), -1e30, jnp.float32),
-             jnp.zeros((G, 1), jnp.float32),
-             jnp.zeros((G, D), jnp.float32)) for _ in range(HG))
-        final = jax.lax.fori_loop(first_blk, nblk, body, init)
+    init = tuple(
+        (jnp.full((G, 1), -1e30, jnp.float32),
+         jnp.zeros((G, 1), jnp.float32),
+         jnp.zeros((G, D), jnp.float32)) for _ in range(RB * HG))
+    final = jax.lax.fori_loop(first, nit_max, body, init)
+    for r in range(RB):
         for h in range(HG):
-            m, l, acc = final[h]
+            m, l, acc = final[r * HG + h]
             out = acc / jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
-
-    @pl.when(seq_len <= 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+            o_ref[r, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
 
 
 def _qkernel(
@@ -190,12 +226,12 @@ def _qkernel(
     seq_lens_ref,  # [R] SMEM
     bt_ref,  # [R, max_blocks] SMEM
     # inputs
-    q_ref,  # [1, HG*G, Dp] VMEM block
-    new_kv_ref,  # [1, 2*HG, Dp] VMEM block (float, unquantized)
+    q_ref,  # [RB, HG*G, Dp] VMEM block
+    new_kv_ref,  # [RB, 2*HG, Dp] VMEM block (float, unquantized)
     kv_hbm,  # [num_blocks, 2*KH, bs, Dp] int8/fp8 (aliased)
     sc_hbm,  # [num_blocks, SP2, LANE] f32 (aliased)
     # outputs
-    o_ref,  # [1, HG*G, Dp] VMEM block
+    o_ref,  # [RB, HG*G, Dp] VMEM block
     kv_out,  # aliased kv_hbm
     sc_out,  # aliased sc_hbm
     # scratch
@@ -208,16 +244,18 @@ def _qkernel(
     block_size: int,
     HG: int,
     G: int,
+    RB: int,
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
 ):
-    """Per-token-head quantized variant of _kernel: K-scales multiply
-    score columns, V-scales multiply prob columns (both lane-resident —
-    zero relayouts); the fused write quantizes the new row in-kernel
-    with the same round-half-up rule as ops/kv_cache.quantize_rows.
-    Ref analog: int4_per_token_head.py store+attend pair."""
-    r = pl.program_id(0)
+    """Per-token-head quantized variant of _kernel (one block per ring
+    slot): K-scales multiply score columns, V-scales multiply prob
+    columns (both lane-resident — zero relayouts); the fused write
+    quantizes the new row in-kernel with the same round-half-up rule as
+    ops/kv_cache.quantize_rows. Ref analog: int4_per_token_head.py
+    store+attend pair."""
+    t = pl.program_id(0)
     hg = pl.program_id(1)
     HG2 = 2 * HG
     SL = s_buf.shape[1]
@@ -225,19 +263,29 @@ def _qkernel(
     # Scale-plane slice start: when the group covers all heads the
     # whole padded plane rides along (SL >= 2*KH); else SL == 2*HG.
     s_head0 = hg * SL
-    seq_len = seq_lens_ref[r]
-    nblk = pl.cdiv(seq_len, block_size)
-    first_blk = (jnp.maximum(seq_len - sliding_window, 0) // block_size
-                 if sliding_window is not None else 0)
-    last_blk = jnp.maximum(nblk - 1, 0)
-    off = (seq_len - 1) % block_size
+    row0 = t * RB
+    seq_lens = [seq_lens_ref[row0 + r] for r in range(RB)]
+    nblks = [pl.cdiv(s, block_size) for s in seq_lens]
+    nblk_max = functools.reduce(jnp.maximum, nblks)
+    first = 0
+    if sliding_window is not None:
+        firsts = [jnp.maximum(s - sliding_window, 0) // block_size
+                  for s in seq_lens]
+        first = functools.reduce(jnp.minimum, firsts)
+    last_blks = [jnp.maximum(nb - 1, 0) for nb in nblks]
+    offs = [(s - 1) % block_size for s in seq_lens]
     D = q_ref.shape[-1]
     qdtype = kv_buf.dtype
     qmax = quant_max(qdtype)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_buf.shape[-1]),
+                                        1)
 
-    def dmas(slot, i):
-        bidx = jnp.minimum(i, max_blocks - 1)
-        bid = bt_ref[r, bidx]
+    def dmas(slot, p):
+        blk = p // RB
+        r = p % RB
+        bidx = jnp.minimum(blk, max_blocks - 1)
+        bid = bt_ref[row0 + r, bidx]
         kv_cp = pltpu.make_async_copy(
             kv_hbm.at[bid, pl.ds(head0, HG2)], kv_buf.at[slot],
             sems.at[slot, 0])
@@ -246,36 +294,34 @@ def _qkernel(
             sems.at[slot, 1])
         return kv_cp, s_cp
 
-    def start(slot, i):
-        for cp in dmas(slot, i):
+    def start(slot, p):
+        for cp in dmas(slot, p):
             cp.start()
 
-    def wait(slot, i):
-        for cp in dmas(slot, i):
+    def wait(slot, p):
+        for cp in dmas(slot, p):
             cp.wait()
 
-    @pl.when(seq_len > 0)
-    def _():
-        for p in range(RING):
-            @pl.when(first_blk + p < nblk)
-            def _(p=p):
-                start((first_blk + p) % RING, first_blk + p)
+    total = nblk_max * RB
+    p0 = first * RB
+    for k in range(RING):
+        @pl.when(p0 + k < total)
+        def _(k=k):
+            start((p0 + k) % RING, p0 + k)
 
-        row_sel = (jax.lax.broadcasted_iota(jnp.int32,
-                                            (block_size, 1), 0) == off)
-        col_sel = (jax.lax.broadcasted_iota(jnp.int32,
-                                            (1, s_buf.shape[-1]), 1) == off)
-
-        def body(i, carry):
-            slot = i % RING
-            wait(slot, i)
+    def body(i, carry):
+        nc = list(carry)
+        for r in range(RB):
+            p = i * RB + r
+            slot_h = p % RING
+            wait(slot_h, p)
 
             # Quantize + inject this row's new K/V into the current
             # block's tiles (data + scale), write both back.
-            @pl.when(i == last_blk)
-            def _():
+            @pl.when((i == last_blks[r]) & (seq_lens[r] > 0))
+            def _(r=r, slot=slot_h):
                 for hs in range(HG2):
-                    rowf = new_kv_ref[0, hs, :][None, :].astype(
+                    rowf = new_kv_ref[r, hs, :][None, :].astype(
                         jnp.float32)  # [1, Dp]
                     amax = jnp.max(jnp.abs(rowf), axis=1, keepdims=True)
                     scale = amax / qmax  # [1, 1]
@@ -289,11 +335,12 @@ def _qkernel(
                     else:
                         qrow = scaled.astype(qdtype)
                     tile = kv_buf[slot, hs]  # [bs, Dp]
-                    kv_buf[slot, hs] = jnp.where(row_sel, qrow, tile)
+                    kv_buf[slot, hs] = jnp.where(row_iota == offs[r],
+                                                 qrow, tile)
                     srow = s_buf[slot, hs:hs + 1, :]  # [1, LANE]
                     s_buf[slot, hs:hs + 1, :] = jnp.where(
-                        col_sel, scale, srow)
-                bid = bt_ref[r, last_blk]
+                        col_iota == offs[r], scale, srow)
+                bid = bt_ref[row0 + r, last_blks[r]]
                 wb = pltpu.make_async_copy(
                     kv_buf.at[slot], kv_out.at[bid, pl.ds(head0, HG2)],
                     wsem.at[0])
@@ -307,23 +354,23 @@ def _qkernel(
 
             kv_pos = i * block_size + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_size), 1)
-            mask = kv_pos < seq_len  # [1, bs]
+            mask = kv_pos < seq_lens[r]
             if sliding_window is not None:
-                mask &= kv_pos > seq_len - 1 - sliding_window
-            new_carry = []
+                mask &= kv_pos > seq_lens[r] - 1 - sliding_window
             for h in range(HG):
-                m, l, acc = carry[h]
-                q_h = q_ref[0, h * G:(h + 1) * G, :].astype(jnp.float32)
+                m, l, acc = nc[r * HG + h]
+                q_h = q_ref[r, h * G:(h + 1) * G, :].astype(jnp.float32)
                 if qdtype == jnp.int8:
-                    k = kv_buf[slot, 2 * h].astype(jnp.int32).astype(
+                    k = kv_buf[slot_h, 2 * h].astype(jnp.int32).astype(
                         jnp.float32)
-                    v = kv_buf[slot, 2 * h + 1].astype(jnp.int32).astype(
-                        jnp.float32)
+                    v = kv_buf[slot_h,
+                               2 * h + 1].astype(jnp.int32).astype(
+                                   jnp.float32)
                 else:
-                    k = kv_buf[slot, 2 * h].astype(jnp.float32)
-                    v = kv_buf[slot, 2 * h + 1].astype(jnp.float32)
-                s_k = s_buf[slot, 2 * h:2 * h + 1, :block_size]  # [1,bs]
-                s_v = s_buf[slot, 2 * h + 1:2 * h + 2, :block_size]
+                    k = kv_buf[slot_h, 2 * h].astype(jnp.float32)
+                    v = kv_buf[slot_h, 2 * h + 1].astype(jnp.float32)
+                s_k = s_buf[slot_h, 2 * h:2 * h + 1, :block_size]
+                s_v = s_buf[slot_h, 2 * h + 1:2 * h + 2, :block_size]
                 s = jax.lax.dot_general(
                     q_h, k, (((1, ), (1, )), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -339,27 +386,23 @@ def _qkernel(
                 acc_new = alpha * acc + jax.lax.dot_general(
                     p_ * s_v, v, (((1, ), (0, )), ((), ())),
                     preferred_element_type=jnp.float32)
-                new_carry.append((m_new, l_new, acc_new))
+                nc[r * HG + h] = (m_new, l_new, acc_new)
 
-            @pl.when(i + RING < nblk)
-            def _():
-                start(slot, i + RING)
+            @pl.when(p + RING < total)
+            def _(slot=slot_h, p=p):
+                start(slot, p + RING)
+        return tuple(nc)
 
-            return tuple(new_carry)
-
-        init = tuple(
-            (jnp.full((G, 1), -1e30, jnp.float32),
-             jnp.zeros((G, 1), jnp.float32),
-             jnp.zeros((G, D), jnp.float32)) for _ in range(HG))
-        final = jax.lax.fori_loop(first_blk, nblk, body, init)
+    init = tuple(
+        (jnp.full((G, 1), -1e30, jnp.float32),
+         jnp.zeros((G, 1), jnp.float32),
+         jnp.zeros((G, D), jnp.float32)) for _ in range(RB * HG))
+    final = jax.lax.fori_loop(first, nblk_max, body, init)
+    for r in range(RB):
         for h in range(HG):
-            m, l, acc = final[h]
+            m, l, acc = final[r * HG + h]
             out = acc / jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
-
-    @pl.when(seq_len <= 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+            o_ref[r, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -369,7 +412,7 @@ def decode_paged_attention(
     q: jax.Array,  # [R, H, D]
     new_k: jax.Array,  # [R, KH, D] this step's K rows
     new_v: jax.Array,  # [R, KH, D]
-    kv_cache: jax.Array,  # [num_blocks, 2*KH, bs, Dp] (donated)
+    kv_cache,  # [num_blocks, 2*KH, bs, Dp] (donated) or QuantKV
     block_tables: jax.Array,  # [R, max_blocks]
     seq_lens: jax.Array,  # [R] length INCLUDING the new token
     *,
@@ -377,7 +420,7 @@ def decode_paged_attention(
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+):
     """Returns (attn_out [R, H, D], updated kv_cache)."""
     R, H, D = q.shape
     quant = isinstance(kv_cache, QuantKV)
@@ -387,6 +430,7 @@ def decode_paged_attention(
     G = H // KH
     HG = _pick_head_group(KH, aligned=quant)
     n_hg = KH // HG
+    RB = _pick_row_batch(R, HG)
     if D < Dp:
         pad = [(0, 0), (0, 0), (0, Dp - D)]
         q = jnp.pad(q, pad)
@@ -397,36 +441,38 @@ def decode_paged_attention(
     if quant:
         out, kv_cache = _decode_quant(
             q, new_kv, kv_cache, block_tables, seq_lens,
-            sm_scale=sm_scale, HG=HG, n_hg=n_hg, G=G,
+            sm_scale=sm_scale, HG=HG, n_hg=n_hg, G=G, RB=RB,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
             interpret=interpret)
         return out[..., :D], kv_cache
     new_kv = new_kv.astype(kv_cache.dtype)
 
+    F = F_BLOCKS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(R, n_hg),
+        grid=(R // RB, n_hg),
         in_specs=[
-            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
-                         memory_space=pltpu.VMEM),  # q head-group
-            pl.BlockSpec((1, 2 * HG, Dp), lambda r, g, *_: (r, g, 0),
-                         memory_space=pltpu.VMEM),  # new kv head-group
+            pl.BlockSpec((RB, HG * G, Dp), lambda t, g, *_: (t, g, 0),
+                         memory_space=pltpu.VMEM),  # q row batch
+            pl.BlockSpec((RB, 2 * HG, Dp), lambda t, g, *_: (t, g, 0),
+                         memory_space=pltpu.VMEM),  # new kv row batch
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv cache
         ],
         out_specs=(
-            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
+            pl.BlockSpec((RB, HG * G, Dp), lambda t, g, *_: (t, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, 2 * HG, block_size, Dp), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((RING, )),
+            pltpu.VMEM((RING, 2 * HG, F * block_size, Dp),
+                       kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((RING, F)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out, kv_cache = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale,
-                          block_size=block_size, HG=HG, G=G,
+                          block_size=block_size, HG=HG, G=G, RB=RB, F=F,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap),
@@ -461,6 +507,7 @@ def _decode_quant(
     HG: int,
     n_hg: int,
     G: int,
+    RB: int,
     sliding_window: int | None,
     logit_softcap: float | None,
     interpret: bool,
@@ -468,23 +515,22 @@ def _decode_quant(
     data, scales = kv_cache
     R, H, Dp = q.shape
     num_blocks, kh2, block_size, _ = data.shape
-    D = Dp
     SP2 = scales.shape[1]
     SL = 2 * HG if n_hg > 1 else SP2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(R, n_hg),
+        grid=(R // RB, n_hg),
         in_specs=[
-            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
-                         memory_space=pltpu.VMEM),  # q head-group
-            pl.BlockSpec((1, 2 * HG, Dp), lambda r, g, *_: (r, g, 0),
-                         memory_space=pltpu.VMEM),  # new kv head-group
+            pl.BlockSpec((RB, HG * G, Dp), lambda t, g, *_: (t, g, 0),
+                         memory_space=pltpu.VMEM),  # q row batch
+            pl.BlockSpec((RB, 2 * HG, Dp), lambda t, g, *_: (t, g, 0),
+                         memory_space=pltpu.VMEM),  # new kv row batch
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv data
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv scales
         ],
         out_specs=(
-            pl.BlockSpec((1, HG * G, Dp), lambda r, g, *_: (r, g, 0),
+            pl.BlockSpec((RB, HG * G, Dp), lambda t, g, *_: (t, g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -498,7 +544,7 @@ def _decode_quant(
     )
     out, data, scales = pl.pallas_call(
         functools.partial(_qkernel, sm_scale=sm_scale,
-                          block_size=block_size, HG=HG, G=G,
+                          block_size=block_size, HG=HG, G=G, RB=RB,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap),
@@ -514,7 +560,7 @@ def _decode_quant(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"), ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * R * H * D * 1024,
+            flops=4 * R * H * Dp * 1024,
             bytes_accessed=int(data.size * data.dtype.itemsize),
             transcendentals=R * H * 1024,
         ),

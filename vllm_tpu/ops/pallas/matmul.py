@@ -42,19 +42,30 @@ def _kernel(x_ref, w_ref, out_ref, acc_ref, *, n_k: int):
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def _pick_bn(N: int, cap: int = 4096) -> int:
+    """Largest lane-aligned N tile <= cap that divides N (vocab-sized
+    N like 32000 has no power-of-two divisor above 256)."""
+    best = 0
+    for d in range(1, N // 128 + 1):
+        bn = 128 * d
+        if N % bn == 0 and bn <= cap:
+            best = bn
+    return best or N
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def decode_matmul(
     x: jax.Array,  # [T, K] (T small)
     w: jax.Array,  # [K, N]
-    bn: int = 1024,
+    out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     T, K = x.shape
     N = w.shape[1]
+    out_dtype = out_dtype or x.dtype
     bt = max(8, 1 << (T - 1).bit_length())
     bk = BK if K % BK == 0 else K
-    if N % bn != 0:
-        bn = N
+    bn = _pick_bn(N)
     n_t, n_n, n_k = cdiv(T, bt), N // bn, K // bk
 
     out = pl.pallas_call(
@@ -68,7 +79,7 @@ def decode_matmul(
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_t * bt, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_t * bt, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"), ),

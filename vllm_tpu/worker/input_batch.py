@@ -36,6 +36,8 @@ class CachedReqState:
     sample_step: int = 0
     # structured-output decoding state (structured_output/trie.py)
     grammar: object = None
+    # LoRA adapter slot (0 = none; see lora/ LoRARegistry)
+    lora_slot: int = 0
 
 
 class InputBatch:
@@ -60,6 +62,7 @@ class InputBatch:
         self.min_p = np.zeros((max_num_reqs, ), np.float32)
         self.seeds = np.zeros((max_num_reqs, ), np.int32)
         self.sample_steps = np.zeros((max_num_reqs, ), np.int32)
+        self.lora_slots = np.zeros((max_num_reqs, ), np.int32)
 
     @property
     def num_reqs(self) -> int:
@@ -72,13 +75,16 @@ class InputBatch:
         block_ids: list[int],
         num_computed_tokens: int,
         sampling_params: SamplingParams,
+        lora_slot: int = 0,
     ) -> CachedReqState:
         assert req_id not in self.reqs, f"{req_id} already resident"
         assert self._free_rows, "batch full"
         row = self._free_rows.pop()
         state = CachedReqState(req_id, row, list(token_ids),
                                num_computed_tokens, list(block_ids),
-                               sampling_params, prompt_len=len(token_ids))
+                               sampling_params, prompt_len=len(token_ids),
+                               lora_slot=lora_slot)
+        self.lora_slots[row] = lora_slot
         self.reqs[req_id] = state
         self.row_to_req[row] = state
 
@@ -106,6 +112,7 @@ class InputBatch:
         if state is None:
             return
         self.row_to_req[state.row] = None
+        self.lora_slots[state.row] = 0
         self._free_rows.append(state.row)
 
     def append_block_ids(self, req_id: str,

@@ -48,6 +48,7 @@ class DecodeLoopInputs(NamedTuple):
     block_tables: jax.Array  # [R, max_blocks]
     active: jax.Array  # [R] bool
     sampling: SamplingMetadata
+    lora_idx: Optional[jax.Array] = None  # [R] adapter slot per row
 
 
 class StepInputs(NamedTuple):
@@ -70,6 +71,9 @@ class StepInputs(NamedTuple):
     # Spec decode only: [R, K+1] draft token per verification column
     # (-1 where no draft; column K is the bonus position).
     draft_targets: Optional[jax.Array] = None
+    # Multi-LoRA: [T] adapter slot per token row (None = no adapters
+    # registered; see lora/ and ops/lora.py).
+    lora_idx: Optional[jax.Array] = None
 
 
 class TPUModelRunner:
@@ -97,6 +101,9 @@ class TPUModelRunner:
 
         self.batch = InputBatch(self.max_num_reqs, self.max_blocks_per_req,
                                 config.seed)
+
+        # Multi-LoRA runtime (set via set_lora_registry).
+        self.lora_registry = None
 
         # Speculative decoding (ngram drafter; greedy verification).
         sc = config.speculative
@@ -145,6 +152,21 @@ class TPUModelRunner:
             static_argnums=(3, ),  # horizon
         )
 
+    def set_lora_registry(self, registry) -> None:
+        """Install/refresh the multi-LoRA stacks. The stacked adapter
+        tensors ride inside the params pytree (params["lora"]) so both
+        jitted programs see them without signature changes; adding or
+        changing adapters recompiles once (new pytree structure)."""
+        self.lora_registry = registry
+        base = {k: v for k, v in self.params.items() if k != "lora"}
+        if registry is not None and registry.enabled:
+            stacks = registry.stacks(base)
+            per_layer = [dict() for _ in range(self.config.model.num_layers)]
+            for (li, leaf), stack in stacks.items():
+                per_layer[li][leaf] = stack
+            base["lora"] = per_layer
+        self.params = base
+
     # -- state sync ---------------------------------------------------
     def update_states(self, out: SchedulerOutput) -> None:
         """Apply the scheduler's diffs to the persistent batch
@@ -154,10 +176,15 @@ class TPUModelRunner:
         for req_id in out.preempted_req_ids:
             self.batch.remove_request(req_id)
         for nr in out.scheduled_new_reqs:
+            lora_slot = 0
+            if self.lora_registry is not None:
+                lora_slot = self.lora_registry.slot_of(
+                    getattr(nr, "lora_name", None))
             state = self.batch.add_request(nr.req_id, nr.prompt_token_ids,
                                            nr.block_ids,
                                            nr.num_computed_tokens,
-                                           nr.sampling_params)
+                                           nr.sampling_params,
+                                           lora_slot=lora_slot)
             grammar = getattr(nr.sampling_params, "_grammar", None)
             if grammar is not None:
                 from vllm_tpu.structured_output.trie import GrammarState
@@ -198,6 +225,9 @@ class TPUModelRunner:
         T_pad = min(padded_bucket(T + q_blk), cap)
 
         K = self.spec_k
+        has_lora = (self.lora_registry is not None
+                    and self.lora_registry.enabled)
+        lora_idx = np.zeros((T_pad, ), np.int32) if has_lora else None
         input_ids = np.zeros((T_pad, ), np.int32)
         positions = np.zeros((T_pad, ), np.int32)
         slot_mapping = np.zeros((T_pad, ), np.int32)
@@ -223,6 +253,8 @@ class TPUModelRunner:
                 f"{req_id}: host tokens {len(state.token_ids)} < "
                 f"{start + real_n}")
             input_ids[t:t + n] = toks
+            if lora_idx is not None:
+                lora_idx[t:t + n] = state.lora_slot
             positions[t:t + n] = np.arange(start, start + n)
             for i in range(n):
                 pos = start + i
@@ -268,6 +300,8 @@ class TPUModelRunner:
             grammar_mask=self._build_grammar_mask(req_ids),
             draft_targets=(jnp.asarray(draft_targets)
                            if K > 0 else None),
+            lora_idx=(jnp.asarray(lora_idx)
+                      if lora_idx is not None else None),
         )
         return inputs, req_ids, emits, q_blk
 
@@ -440,6 +474,8 @@ class TPUModelRunner:
                 seeds=jnp.asarray(b.seeds),
                 steps=jnp.asarray(b.sample_steps),
             ),
+            lora_idx=(jnp.asarray(b.lora_slots)
+                      if "lora" in self.params else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
             self.params, self.kv_caches, dec, 1)
@@ -472,6 +508,8 @@ class TPUModelRunner:
                 seeds=jnp.asarray(b.seeds),
                 steps=jnp.asarray(b.sample_steps),
             ),
+            lora_idx=(jnp.asarray(b.lora_slots)
+                      if "lora" in self.params else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
             self.params, self.kv_caches, dec, h)
@@ -523,8 +561,12 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
         # q_blk=1 routes to the decode-specialized attention kernel
         # (ops/pallas/decode_attention.py): row i of the flat token
         # stream IS request row i in this loop.
+        lora_kw = {}
+        if isinstance(params, dict) and "lora" in params:
+            lora_kw = dict(lora=params["lora"], lora_idx=dec.lora_idx)
         hidden, kv_caches = model.forward(params, mc, tokens, positions,
-                                          kv_caches, meta, q_blk=1)
+                                          kv_caches, meta, q_blk=1,
+                                          **lora_kw)
         logits = model.compute_logits(params, mc, hidden)
         sampled = sample(logits,
                          dec.sampling._replace(steps=dec.sampling.steps + i))
@@ -554,9 +596,12 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         query_start_loc=inputs.query_start_loc,
         seq_lens=inputs.seq_lens,
     )
+    lora_kw = {}
+    if isinstance(params, dict) and "lora" in params:
+        lora_kw = dict(lora=params["lora"], lora_idx=inputs.lora_idx)
     hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
                                       inputs.positions, kv_caches, meta,
-                                      q_blk=q_blk)
+                                      q_blk=q_blk, **lora_kw)
     # Only sampled rows' logits matter: gather last-token hidden states
     # first so the LM head runs at [R*(K+1), E] not [T, E]
     # (ref analog: logits_indices gather in gpu_model_runner).
