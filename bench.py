@@ -97,8 +97,10 @@ def main() -> None:
         model=mc,
         cache=CacheConfig(block_size=32, num_gpu_blocks=num_blocks,
                           enable_prefix_caching=False),
-        scheduler=SchedulerConfig(max_num_batched_tokens=2048,
-                                  max_num_seqs=num_reqs),
+        scheduler=SchedulerConfig(
+            max_num_batched_tokens=2048, max_num_seqs=num_reqs,
+            multi_step_decode_horizon=int(
+                os.environ.get("VLLM_TPU_BENCH_HORIZON", "8"))),
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
     quant = os.environ.get("VLLM_TPU_BENCH_QUANT",

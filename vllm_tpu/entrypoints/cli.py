@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import json
 
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
@@ -70,13 +71,37 @@ def cmd_serve(args) -> None:
     async def main():
         async_llm.start()
         await serve(async_llm, host=args.host, port=args.port,
-                    model_name=args.served_model_name or args.model)
+                    model_name=args.served_model_name or args.model,
+                    tool_parser=args.tool_call_parser,
+                    reasoning_parser=args.reasoning_parser)
         await asyncio.Event().wait()  # run forever
 
     try:
         asyncio.run(main())
     except KeyboardInterrupt:
         pass
+    finally:
+        async_llm.shutdown()
+
+
+def cmd_run_batch(args) -> None:
+    """Ref analog: vllm run-batch (entrypoints/openai/run_batch.py)."""
+    from vllm_tpu.engine.async_llm import AsyncLLM
+    from vllm_tpu.entrypoints.run_batch import run_batch
+
+    async_llm = AsyncLLM(_engine_config(args))
+
+    async def main():
+        async_llm.start()
+        stats = await run_batch(
+            async_llm, args.input_file, args.output_file,
+            model_name=args.served_model_name or args.model,
+            tool_parser=args.tool_call_parser,
+            reasoning_parser=args.reasoning_parser)
+        print(json.dumps(stats))
+
+    try:
+        asyncio.run(main())
     finally:
         async_llm.shutdown()
 
@@ -140,12 +165,29 @@ def main(argv=None) -> None:
     serve_p.add_argument("--served-model-name", default=None)
     serve_p.add_argument("--no-warmup", action="store_true")
     serve_p.add_argument(
+        "--tool-call-parser", default=None,
+        help="tool-call output parser (hermes, llama3_json, mistral, "
+        "pythonic, ...)")
+    serve_p.add_argument(
+        "--reasoning-parser", default=None,
+        help="reasoning-content parser (deepseek_r1, qwen3, gptoss, ...)")
+    serve_p.add_argument(
         "--lora-modules", nargs="+", default=None, metavar="NAME=PATH",
         help="static LoRA adapters to serve (PEFT checkpoint dirs); "
         "select per-request via the OpenAI 'model' field")
     serve_p.set_defaults(fn=cmd_serve)
 
     bench_p = sub.add_parser("bench", help="run benchmarks")
+    rb = sub.add_parser("run-batch",
+                        help="run an OpenAI batch file offline")
+    _add_engine_args(rb)
+    rb.add_argument("-i", "--input-file", required=True)
+    rb.add_argument("-o", "--output-file", required=True)
+    rb.add_argument("--served-model-name", default=None)
+    rb.add_argument("--tool-call-parser", default=None)
+    rb.add_argument("--reasoning-parser", default=None)
+    rb.set_defaults(fn=cmd_run_batch)
+
     bench_p.add_argument("bench_cmd",
                          choices=["latency", "throughput", "serve"])
     _add_engine_args(bench_p)

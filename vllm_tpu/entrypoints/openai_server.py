@@ -62,7 +62,9 @@ class OpenAIServer:
 
     def __init__(self, async_llm: AsyncLLM,
                  model_name: str = "vllm-tpu-model",
-                 lora_modules: Optional[dict[str, str]] = None) -> None:
+                 lora_modules: Optional[dict[str, str]] = None,
+                 tool_parser: Optional[str] = None,
+                 reasoning_parser: Optional[str] = None) -> None:
         self.llm = async_llm
         self.model_name = model_name
         # name -> path; registered eagerly so the first request pays no
@@ -70,6 +72,15 @@ class OpenAIServer:
         # vllm/entrypoints/openai/serving_models.py LoRAModulePath).
         for name, path in (lora_modules or {}).items():
             self.llm.add_lora(name, path)
+        # Tool-call / reasoning post-processing (ref analog:
+        # --tool-call-parser / --reasoning-parser, vllm/tool_parsers
+        # and vllm/reasoning registries).
+        from vllm_tpu.parsers import (get_reasoning_parser,
+                                      get_tool_parser)
+        self.tool_parser = (get_tool_parser(tool_parser)
+                            if tool_parser else None)
+        self.reasoning_parser = (get_reasoning_parser(reasoning_parser)
+                                 if reasoning_parser else None)
 
     def _route_model(self, body: dict) -> Optional[str]:
         """OpenAI `model` routing: a registered adapter name selects
@@ -156,9 +167,12 @@ class OpenAIServer:
         if tok is None:
             return _err("server has no tokenizer; use /v1/completions "
                         "with token ids", 400)
+        tools = body.get("tools")
         try:
+            kw = {"tools": tools} if tools else {}
             prompt = tok.apply_chat_template(messages,
-                                             add_generation_prompt=True)
+                                             add_generation_prompt=True,
+                                             **kw)
         except Exception:
             # No chat template: simple role-prefixed fallback.
             prompt = "".join(f"{m['role']}: {m['content']}\n"
@@ -183,6 +197,22 @@ class OpenAIServer:
         assert final is not None
         c = final.outputs[0]
         if chat:
+            message: dict[str, Any] = {"role": "assistant"}
+            finish = c.finish_reason
+            text = c.text
+            if self.reasoning_parser is not None:
+                reasoning, text = self.reasoning_parser.split(text)
+                if reasoning:
+                    message["reasoning_content"] = reasoning
+            if self.tool_parser is not None:
+                parsed = self.tool_parser.extract(text or "")
+                if parsed.tools_called:
+                    message["tool_calls"] = [
+                        t.to_openai() for t in parsed.tool_calls
+                    ]
+                    text = parsed.content
+                    finish = "tool_calls"
+            message["content"] = text
             payload = {
                 "id": req_id,
                 "object": "chat.completion",
@@ -190,8 +220,8 @@ class OpenAIServer:
                 "model": self.model_name,
                 "choices": [{
                     "index": 0,
-                    "message": {"role": "assistant", "content": c.text},
-                    "finish_reason": c.finish_reason,
+                    "message": message,
+                    "finish_reason": finish,
                 }],
                 "usage": _usage(final),
             }
@@ -220,37 +250,75 @@ class OpenAIServer:
         await resp.prepare(request)
         sent_text = 0
         obj = "chat.completion.chunk" if chat else "text_completion"
+        # Streaming post-processing state (chat only): the reasoning
+        # parser splits deltas at the think boundary; the tool parser
+        # holds back from the first possible tool-call marker and the
+        # calls go out structured in the final frame.
+        content_buf = ""
+        tool_sent = 0
+        first_chunk = True
+
+        async def emit(choice: dict) -> None:
+            frame = {
+                "id": req_id,
+                "object": obj,
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [choice],
+            }
+            await resp.write(f"data: {json.dumps(frame)}\n\n".encode())
+
+        def chat_delta(delta: dict, finish=None) -> dict:
+            nonlocal first_chunk
+            if first_chunk:
+                delta = {"role": "assistant", **delta}
+                first_chunk = False
+            return {"index": 0, "delta": delta, "finish_reason": finish}
+
         try:
             async for out in self.llm.generate(prompt, params, req_id,
                                                lora_name=lora_name):
                 c = out.outputs[0]
-                delta = c.text[sent_text:]
-                sent_text = len(c.text)
-                if not delta and not out.finished:
-                    continue
-                if chat:
-                    choice = {
-                        "index": 0,
-                        "delta": {"content": delta} if delta else {},
-                        "finish_reason":
-                        c.finish_reason if out.finished else None,
-                    }
-                else:
-                    choice = {
+                if not chat:
+                    delta = c.text[sent_text:]
+                    sent_text = len(c.text)
+                    if not delta and not out.finished:
+                        continue
+                    await emit({
                         "index": 0,
                         "text": delta,
                         "finish_reason":
                         c.finish_reason if out.finished else None,
-                    }
-                frame = {
-                    "id": req_id,
-                    "object": obj,
-                    "created": int(time.time()),
-                    "model": self.model_name,
-                    "choices": [choice],
-                }
-                await resp.write(
-                    f"data: {json.dumps(frame)}\n\n".encode())
+                    })
+                    continue
+                # chat: reasoning split, then tool-call hold-back.
+                if self.reasoning_parser is not None:
+                    r_delta, c_delta, sent_text = \
+                        self.reasoning_parser.stream_delta(c.text,
+                                                           sent_text)
+                    if r_delta:
+                        await emit(chat_delta(
+                            {"reasoning_content": r_delta}))
+                else:
+                    c_delta = c.text[sent_text:]
+                    sent_text = len(c.text)
+                content_buf += c_delta
+                if self.tool_parser is not None:
+                    c_delta, tool_sent = self.tool_parser.stream_new_text(
+                        content_buf, tool_sent)
+                if c_delta:
+                    await emit(chat_delta({"content": c_delta}))
+                if out.finished:
+                    finish = c.finish_reason
+                    final_delta: dict = {}
+                    if self.tool_parser is not None:
+                        parsed = self.tool_parser.extract(content_buf)
+                        if parsed.tools_called:
+                            finish = "tool_calls"
+                            final_delta["tool_calls"] = [{
+                                **t.to_openai(), "index": i
+                            } for i, t in enumerate(parsed.tool_calls)]
+                    await emit(chat_delta(final_delta, finish))
             await resp.write(b"data: [DONE]\n\n")
         except ConnectionResetError:
             await self.llm.abort(req_id)
@@ -275,8 +343,11 @@ def _err(msg: str, status: int = 400) -> web.Response:
 
 async def serve(async_llm: AsyncLLM, host: str = "0.0.0.0",
                 port: int = 8000, model_name: str = "vllm-tpu-model",
-                lora_modules: Optional[dict[str, str]] = None):
-    server = OpenAIServer(async_llm, model_name, lora_modules)
+                lora_modules: Optional[dict[str, str]] = None,
+                tool_parser: Optional[str] = None,
+                reasoning_parser: Optional[str] = None):
+    server = OpenAIServer(async_llm, model_name, lora_modules,
+                          tool_parser, reasoning_parser)
     app = server.build_app()
     runner = web.AppRunner(app)
     await runner.setup()
