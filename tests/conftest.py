@@ -34,6 +34,15 @@ if os.environ.get("VLLM_TPU_TEST_ON_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    """The runner installs its mesh globally (parallel/mesh); make sure
+    no test leaks an EP/TP mesh into the next."""
+    yield
+    from vllm_tpu.parallel.mesh import set_current_mesh
+    set_current_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     import jax

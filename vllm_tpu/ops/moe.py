@@ -58,6 +58,10 @@ def fused_moe_apply(
     weights, expert_ids = topk_softmax_routing(router_logits, top_k,
                                                renormalize)
 
+    from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
+    if axis_size(AXIS_EP) > 1:
+        return _ep_moe(x, weights, expert_ids, w_gate_up, w_down, top_k)
+
     if isinstance(w_gate_up, dict):
         return _quantized_moe(x, weights, expert_ids, w_gate_up, w_down,
                               top_k)
@@ -78,6 +82,70 @@ def fused_moe_apply(
     w_flat = weights.reshape(A)[order].astype(out.dtype)
     out = out * w_flat[:, None]
     return jnp.zeros((T, H), out.dtype).at[token_of].add(out)
+
+
+def _ep_moe(x, weights, expert_ids, w_gate_up, w_down,
+            top_k: int) -> jax.Array:
+    """Expert parallelism: shard the stacked-expert axis over the
+    ``ep`` mesh axis (ref analog: EP dispatch/combine all2all,
+    vllm/distributed/device_communicators/all2all.py + FusedMoE EP
+    slicing). TPU-native formulation: dense dispatch under
+    ``shard_map`` manual over ``ep`` only (tp stays GSPMD-auto inside)
+    — every rank computes its local experts' contribution for the full
+    (replicated) token set, non-local assignments route to a zero
+    overflow expert, and one ``psum`` over ``ep`` combines. For
+    inference-sized token batches the replicated-token cost is far
+    below an a2a's latency on ICI.
+
+    Quantized (WNA16) expert leaves are dequantized locally per rank —
+    the tile-major Pallas MoE layout is skipped under EP (see
+    quant/kernels.prepare_weights).
+    """
+    from jax.sharding import PartitionSpec as P
+    from vllm_tpu.parallel.mesh import AXIS_EP, get_current_mesh
+    mesh = get_current_mesh()
+    T, H = x.shape
+    A = T * top_k
+    quantized = isinstance(w_gate_up, dict)
+
+    def local_fn(x, weights, expert_ids, w_gu, w_dn):
+        if quantized:
+            from vllm_tpu.quant.kernels import dequant_weight_xla
+            dq = jax.vmap(lambda qw, s, zb: dequant_weight_xla(
+                {"qweight": qw, "scales": s, "zbias": zb}, x.dtype))
+            w_gu = dq(w_gu["qweight"], w_gu["scales"], w_gu["zbias"])
+            w_dn = dq(w_dn["qweight"], w_dn["scales"], w_dn["zbias"])
+        ep_idx = jax.lax.axis_index(AXIS_EP)
+        EL = w_gu.shape[0]  # experts per rank
+        lo = ep_idx * EL
+        flat = expert_ids.reshape(A)
+        local = (flat >= lo) & (flat < lo + EL)
+        eloc = jnp.where(local, flat - lo, EL)  # EL = overflow group
+        order = jnp.argsort(eloc, stable=True)
+        token_of = order // top_k
+        group_sizes = jnp.bincount(eloc, length=EL + 1)
+        xs = x[token_of]
+        gu_pad = jnp.concatenate(
+            [w_gu, jnp.zeros_like(w_gu[:1])], 0).astype(x.dtype)
+        dn_pad = jnp.concatenate(
+            [w_dn, jnp.zeros_like(w_dn[:1])], 0).astype(x.dtype)
+        h = jax.lax.ragged_dot(xs, gu_pad, group_sizes)
+        h = silu_and_mul(h)
+        out = jax.lax.ragged_dot(h, dn_pad, group_sizes)
+        w_flat = jnp.where(local, weights.reshape(A),
+                           0.0)[order].astype(out.dtype)
+        out = out * w_flat[:, None]
+        res = jnp.zeros((T, H), out.dtype).at[token_of].add(out)
+        # psum in f32: exact accumulation across ranks, and it dodges
+        # an XLA:CPU AllReducePromotion crash on bf16 all-reduce.
+        return jax.lax.psum(res.astype(jnp.float32),
+                            AXIS_EP).astype(res.dtype)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, axis_names=frozenset({AXIS_EP}),
+        in_specs=(P(), P(), P(), P(AXIS_EP), P(AXIS_EP)),
+        out_specs=P())
+    return fn(x, weights, expert_ids, w_gate_up, w_down)
 
 
 def _quantized_moe(x, weights, expert_ids, gu_leaf: dict, dn_leaf: dict,

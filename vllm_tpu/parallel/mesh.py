@@ -42,3 +42,26 @@ def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
 
 def single_device_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
+
+
+# -- ambient mesh -----------------------------------------------------
+# The runner installs its mesh here so deep compute functions (e.g. the
+# expert-parallel MoE path, which needs shard_map over the ``ep`` axis)
+# can reach it without threading a mesh argument through every model
+# signature. Analog of the reference's module-level _TP/_EP group
+# globals (ref: vllm/distributed/parallel_state.py get_ep_group).
+_CURRENT_MESH: Mesh | None = None
+
+
+def set_current_mesh(mesh: Mesh | None) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def get_current_mesh() -> Mesh | None:
+    return _CURRENT_MESH
+
+
+def axis_size(axis: str) -> int:
+    """Size of a named axis on the ambient mesh (1 when no mesh)."""
+    return _CURRENT_MESH.shape[axis] if _CURRENT_MESH is not None else 1

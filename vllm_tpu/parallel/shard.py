@@ -26,7 +26,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vllm_tpu.config import ModelConfig
-from vllm_tpu.parallel.mesh import AXIS_TP
+from vllm_tpu.parallel.mesh import AXIS_EP, AXIS_TP
 
 _COL_LINEARS = ("qkv_proj", "gate_up_proj")
 _ROW_LINEARS = ("o_proj", "down_proj")
@@ -41,8 +41,17 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     col_bias = NamedSharding(mesh, P(AXIS_TP))
     vocab_ok = cfg.vocab_size % tp == 0
 
-    moe_col = NamedSharding(mesh, P(None, None, AXIS_TP))
-    moe_row = NamedSharding(mesh, P(None, AXIS_TP, None))
+    # MoE stacked-expert leaves: expert axis 0 over ``ep`` (expert
+    # parallelism — ops/moe._ep_moe consumes these via shard_map),
+    # Megatron TP within each expert on the inner dims.
+    ep = mesh.shape[AXIS_EP]
+    e_ax = AXIS_EP if ep > 1 else None
+    if ep > 1 and cfg.num_experts and cfg.num_experts % ep != 0:
+        raise ValueError(
+            f"expert_parallel_size={ep} must divide num_experts="
+            f"{cfg.num_experts}")
+    moe_col = NamedSharding(mesh, P(e_ax, None, AXIS_TP))
+    moe_row = NamedSharding(mesh, P(e_ax, AXIS_TP, None))
 
     # Tile-major prepacked W4A16 qweight [n_n, n_k, HALF, bn]
     # (quant/pallas_w4a16.prepack_tiled): the output dim is axis 0,
@@ -71,9 +80,9 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
                 colp = name == "w_gate_up"
                 if isinstance(leaf, dict):  # WNA16 stacked-expert leaf
                     q5_col = NamedSharding(
-                        mesh, P(None, AXIS_TP, None, None, None))
+                        mesh, P(e_ax, AXIS_TP, None, None, None))
                     q5_row = NamedSharding(
-                        mesh, P(None, None, AXIS_TP, None, None))
+                        mesh, P(e_ax, None, AXIS_TP, None, None))
                     out[name] = {
                         k: ((q5_col if colp else q5_row)
                             if k == "qweight"

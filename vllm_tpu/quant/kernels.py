@@ -86,6 +86,11 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     return quantized_matmul_xla(x, leaf)
 
 
+def _ep_size() -> int:
+    from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
+    return axis_size(AXIS_EP)
+
+
 def prepare_weights(params):
     """One-time device-side weight repack for the active backend (the
     analog of process_weights_after_loading, ref MPLinearKernel.py:57):
@@ -110,7 +115,11 @@ def prepare_weights(params):
                         prepack_tiled, static_argnums=1)(qw, bn)
             elif (qw is not None
                   and getattr(qw, "dtype", None) == jnp.uint8
-                  and qw.ndim == 3 and qw.shape[1] % 128 == 0):
+                  and qw.ndim == 3 and qw.shape[1] % 128 == 0
+                  and _ep_size() == 1):
+                # Under expert parallelism the grouped Pallas layout is
+                # skipped: ops/moe._ep_moe dequantizes the (ep-sharded)
+                # untiled leaves locally inside shard_map.
                 # Stacked MoE experts [NE, K/2, N] -> tile-major 5-D.
                 from vllm_tpu.quant.pallas_moe import \
                     prepack_tiled_experts

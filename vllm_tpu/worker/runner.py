@@ -86,11 +86,16 @@ class TPUModelRunner:
         mesh=None,
     ) -> None:
         self.config = config
+        self.mesh = mesh
+        # Ambient mesh for deep compute paths (EP shard_map; see
+        # parallel/mesh.get_current_mesh). Must precede prepare_weights
+        # so the repack can see the ep axis size.
+        from vllm_tpu.parallel.mesh import set_current_mesh
+        set_current_mesh(mesh)
         # Backend-specific weight repack (tile-major W4A16 layout for
         # contiguous streaming; analog of process_weights_after_loading).
         from vllm_tpu.quant.kernels import prepare_weights
         self.params = params = prepare_weights(params)
-        self.mesh = mesh
         mc = config.model
         self.model = get_model(mc.architecture)
         self.max_num_reqs = config.scheduler.max_num_seqs
@@ -353,6 +358,11 @@ class TPUModelRunner:
 
     # -- execution ----------------------------------------------------
     def execute_model(self, out: SchedulerOutput) -> ModelRunnerOutput:
+        # Re-install this runner's mesh: several engines (DP ranks) can
+        # coexist in-process, and the EP compute path resolves the
+        # ambient mesh at trace time.
+        from vllm_tpu.parallel.mesh import set_current_mesh
+        set_current_mesh(self.mesh)
         self.update_states(out)
         if out.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
@@ -459,6 +469,8 @@ class TPUModelRunner:
         lockstep: when EP spans DP ranks, every rank must execute the
         collective program each wave step even with no real tokens
         (ref analog: DP dummy steps, vllm dp_utils.py)."""
+        from vllm_tpu.parallel.mesh import set_current_mesh
+        set_current_mesh(self.mesh)
         R = self.max_num_reqs
         b = self.batch
         dec = DecodeLoopInputs(
