@@ -214,11 +214,15 @@ class SpeculativeConfig:
     round 1 (drafts are only proposed for temperature==0 requests).
     """
 
-    method: Literal["ngram", None] = None
+    method: Literal["ngram", "eagle", None] = None
     num_speculative_tokens: int = 4
     # n-gram match window: longest suffix tried first.
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 2
+    # eagle: draft checkpoint path (fc + llama layers; see
+    # spec_decode/eagle.py) and draft depth.
+    model: Optional[str] = None
+    draft_num_layers: int = 1
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,13 @@ class Scheduler:
             sliding_window=config.model.sliding_window,
         )
 
+        # EAGLE's chained draft steps write draft-KV up to k positions
+        # past the last accepted token; reserve block headroom (ref
+        # analog: num_lookahead_tokens in the reference scheduler).
+        sc = config.speculative
+        self.num_lookahead_tokens = (sc.num_speculative_tokens +
+                                     1 if sc.method == "eagle" else 0)
+
         self.requests: dict[str, Request] = {}
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
@@ -135,7 +142,8 @@ class Scheduler:
             # already scheduled this step must not be rolled back.
             while True:
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    request, num_new_tokens)
+                    request, num_new_tokens,
+                    num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is not None:
                     break
                 victim = self._find_preemption_victim(req_index)
@@ -186,7 +194,8 @@ class Scheduler:
                 assert num_new_tokens > 0
 
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    request, num_new_tokens, new_computed_blocks)
+                    request, num_new_tokens, new_computed_blocks,
+                    num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is None:
                     break  # no space; keep waiting
 
@@ -235,6 +244,10 @@ class Scheduler:
         Eligible when nothing is waiting, no new/resumed requests, no
         spec drafts, and every scheduled request runs exactly 1 token."""
         horizon = self.config.scheduler.multi_step_decode_horizon
+        # EAGLE proposes from the single-step program's hidden states;
+        # multi-step would starve it of drafts forever.
+        if self.config.speculative.method == "eagle":
+            return
         if (horizon <= 1 or self.waiting or out.scheduled_new_reqs
                 or out.scheduled_spec_decode_tokens
                 or not out.num_scheduled_tokens

@@ -35,6 +35,7 @@ class LLMEngine:
         params: Optional[dict] = None,
         tokenizer: Optional[Tokenizer] = None,
         mesh=None,
+        draft_params: Optional[dict] = None,  # EAGLE draft weights
     ) -> None:
         self.config = config
         mc = config.model
@@ -69,6 +70,15 @@ class LLMEngine:
 
         self.scheduler = Scheduler(config, num_blocks=num_blocks)
         self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
+        sc = config.speculative
+        if sc.method == "eagle":
+            if draft_params is None:
+                from vllm_tpu.spec_decode.eagle import (
+                    draft_config_from_target, load_eagle_params)
+                assert sc.model, "eagle needs speculative.model or draft_params"
+                dcfg = draft_config_from_target(mc, sc.draft_num_layers)
+                draft_params = load_eagle_params(sc.model, dcfg)
+            self.runner.set_eagle_proposer(draft_params)
         self.output_processor = OutputProcessor(self.tokenizer)
         self._req_counter = Counter()
         from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger

@@ -1,0 +1,274 @@
+"""EAGLE speculative decoding: a one-layer draft transformer that
+predicts the target's next tokens from (token embedding, target hidden
+state) pairs.
+
+Ref analog: vllm/v1/spec_decode/eagle.py (EagleProposer) +
+vllm/model_executor/models/llama_eagle.py. TPU-native formulation:
+the whole proposal — draft "prefill" over the step's scheduled token
+stream plus the k-1 chained single-token draft steps — is ONE jitted
+program; the only host traffic is the [R, k] draft-token matrix.
+
+Draft param schema (llama-layer based, EAGLE-1):
+
+    fc: {"weight": [2*E, E]}      # combine [embed(tok); target hidden]
+    layers: [llama-layer dicts]   # usually 1; input_layernorm optional
+    norm: [E]                     # optional final norm
+    (embed_tokens / lm_head are shared with the target params)
+
+Draft-stream semantics: the draft input at position ``i`` is
+(token t_{i+1}, target hidden h_i) — the shifted token stream. The
+draft keeps its own paged KV cache indexed by the same block tables /
+slot mapping as the target, so scheduler block accounting covers it
+(with ``num_lookahead_tokens`` headroom for the chained steps).
+
+Entries written beyond the accepted length (rejected-draft positions,
+chunked-prefill boundary tokens) are stale but harmless: attention
+masks by seq_len, and sequence growth overwrites them position-wise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_tpu.config import ModelConfig
+from vllm_tpu.models import llama
+from vllm_tpu.ops.layers import rms_norm, rope_cos_sin
+from vllm_tpu.ops.linear import linear
+from vllm_tpu.ops.metadata import AttentionMetadata
+
+
+def draft_forward(
+    draft_params: dict,
+    cfg: ModelConfig,
+    tok_embeds: jax.Array,  # [T, E] embedding of the *shifted* tokens
+    hidden: jax.Array,  # [T, E] target hidden states
+    positions: jax.Array,  # [T]
+    kv_caches: list[jax.Array],
+    meta: AttentionMetadata,
+    q_blk: int,
+) -> tuple[jax.Array, list[jax.Array]]:
+    """One pass of the draft layer stack. Returns (draft hidden [T, E],
+    updated draft caches)."""
+    x = linear(draft_params["fc"],
+               jnp.concatenate([tok_embeds, hidden], axis=-1))
+    cos, sin = rope_cos_sin(positions, cfg)
+    new_caches = []
+    for i, layer in enumerate(draft_params["layers"]):
+        h = (rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+             if "input_layernorm" in layer else x)
+        attn_out, kvc = llama._attention(cfg, layer, h, cos, sin,
+                                         kv_caches[i], meta, q_blk)
+        new_caches.append(kvc)
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"],
+                     cfg.rms_norm_eps)
+        x = x + llama._mlp(layer, h)
+    if "norm" in draft_params:
+        x = rms_norm(x, draft_params["norm"], cfg.rms_norm_eps)
+    return x, new_caches
+
+
+def _propose_impl(
+    dcfg: ModelConfig,
+    block_size: int,
+    k: int,
+    q_blk: int,
+    target_params: dict,
+    draft_params: dict,
+    draft_caches: list[jax.Array],
+    hidden: jax.Array,  # [T, E] target hidden (this step's stream)
+    input_ids: jax.Array,  # [T] scheduled tokens
+    positions: jax.Array,  # [T]
+    query_start_loc: jax.Array,  # [R+1]
+    seq_lens: jax.Array,  # [R] post-step lengths
+    slot_mapping: jax.Array,  # [T]
+    block_tables: jax.Array,  # [R, max_blocks]
+    next_tokens: jax.Array,  # [R] last emitted token per row
+    last_idx: jax.Array,  # [R] flat index of the last *accepted* pos
+    active: jax.Array,  # [R] bool — rows to draft for
+):
+    """Returns (drafts [R, k] int32, updated draft caches)."""
+    T = input_ids.shape[0]
+    R = next_tokens.shape[0]
+    embed = target_params["embed_tokens"]["weight"]
+
+    # Shifted stream: position i consumes token t_{i+1}; each row's
+    # last-accepted position consumes the freshly emitted token.
+    shifted = jnp.concatenate([input_ids[1:], input_ids[:1] * 0])
+    shifted = shifted.at[last_idx].set(next_tokens)
+
+    meta = AttentionMetadata(slot_mapping=slot_mapping,
+                             block_tables=block_tables,
+                             query_start_loc=query_start_loc,
+                             seq_lens=seq_lens)
+    h_d, draft_caches = draft_forward(draft_params, dcfg, embed[shifted],
+                                      hidden, positions, draft_caches,
+                                      meta, q_blk)
+
+    cur_h = h_d[last_idx]  # [R, E]
+    logits = llama.compute_logits(target_params, dcfg, cur_h)
+    cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    drafts = [cur_tok]
+    pos = positions[last_idx] + 1  # position of the emitted token
+
+    for _ in range(k - 1):
+        # Chained single-token draft step at position `pos`, consuming
+        # (previous draft, previous draft hidden).
+        block_idx = pos // block_size
+        slots = (jnp.take_along_axis(block_tables, block_idx[:, None],
+                                     axis=1)[:, 0] * block_size +
+                 pos % block_size)
+        step_meta = AttentionMetadata(
+            slot_mapping=slots,
+            block_tables=block_tables,
+            query_start_loc=jnp.arange(R + 1, dtype=jnp.int32),
+            seq_lens=jnp.where(active, pos + 1, 0),
+        )
+        cur_h, draft_caches = draft_forward(draft_params, dcfg,
+                                            embed[cur_tok], cur_h, pos,
+                                            draft_caches, step_meta,
+                                            q_blk=1)
+        logits = llama.compute_logits(target_params, dcfg, cur_h)
+        cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        drafts.append(cur_tok)
+        pos = pos + 1
+
+    return jnp.stack(drafts, axis=1), draft_caches  # [R, k]
+
+
+class EagleProposer:
+    """Holds draft params + caches and the jitted proposal program.
+
+    The runner calls :meth:`propose` once per step *after* host-side
+    verification (the chained draft stream must start from the actually
+    accepted token — ref: eagle.py prepare_inputs' token shift).
+    """
+
+    def __init__(self, draft_params: dict, dcfg: ModelConfig, k: int,
+                 num_kv_blocks: int, block_size: int,
+                 cache_dtype: str = "auto") -> None:
+        from vllm_tpu.ops.kv_cache import make_kv_cache
+        self.k = k
+        self.dcfg = dcfg
+        self.block_size = block_size
+        self.draft_params = draft_params
+        self.draft_caches = [
+            make_kv_cache(num_kv_blocks, block_size, dcfg.num_kv_heads,
+                          dcfg.head_dim, cache_dtype, dcfg.dtype)
+            for _ in range(len(draft_params["layers"]))
+        ]
+        self._fn = jax.jit(
+            functools.partial(_propose_impl, dcfg, block_size, k),
+            static_argnums=(0, ),  # q_blk
+            donate_argnums=(3, ),  # draft caches
+        )
+
+    def propose(self, target_params: dict, hidden: jax.Array,
+                inputs, next_tokens: np.ndarray, last_idx: np.ndarray,
+                active: np.ndarray, q_blk: int) -> np.ndarray:
+        """inputs: the runner's StepInputs. Returns [R, k] int32."""
+        drafts, self.draft_caches = self._fn(
+            q_blk, target_params, self.draft_params, self.draft_caches,
+            hidden, inputs.input_ids, inputs.positions,
+            inputs.query_start_loc, inputs.seq_lens, inputs.slot_mapping,
+            inputs.block_tables, jnp.asarray(next_tokens),
+            jnp.asarray(last_idx), jnp.asarray(active))
+        return np.asarray(jax.device_get(drafts))
+
+
+def draft_config_from_target(target: ModelConfig,
+                             num_layers: int = 1) -> ModelConfig:
+    """Draft config: same dims as the target, fewer layers."""
+    import dataclasses
+    return dataclasses.replace(target, num_layers=num_layers)
+
+
+def random_draft_params(dcfg: ModelConfig, seed: int = 0) -> dict:
+    """Random EAGLE draft weights (tests / dummy-load parity)."""
+    dtype = jnp.dtype(dcfg.dtype)
+    key = jax.random.PRNGKey(seed)
+    E = dcfg.hidden_size
+
+    def nxt():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(nxt(), shape, jnp.float32) *
+                scale).astype(dtype)
+
+    base = llama.random_params(dcfg, seed=seed + 1)
+    layers = base["layers"]
+    for layer in layers:
+        del layer["input_layernorm"]  # EAGLE-1: fc output goes straight in
+    return {
+        "fc": {"weight": w((2 * E, E))},
+        "layers": layers,
+        "norm": jnp.ones((E, ), dtype),
+    }
+
+
+def load_eagle_params(path: str, dcfg: ModelConfig) -> dict:
+    """Load an EAGLE draft checkpoint (fc.weight + llama layer keys,
+    with or without a ``model.`` prefix — ref: yuhuili/EAGLE-*
+    layout, vllm llama_eagle.py load_weights)."""
+    from vllm_tpu.loader.safetensors_loader import _iter_safetensors
+    dtype = jnp.dtype(dcfg.dtype)
+    layers: list[dict] = [dict() for _ in range(dcfg.num_layers)]
+    params: dict = {"layers": layers}
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+    fused = {
+        "self_attn.q_proj": ("qkv_proj", 0, 3),
+        "self_attn.k_proj": ("qkv_proj", 1, 3),
+        "self_attn.v_proj": ("qkv_proj", 2, 3),
+        "mlp.gate_proj": ("gate_up_proj", 0, 2),
+        "mlp.up_proj": ("gate_up_proj", 1, 2),
+    }
+    direct = {"self_attn.o_proj": "o_proj", "mlp.down_proj": "down_proj"}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(path):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if name == "fc.weight":
+            params["fc"] = {"weight": to_jax(w.T)}
+        elif name == "fc.bias":
+            params.setdefault("fc", {})["bias"] = to_jax(w)
+        elif name in ("norm.weight", "final_norm.weight"):
+            params["norm"] = to_jax(w)
+        elif name in ("embed_tokens.weight", "lm_head.weight"):
+            pass  # shared with the target
+        elif name.startswith("layers."):
+            rest = name[len("layers."):]
+            idx_s, _, tail = rest.partition(".")
+            layer = layers[int(idx_s)]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in direct:
+                    leaf = layer.setdefault(direct[mod], {})
+                    leaf["weight" if kind == "weight" else "bias"] = (
+                        to_jax(w.T) if kind == "weight" else to_jax(w))
+                elif mod in fused:
+                    leaf_name, slot, _n = fused[mod]
+                    pending.setdefault((int(idx_s), leaf_name, kind),
+                                       {})[slot] = w
+    for (li, leaf_name, kind), slots in pending.items():
+        n = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        if kind == "weight":
+            leaf["weight"] = to_jax(cat.T)
+        else:
+            leaf["bias"] = to_jax(cat)
+    return params

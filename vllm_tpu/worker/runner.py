@@ -110,14 +110,18 @@ class TPUModelRunner:
         # Multi-LoRA runtime (set via set_lora_registry).
         self.lora_registry = None
 
-        # Speculative decoding (ngram drafter; greedy verification).
+        # Speculative decoding: ngram (host drafter) or EAGLE (device
+        # draft model; install via set_eagle_proposer). Verification is
+        # shared (greedy-match / stochastic rejection in _step_impl).
         sc = config.speculative
         self.spec_k = (sc.num_speculative_tokens
-                       if sc.method == "ngram" else 0)
+                       if sc.method in ("ngram", "eagle") else 0)
         self.proposer = None
+        self.eagle = None
         if sc.method == "ngram":
             from vllm_tpu.spec_decode.ngram import NgramProposer
             self.proposer = NgramProposer(sc)
+        self.num_kv_blocks = num_kv_blocks
 
         cache_dtype = kv_cache_jnp_dtype(config.cache.cache_dtype,
                                          mc.dtype)
@@ -148,7 +152,8 @@ class TPUModelRunner:
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
-            static_argnums=(3, 4, 5),  # q_blk, spec_k, n_logprobs
+            # q_blk, spec_k, n_logprobs, want_hidden
+            static_argnums=(3, 4, 5, 6),
         )
         self._decode_loop_fn = jax.jit(
             functools.partial(_decode_loop_impl, self.model, mc,
@@ -156,6 +161,20 @@ class TPUModelRunner:
             donate_argnums=(1, ),
             static_argnums=(3, ),  # horizon
         )
+
+    def set_eagle_proposer(self, draft_params: dict,
+                           dcfg=None) -> None:
+        """Install the EAGLE drafter (ref analog: the drafter built in
+        GPUModelRunner.__init__ when speculative_config.use_eagle)."""
+        from vllm_tpu.spec_decode.eagle import (EagleProposer,
+                                                draft_config_from_target)
+        mc = self.config.model
+        if dcfg is None:
+            dcfg = draft_config_from_target(
+                mc, self.config.speculative.draft_num_layers)
+        self.eagle = EagleProposer(draft_params, dcfg, self.spec_k,
+                                   self.num_kv_blocks, self.block_size,
+                                   self.config.cache.cache_dtype)
 
     def set_lora_registry(self, registry) -> None:
         """Install/refresh the multi-LoRA stacks. The stacked adapter
@@ -284,6 +303,8 @@ class TPUModelRunner:
         qsl[prev_row + 2:] = t
 
         b = self.batch
+        # Host copy for EAGLE's accepted-position arithmetic.
+        self._np_logits_indices = logits_indices
         sampling = SamplingMetadata(
             temperature=jnp.asarray(b.temperature),
             top_k=jnp.asarray(b.top_k),
@@ -372,8 +393,9 @@ class TPUModelRunner:
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
                     for r in req_ids), default=0)
-        self.kv_caches, sampled, spec_mats, lp = self._step_fn(
-            self.params, self.kv_caches, inputs, q_blk, self.spec_k, n_lp)
+        self.kv_caches, sampled, spec_mats, lp, hidden = self._step_fn(
+            self.params, self.kv_caches, inputs, q_blk, self.spec_k, n_lp,
+            self.eagle is not None)
         sampled_np = np.asarray(jax.device_get(sampled))
         lp_np = jax.device_get(lp) if lp is not None else None
         greedy_np = tgt_np = rec_np = None
@@ -385,6 +407,8 @@ class TPUModelRunner:
         if lp_np is not None:
             result.logprobs = []
         spec_out: list[list[int]] = []
+        # EAGLE bookkeeping: per-row (accepted count, last token).
+        eagle_rows: list[tuple[int, int, int, int]] = []
         K = self.spec_k
         for req_id, emit in zip(req_ids, emits):
             state = self.batch.reqs[req_id]
@@ -452,15 +476,40 @@ class TPUModelRunner:
             # alignment, so they stay single-token (their column-K
             # logits remain exact).
             sp = state.sampling_params
-            if (self.proposer is not None
-                    and not sp.logprobs and g is None
-                    and sp.repetition_penalty == 1.0
-                    and sp.presence_penalty == 0.0
-                    and sp.frequency_penalty == 0.0):
+            eligible = (not sp.logprobs and g is None
+                        and sp.repetition_penalty == 1.0
+                        and sp.presence_penalty == 0.0
+                        and sp.frequency_penalty == 0.0)
+            if self.proposer is not None and eligible:
                 spec_out.append(self.proposer.propose(state.token_ids))
             else:
                 spec_out.append([])
-        if self.proposer is not None:
+            if self.eagle is not None and eligible:
+                eagle_rows.append((len(spec_out) - 1, row, len(drafts),
+                                   len(new_toks)))
+        if self.eagle is not None and eagle_rows:
+            # One device call drafts for every eligible row (draft
+            # prefill over this step's stream + k-1 chained steps).
+            R = self.max_num_reqs
+            next_tok = np.zeros((R, ), np.int32)
+            last_idx = np.zeros((R, ), np.int32)
+            active = np.zeros((R, ), bool)
+            li = self._np_logits_indices
+            row_to_slot: dict[int, int] = {}
+            for slot, row, n_drafts, n_new in eagle_rows:
+                st = self.batch.reqs[req_ids[slot]]
+                next_tok[row] = st.token_ids[-1]
+                # Flat index of the last *accepted* position: the last
+                # scheduled index minus the rejected draft count.
+                last_idx[row] = li[row, K] - n_drafts + (n_new - 1)
+                active[row] = True
+                row_to_slot[row] = slot
+            drafts = self.eagle.propose(self.params, hidden, inputs,
+                                        next_tok, last_idx, active,
+                                        q_blk)
+            for row, slot in row_to_slot.items():
+                spec_out[slot] = [int(t) for t in drafts[row]]
+        if self.proposer is not None or self.eagle is not None:
             result.spec_token_ids = spec_out
         return result
 
@@ -599,9 +648,12 @@ def _unpack_grammar_mask(packed: jax.Array, vocab_size: int) -> jax.Array:
 
 
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
-               q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0):
+               q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0,
+               want_hidden: bool = False):
     """One fused device step: forward + logits + sample (+ greedy
-    verification matrix when speculative decoding is on)."""
+    verification matrix when speculative decoding is on). With
+    ``want_hidden`` the full [T, E] hidden stream is also returned
+    (stays on device — feeds the EAGLE drafter)."""
     meta = AttentionMetadata(
         slot_mapping=inputs.slot_mapping,
         block_tables=inputs.block_tables,
@@ -630,7 +682,8 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         sampled = sample(logits, inputs.sampling)
         lp = (compute_topk_logprobs(logits, sampled, n_logprobs)
               if n_logprobs > 0 else None)
-        return kv_caches, sampled, None, lp
+        return (kv_caches, sampled, None, lp,
+                hidden if want_hidden else None)
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
@@ -665,4 +718,5 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
 
     tgt_prob, recovered = jax.lax.cond(
         jnp.any(meta.temperature > 0.0), stochastic, greedy_only, None)
-    return kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp
+    return (kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp,
+            hidden if want_hidden else None)
