@@ -57,6 +57,20 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int | None = None
     num_shared_experts: int = 0
+    # DeepSeek-style MoE routing (ref: deepseek_v2.py DeepseekV2MoEGate)
+    first_k_dense_replace: int = 0
+    topk_method: str = "greedy"  # greedy | group_limited_greedy | noaux_tc
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = False
+    # MLA (DeepSeek-V2/V3; ref: vllm/v1/attention/backends/mla/).
+    # kv_lora_rank != None selects the MLA attention path.
+    q_lora_rank: int | None = None
+    kv_lora_rank: int | None = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
     # logit softcap (gemma2-style); None == disabled
     logit_softcap: float | None = None
     hf_config: dict[str, Any] = field(default_factory=dict, repr=False)

@@ -19,6 +19,8 @@ SUPPORTED_ARCHS = {
     "TinyLlamaForCausalLM": "llama",
     "Qwen3ForCausalLM": "llama",  # + qk-norm (handled in model)
     "MixtralForCausalLM": "mixtral",
+    "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
+    "DeepseekV3ForCausalLM": "deepseek",
 }
 
 
@@ -66,6 +68,26 @@ def model_config_from_hf(
                         if hf.get("use_sliding_window", True) else None),
         hf_config=hf,
     )
+    if hf.get("kv_lora_rank"):  # MLA (DeepSeek-V2/V3)
+        cfg.q_lora_rank = hf.get("q_lora_rank")
+        cfg.kv_lora_rank = hf["kv_lora_rank"]
+        cfg.qk_nope_head_dim = hf["qk_nope_head_dim"]
+        cfg.qk_rope_head_dim = hf["qk_rope_head_dim"]
+        cfg.v_head_dim = hf["v_head_dim"]
+        # Paged-cache geometry: the MLA cache is MQA over the latent
+        # vector (see models/deepseek.py).
+        cfg.num_kv_heads = 1
+        cfg.head_dim = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+        cfg.num_experts = hf.get("n_routed_experts", 0) or 0
+        cfg.num_shared_experts = hf.get("n_shared_experts", 0) or 0
+        cfg.first_k_dense_replace = hf.get("first_k_dense_replace", 0)
+        cfg.topk_method = hf.get(
+            "topk_method",
+            "noaux_tc" if arch == "DeepseekV3ForCausalLM" else "greedy")
+        cfg.n_group = hf.get("n_group", 1) or 1
+        cfg.topk_group = hf.get("topk_group", 1) or 1
+        cfg.routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
+        cfg.norm_topk_prob = hf.get("norm_topk_prob", False)
     # Surface EOS for the scheduler's stop check.
     eos = hf.get("eos_token_id")
     if eos is not None:

@@ -99,6 +99,8 @@ def load_llama_params(
     if quant is not None and quant.enabled:
         from vllm_tpu.quant.loader import load_quantized_llama_params
         return load_quantized_llama_params(model_path, cfg, quant)
+    if cfg.kv_lora_rank:
+        return _load_deepseek_params(model_path, cfg)
     if cfg.num_experts > 0:
         return _load_mixtral_params(model_path, cfg)
 
@@ -234,6 +236,100 @@ def _load_mixtral_params(model_path: str, cfg: ModelConfig) -> dict:
                 f"layer {li} expert {e}: incomplete {set(ws or ())}")
             gu.append(np.concatenate([ws["w1"].T, ws["w3"].T], axis=1))
             dn.append(ws["w2"].T)
+        layers[li]["w_gate_up"] = to_jax(np.stack(gu))
+        layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_deepseek_params(model_path: str, cfg: ModelConfig) -> dict:
+    """DeepSeek-V2/V3 mapping (MLA leaves + mlp.experts stacking +
+    shared experts; ref analog: deepseek_v2.py load_weights)."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    # (layer, expert) -> {"gate"|"up"|"down": array}
+    experts: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+    # (layer, shared?) -> {"gate"|"up": array} for gate_up fusion
+    pending_gu: dict[int, dict[str, np.ndarray]] = {}
+
+    norms = {
+        "input_layernorm.weight": "input_layernorm",
+        "post_attention_layernorm.weight": "post_attention_layernorm",
+        "self_attn.q_a_layernorm.weight": "q_a_layernorm",
+        "self_attn.kv_a_layernorm.weight": "kv_a_layernorm",
+    }
+    attn_linears = {
+        "self_attn.q_proj": "q_proj",
+        "self_attn.q_a_proj": "q_a_proj",
+        "self_attn.q_b_proj": "q_b_proj",
+        "self_attn.kv_a_proj_with_mqa": "kv_a_proj_with_mqa",
+        "self_attn.kv_b_proj": "kv_b_proj",
+        "self_attn.o_proj": "o_proj",
+    }
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail in norms:
+                layer[norms[tail]] = to_jax(w)
+                continue
+            mod, _, kind = tail.rpartition(".")
+            if mod in attn_linears:
+                leaf = layer.setdefault(attn_linears[mod], {})
+                leaf["weight" if kind == "weight" else "bias"] = to_jax(
+                    w.T if kind == "weight" else w)
+            elif tail == "mlp.gate.weight":
+                layer.setdefault("router", {})["weight"] = to_jax(w.T)
+            elif tail == "mlp.gate.e_score_correction_bias":
+                layer.setdefault("router",
+                                 {})["e_score_correction_bias"] = (
+                    jnp.asarray(w).astype(jnp.float32))
+            elif tail.startswith("mlp.experts."):
+                parts = tail.split(".")
+                e, which = int(parts[2]), parts[3]
+                experts.setdefault((li, e), {})[which] = w
+            elif tail.startswith(("mlp.shared_experts.", "mlp.")):
+                # dense-layer MLP and shared experts both land on the
+                # layer's gate_up_proj/down_proj leaves.
+                which = tail.split(".")[-2]
+                if which == "down_proj":
+                    layer["down_proj"] = {"weight": to_jax(w.T)}
+                else:
+                    pending_gu.setdefault(li, {})[which] = w
+            else:
+                logger.warning("unmapped weight %s", name)
+
+    for li, parts in pending_gu.items():
+        cat = np.concatenate([parts["gate_proj"], parts["up_proj"]],
+                             axis=0)
+        layers[li]["gate_up_proj"] = {"weight": to_jax(cat.T)}
+
+    for li in range(cfg.num_layers):
+        per_layer = sorted(
+            (e for (l2, e) in experts if l2 == li))
+        if not per_layer:
+            continue
+        gu, dn = [], []
+        for e in per_layer:
+            ws = experts[(li, e)]
+            gu.append(np.concatenate([ws["gate_proj"].T,
+                                      ws["up_proj"].T], axis=1))
+            dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
     return params

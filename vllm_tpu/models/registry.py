@@ -16,6 +16,8 @@ _REGISTRY: dict[str, str] = {
     "TinyLlamaForCausalLM": "vllm_tpu.models.llama",
     "Qwen3ForCausalLM": "vllm_tpu.models.llama",  # + per-head qk-norm
     "MixtralForCausalLM": "vllm_tpu.models.mixtral",
+    "DeepseekV2ForCausalLM": "vllm_tpu.models.deepseek",  # MLA + MoE
+    "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
 }
 
 

@@ -75,6 +75,33 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
         [xf1 * c - xf2 * s, xf2 * c + xf1 * s], axis=-1).astype(x.dtype)
 
 
+def rope_cos_sin_dim(positions: jax.Array, dim: int, theta: float,
+                     scaling: float = 1.0
+                     ) -> tuple[jax.Array, jax.Array]:
+    """cos/sin for an explicit rotary dim (MLA uses qk_rope_head_dim,
+    not head_dim): each [T, dim//2], scaled by ``scaling`` (yarn
+    attention_scaling / mscale factor)."""
+    inv_freq = 1.0 / (theta**(jnp.arange(0, dim, 2, dtype=jnp.float32) /
+                              dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(freqs) * scaling, jnp.sin(freqs) * scaling
+
+
+def apply_rope_interleaved(x: jax.Array, cos: jax.Array,
+                           sin: jax.Array) -> jax.Array:
+    """GPT-J-style (interleaved-pair) RoPE: pairs are (2i, 2i+1).
+    x: [T, heads, d]. DeepSeek's HF impl rotates this way
+    (apply_rotary_emb via view_as_complex)."""
+    T = x.shape[0]
+    d2 = x.shape[-1] // 2
+    xr = x.astype(jnp.float32).reshape(*x.shape[:-1], d2, 2)
+    x1, x2 = xr[..., 0], xr[..., 1]
+    c = cos.reshape(T, *([1] * (x.ndim - 2)), d2)
+    s = sin.reshape(T, *([1] * (x.ndim - 2)), d2)
+    out = jnp.stack([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def silu_and_mul(gate_up: jax.Array) -> jax.Array:
     """SiluAndMul over a fused [.., 2*I] gate_up projection (ref analog:
     vllm activation.py SiluAndMul)."""

@@ -51,12 +51,25 @@ def fused_moe_apply(
     renormalize: bool = True,
 ) -> jax.Array:
     from vllm_tpu.ops.linear import linear
-    T, H = x.shape
-    A = T * top_k  # total assignments (static)
-
     router_logits = linear(router_leaf, x)  # [T, E]
     weights, expert_ids = topk_softmax_routing(router_logits, top_k,
                                                renormalize)
+    return apply_experts(x, weights, expert_ids, w_gate_up, w_down,
+                         top_k)
+
+
+def apply_experts(
+    x: jax.Array,  # [T, H]
+    weights: jax.Array,  # [T, K] combine weights (any routing scheme)
+    expert_ids: jax.Array,  # [T, K] int32
+    w_gate_up,
+    w_down,
+    top_k: int,
+) -> jax.Array:
+    """Expert compute + combine for externally computed routing
+    (DeepSeek group-limited / sigmoid gates route here too)."""
+    T, H = x.shape
+    A = T * top_k  # total assignments (static)
 
     from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
     if axis_size(AXIS_EP) > 1:
