@@ -232,3 +232,30 @@ def test_lora_model_routing(tokenizer):
             llm.shutdown()
 
     run(main())
+
+
+def test_embeddings_endpoint(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/embeddings", json={
+            "model": "tiny",
+            "input": "Hello world",
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "list"
+        emb = data["data"][0]["embedding"]
+        assert len(emb) == 64  # hidden_size
+        import numpy as np
+        assert abs(np.linalg.norm(emb) - 1.0) < 1e-4
+        assert data["usage"]["prompt_tokens"] > 0
+
+        # Batched string inputs + dimensions truncation.
+        r = await client.post("/v1/embeddings", json={
+            "input": ["a b c", "d e"],
+            "dimensions": 16,
+        })
+        data = await r.json()
+        assert len(data["data"]) == 2
+        assert all(len(d["embedding"]) == 16 for d in data["data"])
+
+    with_client(t, tokenizer)

@@ -45,6 +45,7 @@ class Request:
         arrival_time: Optional[float] = None,
         priority: int = 0,
         lora_name: Optional[str] = None,
+        pooling_params=None,  # PoolingParams => embedding request
     ) -> None:
         self.request_id = request_id
         self.prompt_token_ids = list(prompt_token_ids)
@@ -53,6 +54,7 @@ class Request:
                              if arrival_time is None else arrival_time)
         self.priority = priority
         self.lora_name = lora_name
+        self.pooling_params = pooling_params
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[int | str] = None

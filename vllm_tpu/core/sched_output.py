@@ -26,6 +26,7 @@ class NewRequestData:
     num_computed_tokens: int
     sampling_params: "SamplingParams"
     lora_name: "str | None" = None
+    pooling_params: "object | None" = None  # PoolingParams
 
 
 @dataclass
@@ -78,6 +79,9 @@ class ModelRunnerOutput:
     # per request, per sampled token: (logprob, token_rank) of sampled
     # token plus topk — populated only when requested.
     logprobs: Optional[list[list[dict[int, float]]]] = None
+    # per request: pooled embedding (pooling requests whose prefill
+    # completed this step; None rows otherwise).
+    pooler_outputs: Optional[list[Optional[list[float]]]] = None
 
 
 @dataclass
@@ -92,6 +96,7 @@ class EngineCoreOutput:
     finish_reason: Optional[str] = None
     stop_reason: Optional[int | str] = None
     new_logprobs: Optional[list[dict[int, float]]] = None
+    pooling_output: Optional[list[float]] = None
 
 
 @dataclass

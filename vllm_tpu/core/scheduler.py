@@ -179,9 +179,17 @@ class Scheduler:
                 request = self.waiting[0]
                 resumed = request.status == RequestStatus.PREEMPTED
 
-                # Prefix-cache lookup (fresh requests only).
-                new_computed_blocks, num_cached_tokens = (
-                    self.kv_cache_manager.get_computed_blocks(request))
+                # Prefix-cache lookup (fresh requests only). Pooling
+                # requests skip it: cache-hit tokens would be absent
+                # from the pooled hidden-state stream.
+                if request.pooling_params is None:
+                    new_computed_blocks, num_cached_tokens = (
+                        self.kv_cache_manager.get_computed_blocks(request))
+                else:
+                    from vllm_tpu.core.kv_cache_manager import \
+                        KVCacheBlocks
+                    new_computed_blocks, num_cached_tokens = (
+                        KVCacheBlocks([]), 0)
                 num_new_tokens = request.num_tokens - max(
                     request.num_computed_tokens, num_cached_tokens)
                 if (self.long_prefill_token_threshold > 0 and num_new_tokens
@@ -217,6 +225,7 @@ class Scheduler:
                             num_computed_tokens=request.num_computed_tokens,
                             sampling_params=request.sampling_params,
                             lora_name=request.lora_name,
+                            pooling_params=request.pooling_params,
                         ))
                 else:
                     out.scheduled_new_reqs.append(
@@ -228,6 +237,7 @@ class Scheduler:
                             num_computed_tokens=request.num_computed_tokens,
                             sampling_params=request.sampling_params,
                             lora_name=request.lora_name,
+                            pooling_params=request.pooling_params,
                         ))
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens
@@ -257,6 +267,8 @@ class Scheduler:
         # Penalties and logprobs need per-token host data: single-step.
         for r in reqs:
             sp = r.sampling_params
+            if r.pooling_params is not None:
+                return
             if (sp.logprobs or sp.guided
                     or sp.repetition_penalty != 1.0
                     or sp.presence_penalty != 0.0
@@ -323,6 +335,22 @@ class Scheduler:
                 continue  # aborted mid-flight
             sched_tokens = num_scheduled.get(req_id)
             if sched_tokens is None:
+                continue
+
+            if request.pooling_params is not None:
+                request.num_computed_tokens += sched_tokens
+                if (request.num_computed_tokens >=
+                        request.num_prompt_tokens):
+                    request.status = RequestStatus.FINISHED_STOPPED
+                    pooled = (runner_output.pooler_outputs[i]
+                              if runner_output.pooler_outputs else None)
+                    outputs.append(
+                        EngineCoreOutput(req_id=req_id, new_token_ids=[],
+                                         finished=True,
+                                         finish_reason="stop",
+                                         pooling_output=pooled))
+                    self.running.remove(request)
+                    self._free_request(request)
                 continue
 
             sampled = runner_output.sampled_token_ids[i]

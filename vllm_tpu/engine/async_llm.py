@@ -98,10 +98,11 @@ class AsyncLLM:
     def _handle(self, item) -> None:
         kind, payload = item
         if kind == "add":
-            req_id, prompt, params, lora_name = payload
+            req_id, prompt, params, lora_name, pooling = payload
             try:
                 self.engine.add_request(prompt, params, req_id,
-                                        lora_name=lora_name)
+                                        lora_name=lora_name,
+                                        pooling_params=pooling)
             except (ValueError, KeyError, AssertionError) as e:
                 self._emit_error(req_id, e)
         elif kind == "add_lora":
@@ -159,7 +160,8 @@ class AsyncLLM:
         req_id = request_id or f"async-{next(self._counter)}"
         out_q: asyncio.Queue = asyncio.Queue()
         self._request_queues[req_id] = out_q
-        self._new_requests.put(("add", (req_id, prompt, params, lora_name)))
+        self._new_requests.put(("add", (req_id, prompt, params, lora_name,
+                                        None)))
         # Wake the engine thread if it's blocked on the queue.
         try:
             while True:
@@ -169,6 +171,33 @@ class AsyncLLM:
                 yield item
                 if item.finished:
                     return
+        finally:
+            self._request_queues.pop(req_id, None)
+            self._new_requests.put(("abort", [req_id]))
+
+    async def embed(
+        self,
+        prompt: Union[str, list[int]],
+        pooling_params=None,
+        request_id: Optional[str] = None,
+    ) -> RequestOutput:
+        """Pooled-embedding request (ref analog: AsyncLLM.encode)."""
+        from vllm_tpu.sample.params import PoolingParams
+        self.start()
+        pp = pooling_params or PoolingParams()
+        req_id = request_id or f"embed-{next(self._counter)}"
+        out_q: asyncio.Queue = asyncio.Queue()
+        self._request_queues[req_id] = out_q
+        self._new_requests.put(
+            ("add", (req_id, prompt, SamplingParams(max_tokens=1),
+                     None, pp)))
+        try:
+            while True:
+                item = await out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                if item.finished:
+                    return item
         finally:
             self._request_queues.pop(req_id, None)
             self._new_requests.put(("abort", [req_id]))

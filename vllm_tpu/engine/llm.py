@@ -120,6 +120,29 @@ class LLM:
             results.append(merged)
         return results
 
+    def embed(
+        self,
+        prompts: Union[str, Sequence[Union[str, list[int]]]],
+        pooling_params=None,
+    ) -> list[RequestOutput]:
+        """Embedding/pooling requests (ref analog: LLM.embed/encode,
+        vllm/entrypoints/llm.py). Returns RequestOutputs whose
+        ``embedding`` field carries the pooled vector."""
+        from vllm_tpu.sample.params import PoolingParams
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        pp = pooling_params or PoolingParams()
+        ids = [
+            self.engine.add_request(p, SamplingParams(max_tokens=1),
+                                    pooling_params=pp) for p in prompts
+        ]
+        finals: dict[str, RequestOutput] = {}
+        while self.engine.has_unfinished_requests():
+            for out in self.engine.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return [finals[i] for i in ids]
+
     def chat(self, messages, sampling_params=None) -> list[RequestOutput]:
         tok = self.engine.tokenizer
         assert tok is not None

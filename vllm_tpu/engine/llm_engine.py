@@ -165,6 +165,7 @@ class LLMEngine:
         request_id: Optional[str] = None,
         priority: int = 0,
         lora_name: Optional[str] = None,
+        pooling_params=None,
     ) -> str:
         params = params or SamplingParams()
         if request_id is None:
@@ -188,7 +189,8 @@ class LLMEngine:
             except KeyError as e:
                 raise ValueError(str(e)) from e
         request = Request(request_id, prompt_token_ids, params,
-                          priority=priority, lora_name=lora_name)
+                          priority=priority, lora_name=lora_name,
+                          pooling_params=pooling_params)
         self.scheduler.add_request(request)
         self.metrics.on_request_added(request_id, len(prompt_token_ids))
         self.output_processor.add_request(request_id, prompt_text,

@@ -106,6 +106,7 @@ class OutputProcessor:
                         )
                     ],
                     finished=finished,
+                    embedding=eco.pooling_output,
                 ))
             if finished:
                 self.states.pop(eco.req_id, None)

@@ -25,3 +25,6 @@ class RequestOutput:
     prompt_token_ids: list[int]
     outputs: list[CompletionOutput] = field(default_factory=list)
     finished: bool = False
+    # Pooling/embedding requests only (ref analog:
+    # PoolingRequestOutput, vllm/outputs.py).
+    embedding: Optional[list[float]] = None

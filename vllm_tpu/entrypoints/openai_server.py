@@ -98,6 +98,7 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         return app
 
@@ -140,6 +141,38 @@ class OpenAIServer:
             return _err(f"failed to load adapter: {e}", 400)
         return web.json_response(
             {"status": "ok", "lora_name": name})
+
+    async def embeddings(self, request: web.Request) -> web.Response:
+        """OpenAI embeddings API over the pooling runner path (ref
+        analog: serving_embedding.py)."""
+        from vllm_tpu.sample.params import PoolingParams
+        body = await request.json()
+        inputs = body.get("input")
+        if inputs is None:
+            return _err("missing 'input'")
+        if isinstance(inputs, str) or (isinstance(inputs, list) and inputs
+                                       and isinstance(inputs[0], int)):
+            inputs = [inputs]
+        pp = PoolingParams(dimensions=body.get("dimensions"))
+        data = []
+        total_tokens = 0
+        for i, prompt in enumerate(inputs):
+            out = await self.llm.embed(prompt, pp)
+            total_tokens += len(out.prompt_token_ids)
+            data.append({
+                "object": "embedding",
+                "index": i,
+                "embedding": out.embedding,
+            })
+        return web.json_response({
+            "object": "list",
+            "data": data,
+            "model": body.get("model", self.model_name),
+            "usage": {
+                "prompt_tokens": total_tokens,
+                "total_tokens": total_tokens,
+            },
+        })
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()

@@ -69,3 +69,19 @@ class SamplingParams:
         """Any structured-output constraint set."""
         return bool(self.guided_choice) or bool(self.guided_regex) or \
             self.guided_json is not None
+
+
+@dataclass
+class PoolingParams:
+    """Pooling request parameters (ref analog: vllm/pooling_params.py).
+
+    pooling_type: how prompt hidden states collapse to one vector —
+    "last" (final prompt token; decoder-style embedders), "mean"
+    (exact over the full prompt, chunked-prefill-safe via streamed
+    accumulation), or "cls" (first token).
+    """
+
+    pooling_type: str = "last"  # last | mean | cls
+    normalize: bool = True
+    # Matryoshka-style truncation: keep the first N dims (None = all).
+    dimensions: Optional[int] = None

@@ -152,8 +152,8 @@ class TPUModelRunner:
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
-            # q_blk, spec_k, n_logprobs, want_hidden
-            static_argnums=(3, 4, 5, 6),
+            # q_blk, spec_k, n_logprobs, want_hidden, want_pooling
+            static_argnums=(3, 4, 5, 6, 7),
         )
         self._decode_loop_fn = jax.jit(
             functools.partial(_decode_loop_impl, self.model, mc,
@@ -213,6 +213,9 @@ class TPUModelRunner:
             if grammar is not None:
                 from vllm_tpu.structured_output.trie import GrammarState
                 state.grammar = GrammarState(grammar)
+            if getattr(nr, "pooling_params", None) is not None:
+                state.pooling = nr.pooling_params
+                state.pool_sum = None  # accumulated over prefill chunks
         for cr in out.scheduled_cached_reqs:
             state = self.batch.reqs[cr.req_id]
             if cr.new_block_ids:
@@ -331,6 +334,35 @@ class TPUModelRunner:
         )
         return inputs, req_ids, emits, q_blk
 
+    def _accumulate_pooling(self, state, out, pool_np, req_id) -> None:
+        sums, firsts, lasts = pool_np
+        row = state.row
+        n = out.num_scheduled_tokens[req_id]
+        start = state.num_computed_tokens
+        if state.pool_sum is None:
+            state.pool_sum = np.zeros_like(sums[row])
+            state.pool_count = 0
+        state.pool_sum = state.pool_sum + sums[row]
+        state.pool_count += n
+        if start == 0:
+            state.pool_first = firsts[row].copy()
+        state.pool_last = lasts[row].copy()
+
+    def _finalize_pooling(self, state) -> list[float]:
+        pp = state.pooling
+        if pp.pooling_type == "mean":
+            vec = state.pool_sum / max(state.pool_count, 1)
+        elif pp.pooling_type == "cls":
+            vec = state.pool_first
+        else:  # last
+            vec = state.pool_last
+        vec = np.asarray(vec, np.float32)
+        if pp.dimensions:
+            vec = vec[:pp.dimensions]
+        if pp.normalize:
+            vec = vec / max(float(np.linalg.norm(vec)), 1e-12)
+        return [float(v) for v in vec]
+
     def _build_grammar_mask(self, req_ids) -> Optional[jax.Array]:
         states = [(r, getattr(self.batch.reqs[r], "grammar", None))
                   for r in req_ids]
@@ -393,9 +425,15 @@ class TPUModelRunner:
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
                     for r in req_ids), default=0)
-        self.kv_caches, sampled, spec_mats, lp, hidden = self._step_fn(
-            self.params, self.kv_caches, inputs, q_blk, self.spec_k, n_lp,
-            self.eagle is not None)
+        want_pooling = any(
+            getattr(self.batch.reqs[r], "pooling", None) is not None
+            for r in req_ids)
+        (self.kv_caches, sampled, spec_mats, lp, hidden,
+         pool) = self._step_fn(self.params, self.kv_caches, inputs,
+                               q_blk, self.spec_k, n_lp,
+                               self.eagle is not None, want_pooling)
+        pool_np = (tuple(map(np.asarray, jax.device_get(pool)))
+                   if pool is not None else None)
         sampled_np = np.asarray(jax.device_get(sampled))
         lp_np = jax.device_get(lp) if lp is not None else None
         greedy_np = tgt_np = rec_np = None
@@ -410,10 +448,30 @@ class TPUModelRunner:
         # EAGLE bookkeeping: per-row (accepted count, last token).
         eagle_rows: list[tuple[int, int, int, int]] = []
         K = self.spec_k
+        if want_pooling:
+            result.pooler_outputs = []
         for req_id, emit in zip(req_ids, emits):
             state = self.batch.reqs[req_id]
             row = state.row
             drafts = out.scheduled_spec_decode_tokens.get(req_id, [])
+            if getattr(state, "pooling", None) is not None:
+                # Embedding request: accumulate this chunk's pooled
+                # stats; finalize when the whole prompt has been seen
+                # (ref analog: the pooler path in gpu_model_runner +
+                # vllm/model_executor/layers/pooler.py).
+                self._accumulate_pooling(state, out, pool_np, req_id)
+                result.sampled_token_ids.append([])
+                spec_out.append([])
+                if lp_np is not None:
+                    result.logprobs.append([])
+                done = (state.num_computed_tokens +
+                        out.num_scheduled_tokens[req_id] >=
+                        state.prompt_len)
+                result.pooler_outputs.append(
+                    self._finalize_pooling(state) if done else None)
+                continue
+            if want_pooling:
+                result.pooler_outputs.append(None)
             if not emit:
                 result.sampled_token_ids.append([])
                 spec_out.append([])
@@ -647,13 +705,30 @@ def _unpack_grammar_mask(packed: jax.Array, vocab_size: int) -> jax.Array:
     return bits.reshape(R, W * 32)[:, :vocab_size] != 0
 
 
+def _segment_pooling(hidden: jax.Array, qsl: jax.Array):
+    """Per-row (sum, first, last) of the ragged hidden stream — the
+    device half of chunked-prefill-safe pooling. Padding tokens (index
+    >= qsl[-1]) fall into segment R and are dropped; zero-length rows
+    produce garbage first/last entries the host never reads."""
+    T = hidden.shape[0]
+    R = qsl.shape[0] - 1
+    row_of = jnp.searchsorted(qsl, jnp.arange(T, dtype=qsl.dtype),
+                              side="right") - 1
+    sums = jax.ops.segment_sum(hidden.astype(jnp.float32), row_of,
+                               num_segments=R + 1)[:R]
+    firsts = hidden[jnp.minimum(qsl[:R], T - 1)]
+    lasts = hidden[jnp.clip(qsl[1:R + 1] - 1, 0, T - 1)]
+    return sums, firsts, lasts
+
+
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0,
-               want_hidden: bool = False):
+               want_hidden: bool = False, want_pooling: bool = False):
     """One fused device step: forward + logits + sample (+ greedy
     verification matrix when speculative decoding is on). With
     ``want_hidden`` the full [T, E] hidden stream is also returned
-    (stays on device — feeds the EAGLE drafter)."""
+    (stays on device — feeds the EAGLE drafter); ``want_pooling`` adds
+    per-row (sum, first, last) pooled hidden states."""
     meta = AttentionMetadata(
         slot_mapping=inputs.slot_mapping,
         block_tables=inputs.block_tables,
@@ -682,8 +757,10 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         sampled = sample(logits, inputs.sampling)
         lp = (compute_topk_logprobs(logits, sampled, n_logprobs)
               if n_logprobs > 0 else None)
+        pool = (_segment_pooling(hidden, inputs.query_start_loc)
+                if want_pooling else None)
         return (kv_caches, sampled, None, lp,
-                hidden if want_hidden else None)
+                hidden if want_hidden else None, pool)
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
@@ -718,5 +795,7 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
 
     tgt_prob, recovered = jax.lax.cond(
         jnp.any(meta.temperature > 0.0), stochastic, greedy_only, None)
+    pool = (_segment_pooling(hidden, inputs.query_start_loc)
+            if want_pooling else None)
     return (kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp,
-            hidden if want_hidden else None)
+            hidden if want_hidden else None, pool)
