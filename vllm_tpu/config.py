@@ -45,6 +45,8 @@ class ModelConfig:
     head_dim: int | None = None  # defaults to hidden_size // num_heads
     rope_theta: float = 10000.0
     rope_scaling: dict[str, Any] | None = None
+    # Fraction of head_dim that rotates (phi/bamba-style partial rope).
+    partial_rotary_factor: float = 1.0
     rms_norm_eps: float = 1e-5
     max_model_len: int = 2048
     dtype: DType = "bfloat16"
@@ -71,6 +73,16 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # Mamba2/SSD mixer geometry (ref: mamba_mixer2.py; 0 layers = no
+    # SSM). For hybrid models, layer_types marks which layers are
+    # attention vs mamba.
+    mamba_d_state: int = 128
+    mamba_d_conv: int = 4
+    mamba_n_groups: int = 1
+    mamba_num_heads: int = 0  # 0 == model has no mamba layers
+    mamba_d_inner: int = 0
+    mamba_time_step_limit: tuple[float, float] = (0.0, float("inf"))
+    layer_types: tuple[str, ...] | None = None  # hybrid layer map
     # logit softcap (gemma2-style); None == disabled
     logit_softcap: float | None = None
     hf_config: dict[str, Any] = field(default_factory=dict, repr=False)

@@ -21,6 +21,8 @@ SUPPORTED_ARCHS = {
     "MixtralForCausalLM": "mixtral",
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
+    "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
+    "BambaForCausalLM": "bamba",  # hybrid SSM + attention
 }
 
 
@@ -41,6 +43,37 @@ def model_config_from_hf(
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
             f"{sorted(SUPPORTED_ARCHS)}")
+    if arch == "Mamba2ForCausalLM":
+        d_inner = hf.get("expand", 2) * hf["hidden_size"]
+        cfg = ModelConfig(
+            model=model_path,
+            architecture=arch,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=d_inner,
+            num_layers=hf["num_hidden_layers"],
+            num_heads=1,
+            num_kv_heads=1,
+            head_dim=hf.get("head_dim", 64),
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            max_model_len=max_model_len or 2048,
+            dtype=dtype,
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            mamba_d_state=hf.get("state_size", 128),
+            mamba_d_conv=hf.get("conv_kernel", 4),
+            mamba_n_groups=hf.get("n_groups", 1),
+            mamba_num_heads=hf["num_heads"],
+            mamba_d_inner=d_inner,
+            mamba_time_step_limit=tuple(
+                hf.get("time_step_limit") or (0.0, float("inf"))),
+            hf_config=hf,
+        )
+        eos = hf.get("eos_token_id")
+        cfg.eos_token_ids = (  # type: ignore[attr-defined]
+            eos if isinstance(eos, list) else
+            [eos] if eos is not None else [])
+        return cfg
+
     num_heads = hf["num_attention_heads"]
     max_pos = hf.get("max_position_embeddings", 2048)
     cfg = ModelConfig(
@@ -68,6 +101,21 @@ def model_config_from_hf(
                         if hf.get("use_sliding_window", True) else None),
         hf_config=hf,
     )
+    if arch == "BambaForCausalLM":  # hybrid SSM + attention
+        lbt = hf.get("layers_block_type")
+        if lbt is None:  # derived field: attn_layer_indices only
+            attn = set(hf.get("attn_layer_indices") or [])
+            lbt = [
+                "attention" if i in attn else "mamba"
+                for i in range(hf["num_hidden_layers"])
+            ]
+        cfg.layer_types = tuple(lbt)
+        cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
+        cfg.mamba_num_heads = hf["mamba_n_heads"]
+        cfg.mamba_d_inner = hf.get("mamba_expand", 2) * hf["hidden_size"]
+        cfg.mamba_d_state = hf.get("mamba_d_state", 128)
+        cfg.mamba_d_conv = hf.get("mamba_d_conv", 4)
+        cfg.mamba_n_groups = hf.get("mamba_n_groups", 1)
     if hf.get("kv_lora_rank"):  # MLA (DeepSeek-V2/V3)
         cfg.q_lora_rank = hf.get("q_lora_rank")
         cfg.kv_lora_rank = hf["kv_lora_rank"]

@@ -101,6 +101,10 @@ def load_llama_params(
         return load_quantized_llama_params(model_path, cfg, quant)
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
+    if cfg.mamba_num_heads and cfg.layer_types is None:
+        return _load_mamba2_params(model_path, cfg)
+    if cfg.layer_types is not None:
+        return _load_bamba_params(model_path, cfg)
     if cfg.num_experts > 0:
         return _load_mixtral_params(model_path, cfg)
 
@@ -332,6 +336,128 @@ def _load_deepseek_params(model_path: str, cfg: ModelConfig) -> dict:
             dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_mamba2_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Mamba2 mapping (HF backbone.* keys; ref analog: mamba2.py
+    load_weights). conv1d [conv_dim, 1, K] -> conv_w [K, conv_dim]."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "backbone.embeddings.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "backbone.norm_f.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("backbone.layers."):
+            rest = name[len("backbone.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            layer = layers[int(idx_s)]
+            if tail == "norm.weight":
+                layer["norm"] = to_jax(w)
+            elif tail == "mixer.norm.weight":
+                layer["mixer_norm"] = to_jax(w)
+            elif tail == "mixer.in_proj.weight":
+                layer["in_proj"] = {"weight": to_jax(w.T)}
+            elif tail == "mixer.out_proj.weight":
+                layer["out_proj"] = {"weight": to_jax(w.T)}
+            elif tail == "mixer.conv1d.weight":
+                layer["conv_w"] = to_jax(w[:, 0, :].T)  # [K, conv_dim]
+            elif tail == "mixer.conv1d.bias":
+                layer["conv_b"] = to_jax(w)
+            elif tail in ("mixer.A_log", "mixer.D", "mixer.dt_bias"):
+                key = tail.split(".")[1]
+                layer[key] = jnp.asarray(w).astype(jnp.float32)
+            else:
+                logger.warning("unmapped weight %s", name)
+        else:
+            logger.warning("unmapped weight %s", name)
+    return params
+
+
+def _load_bamba_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Bamba hybrid mapping: mamba.* mixer leaves on SSM layers,
+    fused qkv on attention layers, feed_forward MLP everywhere."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+    fused = {
+        "self_attn.q_proj": ("qkv_proj", 0),
+        "self_attn.k_proj": ("qkv_proj", 1),
+        "self_attn.v_proj": ("qkv_proj", 2),
+        "feed_forward.gate_proj": ("gate_up_proj", 0),
+        "feed_forward.up_proj": ("gate_up_proj", 1),
+    }
+    direct = {
+        "self_attn.o_proj": "o_proj",
+        "feed_forward.down_proj": "down_proj",
+        "mamba.in_proj": "in_proj",
+        "mamba.out_proj": "out_proj",
+    }
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.final_layernorm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "pre_ff_layernorm.weight":
+                layer["pre_ff_layernorm"] = to_jax(w)
+            elif tail == "mamba.norm.weight":
+                layer["mixer_norm"] = to_jax(w)
+            elif tail == "mamba.conv1d.weight":
+                layer["conv_w"] = to_jax(w[:, 0, :].T)
+            elif tail == "mamba.conv1d.bias":
+                layer["conv_b"] = to_jax(w)
+            elif tail in ("mamba.A_log", "mamba.D", "mamba.dt_bias"):
+                layer[tail.split(".")[1]] = jnp.asarray(w).astype(
+                    jnp.float32)
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in direct:
+                    leaf = layer.setdefault(direct[mod], {})
+                    leaf["weight" if kind == "weight" else "bias"] = \
+                        to_jax(w.T if kind == "weight" else w)
+                elif mod in fused:
+                    leaf_name, slot = fused[mod]
+                    pending.setdefault((li, leaf_name, kind),
+                                       {})[slot] = w
+                else:
+                    logger.warning("unmapped weight %s", name)
+        else:
+            logger.warning("unmapped weight %s", name)
+
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            cat.T if kind == "weight" else cat)
     return params
 
 

@@ -18,6 +18,8 @@ _REGISTRY: dict[str, str] = {
     "MixtralForCausalLM": "vllm_tpu.models.mixtral",
     "DeepseekV2ForCausalLM": "vllm_tpu.models.deepseek",  # MLA + MoE
     "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
+    "Mamba2ForCausalLM": "vllm_tpu.models.mamba2",  # pure SSM
+    "BambaForCausalLM": "vllm_tpu.models.bamba",  # hybrid SSM+attn
 }
 
 

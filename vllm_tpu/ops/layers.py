@@ -28,7 +28,7 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
     """Rotary inverse frequencies, with llama3-style scaling support
     (ref analog: vllm/model_executor/layers/rotary_embedding/)."""
-    d = cfg.head_dim
+    d = int(round(cfg.head_dim * cfg.partial_rotary_factor))
     inv_freq = 1.0 / (cfg.rope_theta**(jnp.arange(0, d, 2,
                                                   dtype=jnp.float32) / d))
     rs = cfg.rope_scaling or {}
@@ -64,7 +64,15 @@ def rope_cos_sin(positions: jax.Array,
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """NeoX-style (half-rotated) RoPE. x: [T, heads, head_dim]."""
+    """NeoX-style (half-rotated) RoPE. x: [T, heads, head_dim].
+
+    Partial rotary (cos dim < head_dim/2): only the leading
+    ``2 * cos.shape[-1]`` dims rotate, the rest pass through
+    (ref analog: rotary_embedding partial_rotary_factor)."""
+    rd = 2 * cos.shape[-1]
+    if rd < x.shape[-1]:
+        return jnp.concatenate(
+            [apply_rope(x[..., :rd], cos, sin), x[..., rd:]], axis=-1)
     d2 = x.shape[-1] // 2
     x1, x2 = x[..., :d2], x[..., d2:]
     c = cos[:, None, :]

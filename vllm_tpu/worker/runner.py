@@ -135,19 +135,28 @@ class TPUModelRunner:
                                                  shard_params)
             self.params = params = shard_params(params, mc, mesh)
             kv_sh = kv_cache_sharding(mc, mesh)
-        self.kv_caches = [
-            make_kv_cache(num_kv_blocks, self.block_size,
-                          mc.num_kv_heads, mc.head_dim,
-                          config.cache.cache_dtype, mc.dtype,
-                          sharding=kv_sh) for _ in range(mc.num_layers)
-        ]
-        logger.info(
-            "KV cache: %d layers x %s %s (%.1f MiB total)", mc.num_layers,
-            shape, cache_dtype,
-            mc.num_layers * kv_cache_bytes_per_block(
-                self.block_size, mc.num_kv_heads, mc.head_dim,
-                config.cache.cache_dtype, mc.dtype) * num_kv_blocks /
-            2**20)
+        if hasattr(self.model, "make_caches"):
+            # Model-defined cache layout (SSM state caches, hybrid
+            # attention+mamba lists — ref analog: the KV-cache spec
+            # hierarchy, vllm/v1/kv_cache_interface.py).
+            self.kv_caches = self.model.make_caches(
+                mc, num_kv_blocks, self.block_size, self.max_num_reqs,
+                config.cache, kv_sharding=kv_sh)
+        else:
+            self.kv_caches = [
+                make_kv_cache(num_kv_blocks, self.block_size,
+                              mc.num_kv_heads, mc.head_dim,
+                              config.cache.cache_dtype, mc.dtype,
+                              sharding=kv_sh)
+                for _ in range(mc.num_layers)
+            ]
+            logger.info(
+                "KV cache: %d layers x %s %s (%.1f MiB total)",
+                mc.num_layers, shape, cache_dtype,
+                mc.num_layers * kv_cache_bytes_per_block(
+                    self.block_size, mc.num_kv_heads, mc.head_dim,
+                    config.cache.cache_dtype, mc.dtype) * num_kv_blocks /
+                2**20)
 
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
