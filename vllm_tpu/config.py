@@ -125,6 +125,10 @@ class CacheConfig:
     # sha256 is the reference default hash for prefix blocks
     # (ref: vllm/config/cache.py:39 PrefixCachingHashAlgo).
     prefix_caching_hash_algo: Literal["sha256", "builtin"] = "builtin"
+    # Host (CPU RAM) KV tier: evicted cached blocks spill here and
+    # re-admit on content-hash hits (0 = off; ref analog:
+    # vllm/v1/kv_offload CPU backend / swap_space).
+    host_swap_bytes: int = 0
 
     @property
     def is_quantized(self) -> bool:

@@ -88,6 +88,10 @@ class BlockPool:
         # get cached — same behavior the ref converges to after dedup).
         self._cache: dict[BlockHash, KVCacheBlock] = {}
         self.stats = PrefixCacheStats()
+        # KV-offload hook: called as on_evict(block_id, hash) when a
+        # cached block's content is about to be dropped (reallocation).
+        # The block's device data is still intact at call time.
+        self.on_evict = None
 
     # -- queries -----------------------------------------------------
     @property
@@ -120,6 +124,8 @@ class BlockPool:
             if cur is block:
                 del self._cache[h]
                 self.stats.evictions += 1
+                if self.on_evict is not None:
+                    self.on_evict(block.block_id, h)
             block.block_hash = None
 
     def touch(self, blocks: list[KVCacheBlock]) -> None:

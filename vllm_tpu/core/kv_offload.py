@@ -19,7 +19,7 @@ Flow:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -71,9 +71,8 @@ class HostKVPool:
         entry = (data, scales)
         need = self._nbytes(entry)
         while self._bytes + need > self.max_bytes and self._entries:
-            _, old = self._entries.popitem(last=False) if hasattr(
-                self._entries, "popitem") else (None, None)
-            self._bytes -= self._nbytes(old)
+            oldest = next(iter(self._entries))
+            self._bytes -= self._nbytes(self._entries.pop(oldest))
             self.evictions += 1
         if need <= self.max_bytes:
             self._entries[h] = entry

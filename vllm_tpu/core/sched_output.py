@@ -61,6 +61,14 @@ class SchedulerOutput:
     # sampled tokens back on device and returns horizon tokens per
     # request).
     decode_horizon: int = 1
+    # KV offload tier (core/kv_offload.py): blocks to copy device->host
+    # before this step's forward overwrites them [(block_id, hash)],
+    # and host-tier hits to upload host->device [(hash, block_id)].
+    offload_blocks: list[tuple[int, bytes]] = field(default_factory=list)
+    swap_in_blocks: list[tuple[bytes, int]] = field(default_factory=list)
+    # Disagg P/D: new requests whose KV payload the runner must inject
+    # into their allocated blocks before the forward.
+    kv_inject_reqs: list[str] = field(default_factory=list)
 
     @property
     def num_reqs(self) -> int:

@@ -54,6 +54,19 @@ class Scheduler:
         self.num_lookahead_tokens = (sc.num_speculative_tokens +
                                      1 if sc.method == "eagle" else 0)
 
+        # Host KV tier (core/kv_offload.py): evicted cached blocks are
+        # copied to CPU RAM and re-admitted on content-hash hits.
+        self.host_kv_pool = None
+        self._pending_offload: list[tuple[int, bytes]] = []
+        self.num_swap_ins = 0
+        if (config.cache.host_swap_bytes > 0
+                and config.cache.enable_prefix_caching
+                and not config.model.mamba_num_heads):
+            from vllm_tpu.core.kv_offload import HostKVPool
+            self.host_kv_pool = HostKVPool(config.cache.host_swap_bytes)
+            self.kv_cache_manager.block_pool.on_evict = (
+                lambda bid, h: self._pending_offload.append((bid, h)))
+
         self.requests: dict[str, Request] = {}
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
@@ -179,6 +192,16 @@ class Scheduler:
                 request = self.waiting[0]
                 resumed = request.status == RequestStatus.PREEMPTED
 
+                # Disagg P/D: a transferred-KV request skips prefill of
+                # the payload region (blocks allocated below; the
+                # runner injects the bytes pre-forward).
+                inject = False
+                remote = getattr(request, "remote_kv", None)
+                if remote is not None and request.num_computed_tokens == 0:
+                    request.num_computed_tokens = min(
+                        remote.num_tokens, request.num_tokens - 1)
+                    inject = request.num_computed_tokens > 0
+
                 # Prefix-cache lookup (fresh requests only). Pooling
                 # requests skip it: cache-hit tokens would be absent
                 # from the pooled hidden-state stream.
@@ -190,6 +213,26 @@ class Scheduler:
                         KVCacheBlocks
                     new_computed_blocks, num_cached_tokens = (
                         KVCacheBlocks([]), 0)
+
+                # Host-tier lookup: consecutive block hashes beyond the
+                # device hit that live in the CPU pool get device
+                # blocks allocated and swap in pre-forward.
+                host_hits = 0
+                if (self.host_kv_pool is not None and remote is None
+                        and request.pooling_params is None
+                        and request.num_computed_tokens == 0):
+                    hashes = self.kv_cache_manager.req_to_block_hashes.get(
+                        request.request_id, [])
+                    start_blk = num_cached_tokens // self.block_size
+                    i = start_blk
+                    max_tok = request.num_tokens - 1
+                    while ((i + 1) * self.block_size <= max_tok
+                           and i < len(hashes)
+                           and hashes[i] in self.host_kv_pool):
+                        i += 1
+                    host_hits = i - start_blk
+                    num_cached_tokens += host_hits * self.block_size
+
                 num_new_tokens = request.num_tokens - max(
                     request.num_computed_tokens, num_cached_tokens)
                 if (self.long_prefill_token_threshold > 0 and num_new_tokens
@@ -201,11 +244,26 @@ class Scheduler:
                     num_new_tokens = token_budget
                 assert num_new_tokens > 0
 
+                # Swap-in regions need device blocks but no compute:
+                # inflate the allocation, not the token budget.
+                alloc_tokens = num_new_tokens + host_hits * self.block_size
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    request, num_new_tokens, new_computed_blocks,
+                    request, alloc_tokens, new_computed_blocks,
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is None:
                     break  # no space; keep waiting
+
+                if host_hits:
+                    blks = self.kv_cache_manager.req_to_blocks[
+                        request.request_id]
+                    first = num_cached_tokens // self.block_size - host_hits
+                    for j in range(host_hits):
+                        out.swap_in_blocks.append(
+                            (hashes[first + j],
+                             blks[first + j].block_id))
+                    self.num_swap_ins += host_hits
+                if inject:
+                    out.kv_inject_reqs.append(request.request_id)
 
                 self.waiting.popleft()
                 request.status = RequestStatus.RUNNING
@@ -242,6 +300,9 @@ class Scheduler:
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens
 
+        if self._pending_offload:
+            out.offload_blocks = self._pending_offload
+            self._pending_offload = []
         out.total_num_scheduled_tokens = sum(
             out.num_scheduled_tokens.values())
         out.preempted_req_ids = preempted_this_step

@@ -85,6 +85,9 @@ class LLMEngine:
                 dcfg = draft_config_from_target(mc, sc.draft_num_layers)
                 draft_params = load_eagle_params(sc.model, dcfg)
             self.runner.set_eagle_proposer(draft_params)
+        # Host KV tier: scheduler owns the index, runner moves bytes.
+        if self.scheduler.host_kv_pool is not None:
+            self.runner.host_kv_pool = self.scheduler.host_kv_pool
         self.output_processor = OutputProcessor(self.tokenizer)
         self._req_counter = Counter()
         from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger
@@ -172,6 +175,7 @@ class LLMEngine:
         priority: int = 0,
         lora_name: Optional[str] = None,
         pooling_params=None,
+        kv_transfer=None,  # KVTransferPayload from a prefill engine
     ) -> str:
         params = params or SamplingParams()
         if request_id is None:
@@ -197,6 +201,12 @@ class LLMEngine:
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority, lora_name=lora_name,
                           pooling_params=pooling_params)
+        if kv_transfer is not None:
+            # Disagg P/D decode side (ref analog: KVConnector inject,
+            # vllm/distributed/kv_transfer/): the payload region skips
+            # prefill; the runner writes it into the allocated blocks.
+            request.remote_kv = kv_transfer  # type: ignore[attr-defined]
+            self.runner.kv_payloads[request_id] = kv_transfer
         self.scheduler.add_request(request)
         self.metrics.on_request_added(request_id, len(prompt_token_ids))
         self.output_processor.add_request(request_id, prompt_text,
@@ -249,6 +259,36 @@ class LLMEngine:
                                                  bt)
         cache[key] = g
         return g
+
+    def extract_kv(self, prompt_token_ids: list[int]):
+        """Disagg P/D prefill side: pull the prompt's full-block KV out
+        of the device prefix cache as a host payload (ref analog: the
+        KVConnector extract path). Returns None when no prefix blocks
+        are cached. Run the prompt through this engine first (e.g.
+        max_tokens=1); finished requests leave their blocks in the
+        content-addressed cache."""
+        from vllm_tpu.core.block_pool import hash_block_tokens
+        from vllm_tpu.core.kv_offload import KVTransferPayload
+        cc = self.config.cache
+        bs = cc.block_size
+        pool = self.scheduler.kv_cache_manager.block_pool
+        block_ids, h = [], None
+        for i in range(len(prompt_token_ids) // bs):
+            chunk = tuple(prompt_token_ids[i * bs:(i + 1) * bs])
+            h = hash_block_tokens(h, chunk, None,
+                                  cc.prefix_caching_hash_algo)
+            block = pool.get_cached_block(h)
+            if block is None:
+                break
+            block_ids.append(block.block_id)
+        if not block_ids:
+            return None
+        datas, scales = self.runner.read_blocks(block_ids)
+        return KVTransferPayload(
+            num_tokens=len(block_ids) * bs,
+            data=datas,
+            scales=None if scales[0] is None else scales,
+        )
 
     def abort_request(self, request_ids: list[str]) -> None:
         self.scheduler.finish_requests(request_ids,

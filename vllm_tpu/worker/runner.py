@@ -110,6 +110,11 @@ class TPUModelRunner:
         # Multi-LoRA runtime (set via set_lora_registry).
         self.lora_registry = None
 
+        # KV offload tier + disagg P/D payloads (engine wires the pool;
+        # see core/kv_offload.py).
+        self.host_kv_pool = None
+        self.kv_payloads: dict[str, object] = {}
+
         # Speculative decoding: ngram (host drafter) or EAGLE (device
         # draft model; install via set_eagle_proposer). Verification is
         # shared (greedy-match / stochastic rejection in _step_impl).
@@ -206,6 +211,7 @@ class TPUModelRunner:
         (ref analog: gpu_model_runner._update_states:1233)."""
         for req_id in out.finished_req_ids:
             self.batch.remove_request(req_id)
+            self.kv_payloads.pop(req_id, None)
         for req_id in out.preempted_req_ids:
             self.batch.remove_request(req_id)
         for nr in out.scheduled_new_reqs:
@@ -343,6 +349,84 @@ class TPUModelRunner:
         )
         return inputs, req_ids, emits, q_blk
 
+    # -- KV block transfer (offload tier + disagg P/D) -----------------
+    def read_blocks(self, block_ids: list[int]):
+        """Gather block contents across layers: (datas, scales) — per
+        layer [n, 2KH, bs, Dp] numpy (scales None for float caches)."""
+        from vllm_tpu.ops.kv_cache import QuantKV
+        idx = jnp.asarray(block_ids, jnp.int32)
+        datas, scales = [], []
+        for c in self.kv_caches:
+            if isinstance(c, QuantKV):
+                datas.append(np.asarray(jax.device_get(c.data[idx])))
+                scales.append(np.asarray(jax.device_get(c.scales[idx])))
+            else:
+                datas.append(np.asarray(jax.device_get(c[idx])))
+                scales.append(None)
+        return datas, scales
+
+    def write_blocks(self, block_ids: list[int], datas, scales) -> None:
+        """Scatter block contents into the caches (donated in-place
+        update; ids padded to a bucket with the null block so the
+        program set stays small — null-block writes are scratch)."""
+        from vllm_tpu.ops.kv_cache import QuantKV
+        n = len(block_ids)
+        n_pad = padded_bucket(n)
+        ids = np.zeros((n_pad, ), np.int32)
+        ids[:n] = block_ids
+        idx = jnp.asarray(ids)
+
+        def pad(a):
+            return jnp.asarray(
+                np.concatenate(
+                    [a, np.zeros((n_pad - n, ) + a.shape[1:], a.dtype)])
+                if n_pad > n else a)
+
+        for i, c in enumerate(self.kv_caches):
+            if isinstance(c, QuantKV):
+                self.kv_caches[i] = QuantKV(
+                    _scatter_blocks(c.data, idx, pad(datas[i])),
+                    _scatter_blocks(c.scales, idx, pad(scales[i])))
+            else:
+                self.kv_caches[i] = _scatter_blocks(
+                    c, idx, pad(datas[i]).astype(c.dtype))
+
+    def _process_kv_transfers(self, out: SchedulerOutput) -> None:
+        """Execute the scheduler's KV-movement plan BEFORE the forward
+        (offloaded blocks are about to be overwritten)."""
+        if out.offload_blocks and self.host_kv_pool is not None:
+            datas, scales = self.read_blocks(
+                [bid for bid, _ in out.offload_blocks])
+            for j, (bid, h) in enumerate(out.offload_blocks):
+                d = np.stack([ld[j] for ld in datas])
+                s = (np.stack([ls[j] for ls in scales])
+                     if scales[0] is not None else None)
+                self.host_kv_pool.store(h, d, s)
+        if out.swap_in_blocks and self.host_kv_pool is not None:
+            ids, datas, scales = [], [], []
+            for h, bid in out.swap_in_blocks:
+                entry = self.host_kv_pool.get(h)
+                assert entry is not None, "host tier lost a block"
+                ids.append(bid)
+                datas.append(entry[0])
+                scales.append(entry[1])
+            L = datas[0].shape[0]
+            per_layer = [np.stack([d[l] for d in datas]) for l in range(L)]
+            per_layer_s = ([np.stack([s[l] for s in scales])
+                            for l in range(L)]
+                           if scales[0] is not None else [None] * L)
+            self.write_blocks(ids, per_layer, per_layer_s)
+        for req_id in out.kv_inject_reqs:
+            payload = self.kv_payloads.get(req_id)
+            if payload is None:
+                continue
+            nr = next(r for r in out.scheduled_new_reqs
+                      if r.req_id == req_id)
+            nblk = payload.data[0].shape[0]
+            ids = nr.block_ids[:nblk]
+            self.write_blocks(ids, payload.data, payload.scales or
+                              [None] * len(payload.data))
+
     def _accumulate_pooling(self, state, out, pool_np, req_id) -> None:
         sums, firsts, lasts = pool_np
         row = state.row
@@ -426,6 +510,8 @@ class TPUModelRunner:
         from vllm_tpu.parallel.mesh import set_current_mesh
         set_current_mesh(self.mesh)
         self.update_states(out)
+        if out.offload_blocks or out.swap_in_blocks or out.kv_inject_reqs:
+            self._process_kv_transfers(out)
         if out.total_num_scheduled_tokens == 0:
             return ModelRunnerOutput()
         if out.decode_horizon > 1:
@@ -660,6 +746,13 @@ class TPUModelRunner:
         if self.proposer is not None:
             result.spec_token_ids = spec_out
         return result
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _scatter_blocks(cache: jax.Array, idx: jax.Array,
+                    data: jax.Array) -> jax.Array:
+    """In-place (donated) block upload: cache[idx] = data."""
+    return cache.at[idx].set(data)
 
 
 def _decode_loop_impl(model, mc, block_size, params, kv_caches,
