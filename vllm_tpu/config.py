@@ -261,6 +261,18 @@ class SpeculativeConfig:
 
 
 @dataclass
+class ObservabilityConfig:
+    """Tracing/profiling knobs (ref analog: vllm/config/observability.py
+    ObservabilityConfig: otlp_traces_endpoint, collect_detailed_traces).
+    """
+
+    # Emit one gen_ai.* span per finished request when either is set.
+    otlp_traces_endpoint: Optional[str] = None
+    trace_file: Optional[str] = None
+    enable_tracing: bool = False
+
+
+@dataclass
 class EngineConfig:
     """Everything the engine needs; analog of the reference VllmConfig
     (ref: vllm/config/vllm.py)."""
@@ -272,6 +284,8 @@ class EngineConfig:
     quant: QuantizationConfig = field(default_factory=QuantizationConfig)
     speculative: SpeculativeConfig = field(
         default_factory=SpeculativeConfig)
+    observability: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
     seed: int = 0
 
     def __post_init__(self) -> None:

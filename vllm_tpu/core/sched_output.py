@@ -105,6 +105,10 @@ class EngineCoreOutput:
     stop_reason: Optional[int | str] = None
     new_logprobs: Optional[list[dict[int, float]]] = None
     pooling_output: Optional[list[float]] = None
+    # Filled on finish (tracing / per-request KV metrics).
+    kv_cached_tokens: int = 0
+    scheduled_time: Optional[float] = None
+    num_preemptions: int = 0
 
 
 @dataclass
@@ -115,3 +119,7 @@ class SchedulerStats:
     prefix_cache_queries: int = 0
     prefix_cache_hits: int = 0
     num_preemptions: int = 0
+    # Host KV tier (core/kv_offload.py).
+    host_kv_blocks: int = 0
+    host_kv_swap_ins: int = 0
+    host_kv_stores: int = 0

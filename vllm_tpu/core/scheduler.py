@@ -13,6 +13,7 @@ Device-free: the scheduler sees token counts and block ids only.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import Iterable, Optional
 
@@ -269,6 +270,12 @@ class Scheduler:
                 request.status = RequestStatus.RUNNING
                 request.num_computed_tokens = max(request.num_computed_tokens,
                                                   num_cached_tokens)
+                # Per-request KV-hit + queue-time stats (tracing).
+                request.num_cached_tokens = max(
+                    getattr(request, "num_cached_tokens", 0),
+                    num_cached_tokens)
+                if getattr(request, "scheduled_time", None) is None:
+                    request.scheduled_time = time.monotonic()
                 self.running.append(request)
 
                 if resumed:
@@ -456,6 +463,11 @@ class Scheduler:
                         stop_reason=request.stop_reason,
                         new_logprobs=(runner_output.logprobs[i]
                                       if runner_output.logprobs else None),
+                        kv_cached_tokens=getattr(request,
+                                                 "num_cached_tokens", 0),
+                        scheduled_time=getattr(request, "scheduled_time",
+                                               None),
+                        num_preemptions=request.num_preemptions,
                     ))
             if finished:
                 self.running.remove(request)
@@ -496,6 +508,7 @@ class Scheduler:
 
     def make_stats(self) -> SchedulerStats:
         st = self.kv_cache_manager.block_pool.stats
+        pool = self.host_kv_pool
         return SchedulerStats(
             num_running_reqs=len(self.running),
             num_waiting_reqs=len(self.waiting),
@@ -503,4 +516,7 @@ class Scheduler:
             prefix_cache_queries=st.queries,
             prefix_cache_hits=st.hits,
             num_preemptions=self.num_preemptions,
+            host_kv_blocks=pool.num_blocks if pool else 0,
+            host_kv_swap_ins=self.num_swap_ins,
+            host_kv_stores=pool.stores if pool else 0,
         )

@@ -91,7 +91,15 @@ class LLMEngine:
         self.output_processor = OutputProcessor(self.tokenizer)
         self._req_counter = Counter()
         from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger
-        self.metrics = EngineMetrics()
+        oc = config.observability
+        self.tracer = None
+        if oc.enable_tracing or oc.trace_file or oc.otlp_traces_endpoint:
+            from vllm_tpu.tracing import Tracer
+            self.tracer = Tracer(trace_file=oc.trace_file,
+                                 otlp_endpoint=oc.otlp_traces_endpoint)
+        self.metrics = EngineMetrics(tracer=self.tracer,
+                                     model_name=mc.model or
+                                     mc.architecture)
         self.stat_logger = LoggingStatLogger(self.metrics)
         from vllm_tpu.engine.state import SleepManager
         self._sleep = SleepManager(self)
@@ -208,7 +216,8 @@ class LLMEngine:
             request.remote_kv = kv_transfer  # type: ignore[attr-defined]
             self.runner.kv_payloads[request_id] = kv_transfer
         self.scheduler.add_request(request)
-        self.metrics.on_request_added(request_id, len(prompt_token_ids))
+        self.metrics.on_request_added(request_id, len(prompt_token_ids),
+                                      params)
         self.output_processor.add_request(request_id, prompt_text,
                                           prompt_token_ids, params)
         return request_id
@@ -375,6 +384,16 @@ class LLMEngine:
         self.scheduler.kv_cache_manager.reset_prefix_cache()
         logger.info("warmup: %d steps, %.1fs", steps,
                     _time.monotonic() - t0)
+
+    # -- profiling (ref: EngineCore.profile, vllm/v1/engine/core.py:765,
+    # /start_profile + /stop_profile endpoints) -----------------------
+    def start_profile(self, log_dir: Optional[str] = None) -> str:
+        from vllm_tpu.tracing import start_profile
+        return start_profile(log_dir)
+
+    def stop_profile(self) -> None:
+        from vllm_tpu.tracing import stop_profile
+        stop_profile()
 
     # -- state management (ref: engine sleep/wake core.py:864-922,
     # sharded save/restore gpu_worker.py:1190) ------------------------

@@ -100,6 +100,8 @@ class OpenAIServer:
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
+        app.router.add_post("/start_profile", self.start_profile)
+        app.router.add_post("/stop_profile", self.stop_profile)
         return app
 
     async def health(self, request: web.Request) -> web.Response:
@@ -141,6 +143,15 @@ class OpenAIServer:
             return _err(f"failed to load adapter: {e}", 400)
         return web.json_response(
             {"status": "ok", "lora_name": name})
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """jax.profiler trace start (ref analog: vllm /start_profile)."""
+        d = self.llm.engine.start_profile()
+        return web.json_response({"status": "ok", "log_dir": d})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        self.llm.engine.stop_profile()
+        return web.json_response({"status": "ok"})
 
     async def embeddings(self, request: web.Request) -> web.Response:
         """OpenAI embeddings API over the pooling runner path (ref

@@ -43,9 +43,15 @@ LATENCY_BUCKETS = (0.001, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0,
 
 
 class EngineMetrics:
-    """Aggregated engine counters, updated by LLMEngine.step()."""
+    """Aggregated engine counters, updated by LLMEngine.step().
 
-    def __init__(self) -> None:
+    With a tracer attached, emits one gen_ai.* span per finished
+    request (ref analog: do_tracing, vllm/v1/engine/output_processor).
+    """
+
+    def __init__(self, tracer=None, model_name: str = "") -> None:
+        self.tracer = tracer
+        self.model_name = model_name
         self.num_requests_total = 0
         self.num_finished_total = 0
         self.num_preemptions_total = 0
@@ -60,6 +66,11 @@ class EngineMetrics:
         self.kv_cache_usage = 0.0
         self.prefix_cache_hits = 0
         self.prefix_cache_queries = 0
+        self.cached_tokens_total = 0  # per-request KV hits, in tokens
+        self.host_kv_blocks = 0
+        self.host_kv_swap_ins = 0
+        self.host_kv_stores = 0
+        self.queue_time = Histogram(LATENCY_BUCKETS)
         self.ttft = Histogram(LATENCY_BUCKETS)
         self.tpot = Histogram(LATENCY_BUCKETS)
         self.step_time = Histogram(LATENCY_BUCKETS)
@@ -67,12 +78,18 @@ class EngineMetrics:
         self._req_arrival: dict[str, float] = {}
         self._req_first_tok: dict[str, float] = {}
         self._req_ntok: dict[str, int] = {}
+        self._req_nprompt: dict[str, int] = {}
+        self._req_params: dict[str, object] = {}
 
     # -- engine hooks -------------------------------------------------
-    def on_request_added(self, req_id: str, num_prompt_tokens: int) -> None:
+    def on_request_added(self, req_id: str, num_prompt_tokens: int,
+                         params=None) -> None:
         self.num_requests_total += 1
         self.prompt_tokens_total += num_prompt_tokens
         self._req_arrival[req_id] = time.monotonic()
+        self._req_nprompt[req_id] = num_prompt_tokens
+        if self.tracer is not None:
+            self._req_params[req_id] = params
 
     def on_step(self, outputs, sched_stats, step_dt: float) -> None:
         now = time.monotonic()
@@ -84,6 +101,9 @@ class EngineMetrics:
         self.prefix_cache_hits = sched_stats.prefix_cache_hits
         self.prefix_cache_queries = sched_stats.prefix_cache_queries
         self.num_preemptions_total = sched_stats.num_preemptions
+        self.host_kv_blocks = sched_stats.host_kv_blocks
+        self.host_kv_swap_ins = sched_stats.host_kv_swap_ins
+        self.host_kv_stores = sched_stats.host_kv_stores
         for out in outputs:
             n_new = len(out.new_token_ids)
             self.generation_tokens_total += n_new
@@ -99,8 +119,28 @@ class EngineMetrics:
                 first = self._req_first_tok.pop(rid, None)
                 arr = self._req_arrival.pop(rid, None)
                 ntok = self._req_ntok.pop(rid, 0)
+                nprompt = self._req_nprompt.pop(rid, 0)
                 if first is not None and ntok > 1:
                     self.tpot.observe((now - first) / (ntok - 1))
+                self.cached_tokens_total += out.kv_cached_tokens
+                sched_t = out.scheduled_time
+                if arr is not None and sched_t is not None:
+                    self.queue_time.observe(sched_t - arr)
+                if self.tracer is not None and arr is not None:
+                    self.tracer.request_span(
+                        req_id=rid,
+                        model=self.model_name,
+                        params=self._req_params.pop(rid, None),
+                        arrival_s=arr,
+                        first_token_s=first,
+                        finish_s=now,
+                        prompt_tokens=nprompt,
+                        completion_tokens=ntok,
+                        cached_tokens=out.kv_cached_tokens,
+                        scheduled_s=sched_t,
+                        finish_reason=out.finish_reason,
+                        num_preemptions=out.num_preemptions,
+                    )
 
     # -- rendering ----------------------------------------------------
     def prometheus_text(self, prefix: str = "vllm_tpu") -> str:
@@ -136,6 +176,11 @@ class EngineMetrics:
         gauge("kv_cache_usage_perc", round(self.kv_cache_usage, 4))
         counter("prefix_cache_hits_total", self.prefix_cache_hits)
         counter("prefix_cache_queries_total", self.prefix_cache_queries)
+        counter("cached_tokens_total", self.cached_tokens_total)
+        gauge("host_kv_blocks", self.host_kv_blocks)
+        counter("host_kv_swap_ins_total", self.host_kv_swap_ins)
+        counter("host_kv_stores_total", self.host_kv_stores)
+        hist("request_queue_time_seconds", self.queue_time)
         hist("time_to_first_token_seconds", self.ttft)
         hist("time_per_output_token_seconds", self.tpot)
         hist("engine_step_seconds", self.step_time)
