@@ -62,7 +62,8 @@ class Scheduler:
         self.num_swap_ins = 0
         if (config.cache.host_swap_bytes > 0
                 and config.cache.enable_prefix_caching
-                and not config.model.mamba_num_heads):
+                and not config.model.mamba_num_heads
+                and config.parallel.pipeline_parallel_size == 1):
             from vllm_tpu.core.kv_offload import HostKVPool
             self.host_kv_pool = HostKVPool(config.cache.host_swap_bytes)
             self.kv_cache_manager.block_pool.on_evict = (

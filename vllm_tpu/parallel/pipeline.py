@@ -1,0 +1,247 @@
+"""Pipeline parallelism: GPipe-style microbatch pipeline over the
+``pp`` mesh axis.
+
+Ref analog: vllm's PP (vllm/distributed parallel_state PP groups +
+v1/engine/core.py step_with_batch_queue). TPU-native formulation — no
+per-stage processes, no p2p send/recv calls: ONE jitted SPMD program
+under ``shard_map`` (manual over ``pp`` only; tp stays GSPMD-auto):
+
+- layer weights stack to a [S, L/S, ...] pytree, stage axis sharded
+  over ``pp``; per-stage paged KV caches stack the same way
+- the token stream splits into M = S microbatches; at tick t rank r
+  processes microbatch (t - r) through its local layers and passes
+  activations to rank r+1 via ``ppermute`` — S + M - 1 ticks total
+- invalid ticks compute on garbage but write to the null block
+  (slot 0) and mask attention with seq_len 0, so they are harmless
+- the last rank assembles the output stream; a psum broadcasts it
+
+Per-microbatch attention metadata (query offsets, per-chunk seq_lens
+= tokens materialized *through* that chunk) is derived on device from
+the step's global ragged metadata — the runner's host path is
+unchanged.
+
+Works for the llama model family (uniform layer pytrees). Quantized
+leaves stack like any other; LoRA stacks are not yet routed through PP.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vllm_tpu.config import ModelConfig
+from vllm_tpu.parallel.mesh import AXIS_PP, AXIS_TP
+
+
+class PipelineParams(NamedTuple):
+    """Stage-stacked parameter pytree."""
+    top: dict  # embed_tokens / norm / lm_head (replicated)
+    stages: dict  # per-leaf [S, L/S, ...] stacked layer tree
+
+
+def stack_stage_params(params: dict, num_stages: int) -> PipelineParams:
+    layers = params["layers"]
+    L = len(layers)
+    assert L % num_stages == 0, (
+        f"pipeline_parallel_size={num_stages} must divide "
+        f"num_layers={L}")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    # [L, ...] -> [S, L/S, ...]
+    stages = jax.tree.map(
+        lambda a: a.reshape(num_stages, L // num_stages, *a.shape[1:]),
+        stacked)
+    top = {k: v for k, v in params.items() if k != "layers"}
+    return PipelineParams(top=top, stages=stages)
+
+
+def stage_shardings(pp: PipelineParams, cfg, mesh) -> PipelineParams:
+    """Shard specs: stage axis over pp; Megatron TP within layers
+    (same rules as parallel/shard.full_param_shardings, shifted by the
+    two leading stage/layer axes)."""
+    from vllm_tpu.parallel.shard import full_param_shardings
+    rep = NamedSharding(mesh, P())
+
+    # Reuse the flat-layer rules to learn each leaf's TP axis, then
+    # prepend (pp, None) for the (stage, layer) axes.
+    probe = {"layers": [jax.tree.map(lambda a: a[0, 0], pp.stages)],
+             **pp.top}
+    flat_sh = full_param_shardings(cfg, probe, mesh)
+
+    def lift(sh: NamedSharding):
+        return NamedSharding(mesh, P(AXIS_PP, None, *sh.spec))
+
+    top_sh = {k: v for k, v in flat_sh.items() if k != "layers"}
+    stage_sh = jax.tree.map(lift, flat_sh["layers"][0])
+    return PipelineParams(top=top_sh, stages=stage_sh)
+
+
+def shard_pipeline_params(params: dict, cfg, mesh,
+                          num_stages: int) -> PipelineParams:
+    pp = stack_stage_params(params, num_stages)
+    sh = stage_shardings(pp, cfg, mesh)
+    return PipelineParams(
+        top=jax.tree.map(jax.device_put, pp.top, sh.top),
+        stages=jax.tree.map(jax.device_put, pp.stages, sh.stages),
+    )
+
+
+class PipelinedModel:
+    """Runner-facing model wrapper: same forward/compute_logits
+    contract as a model module, with the pipeline inside."""
+
+    def __init__(self, base, mesh, num_stages: int) -> None:
+        self.base = base
+        self.mesh = mesh
+        self.S = num_stages
+
+    # -- caches -------------------------------------------------------
+    def make_caches(self, cfg: ModelConfig, num_blocks: int,
+                    block_size: int, max_num_reqs: int, cache_cfg,
+                    kv_sharding=None) -> list:
+        from vllm_tpu.ops.kv_cache import (kv_cache_jnp_dtype,
+                                           kv_cache_shape)
+        assert cfg.num_layers % self.S == 0
+        Ls = cfg.num_layers // self.S
+        dtype = kv_cache_jnp_dtype(
+            cache_cfg.cache_dtype if cache_cfg else "auto", cfg.dtype)
+        shape = (self.S, Ls) + kv_cache_shape(
+            num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+        tp_ok = (2 * cfg.num_kv_heads) % self.mesh.shape[AXIS_TP] == 0
+        spec = P(AXIS_PP, None, None, AXIS_TP if tp_ok else None, None,
+                 None)
+        sh = NamedSharding(self.mesh, spec)
+        return [jax.device_put(jnp.zeros(shape, dtype), sh)]
+
+    # -- forward ------------------------------------------------------
+    def forward(self, params: PipelineParams, cfg: ModelConfig,
+                input_ids, positions, kv_caches, meta, q_blk: int = 128,
+                **_):
+        from vllm_tpu.models.llama import (_attention, _mlp, rms_norm,
+                                           rope_cos_sin)
+        S = self.S
+        T = input_ids.shape[0]
+        assert T % S == 0, f"token bucket {T} not divisible by S={S}"
+        C = T // S  # microbatch (chunk) length
+        M = S
+        R = meta.block_tables.shape[0]
+        cache = kv_caches[0]  # [S, Ls, blocks, 2KH, bs, Dp]
+        Ls = cache.shape[1]
+
+        cos_all, sin_all = rope_cos_sin(positions, cfg)
+        decode = q_blk == 1
+
+        def per_chunk_meta(m):
+            """Derive microbatch m's attention metadata on device."""
+            from vllm_tpu.ops.metadata import AttentionMetadata
+            lo = m * C
+            hi = lo + C
+            slots = jax.lax.dynamic_slice(meta.slot_mapping, (lo, ),
+                                          (C, ))
+            if decode:
+                # chunk = row slice [lo, hi)
+                bt = jax.lax.dynamic_slice(
+                    meta.block_tables, (lo, 0),
+                    (C, meta.block_tables.shape[1]))
+                sl = jax.lax.dynamic_slice(meta.seq_lens, (lo, ), (C, ))
+                return AttentionMetadata(
+                    slot_mapping=slots, block_tables=bt,
+                    query_start_loc=jnp.arange(C + 1, dtype=jnp.int32),
+                    seq_lens=sl)
+            qsl = meta.query_start_loc
+            qsl_c = jnp.clip(qsl, lo, hi) - lo  # [R+1]
+            # tokens of each row that lie in chunks AFTER m get
+            # subtracted: chunk-m attention may only see KV written
+            # through chunk m.
+            row_tokens = qsl[1:] - qsl[:-1]
+            after = jnp.clip(qsl[1:] - hi, 0, row_tokens)
+            sl = jnp.maximum(meta.seq_lens - after, 0)
+            return AttentionMetadata(slot_mapping=slots,
+                                     block_tables=meta.block_tables,
+                                     query_start_loc=qsl_c,
+                                     seq_lens=sl)
+
+        def local_fn(top, stages, cache, input_ids, cos_all, sin_all,
+                     positions):
+            r = jax.lax.axis_index(AXIS_PP)
+            cache = cache[0]  # local stage: [Ls, blocks, 2KH, bs, Dp]
+            stages_local = jax.tree.map(lambda a: a[0], stages)
+            embed_all = top["embed_tokens"]["weight"][input_ids]
+
+            buf = jnp.zeros((C, cfg.hidden_size), embed_all.dtype)
+            out_all = jnp.zeros_like(embed_all)
+
+            def stage_compute(x, m_idx, cache, valid):
+                cmeta = per_chunk_meta(m_idx)
+                # Invalid ticks: write to the null block and attend
+                # nothing. block_tables must be zeroed too — the fused
+                # decode path derives its write slot from the block
+                # table, not slot_mapping.
+                cmeta = cmeta._replace(
+                    slot_mapping=jnp.where(valid, cmeta.slot_mapping, 0),
+                    block_tables=jnp.where(valid, cmeta.block_tables, 0),
+                    seq_lens=jnp.where(valid, cmeta.seq_lens, 0))
+                lo = m_idx * C
+                cos = jax.lax.dynamic_slice(cos_all, (lo, 0),
+                                            (C, cos_all.shape[1]))
+                sin = jax.lax.dynamic_slice(sin_all, (lo, 0),
+                                            (C, sin_all.shape[1]))
+                new_layers = []
+                for i in range(Ls):
+                    layer = jax.tree.map(lambda a: a[i], stages_local)
+                    h = rms_norm(x, layer["input_layernorm"],
+                                 cfg.rms_norm_eps)
+                    attn, kvc = _attention(cfg, layer, h, cos, sin,
+                                           cache[i], cmeta, q_blk)
+                    new_layers.append(kvc)
+                    x = x + attn
+                    h = rms_norm(x, layer["post_attention_layernorm"],
+                                 cfg.rms_norm_eps)
+                    x = x + _mlp(layer, h)
+                return x, jnp.stack(new_layers)
+
+            perm = [(i, i + 1) for i in range(S - 1)]
+            for t in range(S + M - 1):
+                m = t - r  # microbatch this rank handles at tick t
+                m_c = jnp.clip(m, 0, M - 1)
+                valid = (m >= 0) & (m < M)
+                first_chunk = jax.lax.dynamic_slice(
+                    embed_all, (m_c * C, 0), (C, cfg.hidden_size))
+                x_in = jnp.where(r == 0, first_chunk, buf)
+                x_out, cache = stage_compute(x_in, m_c, cache, valid)
+                # Collect on the last rank (its tick t finishes
+                # microbatch t - (S-1)).
+                fin = t - (S - 1)
+                fin_c = jnp.clip(fin, 0, M - 1)
+                take = (r == S - 1) & (fin >= 0) & (fin < M)
+                upd = jax.lax.dynamic_update_slice(
+                    out_all, x_out.astype(out_all.dtype),
+                    (fin_c * C, 0))
+                out_all = jnp.where(take, upd, out_all)
+                if perm:
+                    buf = jax.lax.ppermute(x_out, AXIS_PP, perm)
+
+            # Broadcast the assembled stream from the last rank.
+            out_all = jnp.where(r == S - 1, out_all, 0.0)
+            out_all = jax.lax.psum(
+                out_all.astype(jnp.float32),
+                AXIS_PP).astype(embed_all.dtype)
+            h = rms_norm(out_all, top["norm"], cfg.rms_norm_eps)
+            return h, cache[None]
+
+        fn = jax.shard_map(
+            local_fn, mesh=self.mesh, axis_names=frozenset({AXIS_PP}),
+            in_specs=(P(), P(AXIS_PP), P(AXIS_PP), P(), P(), P(), P()),
+            out_specs=(P(), P(AXIS_PP)))
+        hidden, new_cache = fn(params.top, params.stages, cache,
+                               input_ids, cos_all, sin_all, positions)
+        return hidden, [new_cache]
+
+    def compute_logits(self, params: PipelineParams, cfg: ModelConfig,
+                       hidden):
+        return self.base.compute_logits(params.top, cfg, hidden)
+
+    def random_params(self, cfg: ModelConfig, seed: int = 0):
+        return self.base.random_params(cfg, seed)

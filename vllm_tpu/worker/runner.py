@@ -98,6 +98,14 @@ class TPUModelRunner:
         self.params = params = prepare_weights(params)
         mc = config.model
         self.model = get_model(mc.architecture)
+        from vllm_tpu.parallel.mesh import AXIS_PP
+        self.pp_size = mesh.shape[AXIS_PP] if mesh is not None else 1
+        if self.pp_size > 1:
+            # GPipe-style microbatch pipeline over the pp axis
+            # (parallel/pipeline.py); the wrapper keeps the model
+            # forward/compute_logits/make_caches contract.
+            from vllm_tpu.parallel.pipeline import PipelinedModel
+            self.model = PipelinedModel(self.model, mesh, self.pp_size)
         self.max_num_reqs = config.scheduler.max_num_seqs
         self.max_blocks_per_req = config.max_blocks_per_req
         self.block_size = config.cache.block_size
@@ -133,7 +141,11 @@ class TPUModelRunner:
         shape = kv_cache_shape(num_kv_blocks, self.block_size,
                                mc.num_kv_heads, mc.head_dim)
         kv_sh = None
-        if mesh is not None:
+        if mesh is not None and self.pp_size > 1:
+            from vllm_tpu.parallel.pipeline import shard_pipeline_params
+            self.params = params = shard_pipeline_params(
+                params, mc, mesh, self.pp_size)
+        elif mesh is not None:
             # Shard weights + KV over the mesh; XLA inserts the TP
             # collectives from these annotations (see parallel/shard.py).
             from vllm_tpu.parallel.shard import (kv_cache_sharding,
