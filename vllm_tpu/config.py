@@ -203,7 +203,9 @@ QuantMethod = Literal[
     # FP8 checkpoints with per-tensor/channel weight scales (ref fp8.py)
     "fp8_ckpt",
     # online (quantize-at-load) shorthands
-    "fp8", "int8", "w8a8_int8", "int4", None,
+    "fp8", "int8", "w8a8_int8", "int4",
+    # OCP microscaling (block-32 E8M0 shared scales; quant/mxfp.py)
+    "mxfp4", "mxfp8", None,
 ]
 
 

@@ -116,7 +116,7 @@ class LLMEngine:
         mc, qc = self.config.model, self.config.quant
         logger.info("loading weights from %s", mc.model)
         if qc.enabled and qc.method in ("int4", "int8", "w8a8_int8",
-                                       "fp8"):
+                                        "fp8", "mxfp4", "mxfp8"):
             # Online quantization: dense load, then transform
             # (ref analog: online/base.py quantize-at-load).
             from vllm_tpu.quant.online import quantize_params_online

@@ -69,6 +69,9 @@ def quantized_matmul_xla(x: jax.Array, leaf: dict) -> jax.Array:
 
 def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     """Production entry point used by ops/linear.py."""
+    if "mx_scale" in leaf:  # OCP microscaling (MXFP4/MXFP8)
+        from vllm_tpu.quant.mxfp import mxfp_matmul
+        return mxfp_matmul(x, leaf)
     if "wscale" in leaf:  # dynamic activation quant (W8A8 int8 / fp8)
         from vllm_tpu.quant.online import w8a8_matmul
         return w8a8_matmul(x, leaf)
@@ -106,6 +109,7 @@ def prepare_weights(params):
             qw = node.get("qweight")
             if (qw is not None and getattr(qw, "dtype", None) == jnp.uint8
                     and qw.ndim == 2 and "perm" not in node
+                    and "mx_scale" not in node and "scales" in node
                     and qw.shape[0] % 128 == 0
                     and node["scales"].shape[0] * 64 == qw.shape[0]):
                 bn = pick_bn(qw.shape[1], 32)

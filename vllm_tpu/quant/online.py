@@ -81,6 +81,13 @@ def quantize_params_online(params: dict, method: str) -> dict:
                 q, s = _quant_weight_fp8(w)
                 leaf["qweight"] = jnp.asarray(q)
                 leaf["wscale"] = jnp.asarray(s)
+            elif method in ("mxfp4", "mxfp8"):
+                from vllm_tpu.quant.mxfp import (quantize_mxfp4,
+                                                 quantize_mxfp8)
+                fn = quantize_mxfp4 if method == "mxfp4" else \
+                    quantize_mxfp8
+                for k2, v2 in fn(w).items():
+                    leaf[k2] = v2
             else:
                 raise ValueError(f"unknown online method {method}")
             n += 1
