@@ -14,6 +14,14 @@ import os
 import jax
 
 
+def _packed_int4(kv_cache) -> bool:
+    """Nibble-packed int4 caches take the XLA path until the Pallas
+    kernels grow in-VMEM nibble unpack (they handle int8/fp8 today)."""
+    from vllm_tpu.ops.kv_cache import QuantKV, is_packed_int4
+    return isinstance(kv_cache, QuantKV) and is_packed_int4(
+        kv_cache.data)
+
+
 @functools.cache
 def attention_backend() -> str:
     env = os.environ.get("VLLM_TPU_ATTN_BACKEND")
@@ -35,7 +43,7 @@ def ragged_paged_attention(
     logit_softcap: float | None = None,
     q_blk: int = 128,
 ) -> jax.Array:
-    if attention_backend() == "pallas":
+    if attention_backend() == "pallas" and not _packed_int4(kv_cache):
         from vllm_tpu.ops.pallas.ragged_attention import (
             ragged_paged_attention as pallas_attn)
         return pallas_attn(q, kv_cache, block_tables, query_start_loc,
@@ -65,7 +73,7 @@ def fused_decode_attention(
     """Decode fast path: KV write fused into the attention kernel
     (in-place cache via input_output_aliases). XLA fallback: scatter
     write then gather attention. Returns (out, updated cache)."""
-    if attention_backend() == "pallas":
+    if attention_backend() == "pallas" and not _packed_int4(kv_cache):
         from vllm_tpu.ops.pallas.decode_attention import (
             decode_paged_attention)
         return decode_paged_attention(q, new_k, new_v, kv_cache,

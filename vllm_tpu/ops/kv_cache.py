@@ -68,13 +68,20 @@ def kv_cache_jnp_dtype(cache_dtype: str, model_dtype: str):
         return jnp.float8_e4m3fn
     if cache_dtype == "int8":
         return jnp.int8
+    if cache_dtype == "int4":
+        return jnp.uint8  # two nibbles per byte along head_dim
     if cache_dtype in ("bfloat16", "float32", "float16"):
         return jnp.dtype(cache_dtype)
     raise NotImplementedError(f"cache_dtype {cache_dtype}")
 
 
 def is_per_token_head(cache_dtype: str) -> bool:
-    return cache_dtype in ("int8", "fp8_pth")
+    return cache_dtype in ("int8", "fp8_pth", "int4")
+
+
+def is_packed_int4(data: jax.Array) -> bool:
+    """int4 per-token-head caches store uint8 nibble pairs."""
+    return data.dtype == jnp.uint8
 
 
 def quant_max(dtype) -> float:
@@ -93,6 +100,8 @@ def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
     assert block_size <= LANE, "per-token-head scales assume bs <= 128"
     dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
     shape = kv_cache_shape(num_blocks, block_size, num_kv_heads, head_dim)
+    if cache_dtype == "int4":  # nibble-packed along head_dim
+        shape = shape[:-1] + (shape[-1] // 2, )
 
     def put(x, sh):
         return jax.device_put(x, sh) if sh is not None else x
@@ -116,6 +125,8 @@ def kv_cache_bytes_per_block(block_size: int, num_kv_heads: int,
     dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
     n = (2 * num_kv_heads * block_size * padded_head_dim(head_dim) *
          jnp.dtype(dtype).itemsize)
+    if cache_dtype == "int4":
+        n //= 2
     if is_per_token_head(cache_dtype):
         n += scale_planes(num_kv_heads) * LANE * 4
     return n
@@ -158,10 +169,62 @@ def quantize_rows(kv: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _rht_matrix(dp: int) -> jax.Array:
+    """Deterministic random-sign Hadamard rotation [dp, dp] (ref
+    analog: the RHT pre-rotation of int4 per-token-head KV,
+    vllm/v1/attention/ops/int4_per_token_head.py + TurboQuant's
+    incoherence processing). Orthonormal: H @ H.T == I."""
+    import numpy as np
+    assert dp & (dp - 1) == 0, f"Dp={dp} must be a power of 2"
+    h = np.array([[1.0]])
+    while h.shape[0] < dp:
+        h = np.block([[h, h], [h, -h]])
+    signs = np.where(
+        np.random.default_rng(1234).random(dp) < 0.5, -1.0, 1.0)
+    return jnp.asarray((h * signs[None, :]) / np.sqrt(dp), jnp.float32)
+
+
+def quantize_rows_int4(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """RHT-rotate + per-(token, plane) symmetric int4, nibble-packed.
+
+    kv [T, 2KH, Dp] float -> (packed uint8 [T, 2KH, Dp/2] — low nibble
+    = even index, biased +8 —, scales [T, 2KH] f32 in the *rotated*
+    basis; dequant un-rotates, so consumers stay in the original basis.
+    """
+    dp = kv.shape[-1]
+    rot = kv.astype(jnp.float32) @ _rht_matrix(dp)
+    amax = jnp.max(jnp.abs(rot), axis=-1)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0),
+                    0.0)
+    q = jnp.clip(jnp.floor(rot * inv[..., None] + 0.5), -7, 7)
+    q = (q + 8.0).astype(jnp.uint8)  # 1..15 (0 unused)
+    packed = (q[..., 0::2] | (q[..., 1::2] << 4))
+    return packed, scale
+
+
+def _unpack_int4(data: jax.Array) -> jax.Array:
+    """[..., Dp/2] uint8 -> [..., Dp] f32 centered values."""
+    lo = (data & 0xF).astype(jnp.float32) - 8.0
+    hi = (data >> 4).astype(jnp.float32) - 8.0
+    return jnp.stack([lo, hi], axis=-1).reshape(*data.shape[:-1],
+                                                data.shape[-1] * 2)
+
+
 def dequant_block_kv(qkv: QuantKV) -> jax.Array:
     """Materialize the float cache [num_blocks, 2KH, bs, Dp] f32
     (XLA reference path; kernels dequantize in VMEM instead)."""
     data, scales = qkv
+    if is_packed_int4(data):
+        vals = _unpack_int4(data)  # rotated basis
+        kh2, bs = data.shape[1], data.shape[2]
+        s = scales[:, :kh2, :bs]
+        rot = vals * s[..., None]
+        return rot @ _rht_matrix(vals.shape[-1]).T
     num_blocks, kh2, bs, dp = data.shape
     s = scales[:, :kh2, :bs]  # [B, 2KH, bs]
     return data.astype(jnp.float32) * s[..., None]
@@ -176,7 +239,9 @@ def write_kv_xla(
     """Scatter new K/V rows into the paged cache (functional; caller
     donates kv_cache under jit so XLA updates in place)."""
     data = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
-    num_blocks, kh2, block_size, dp = data.shape
+    num_blocks, kh2, block_size, dp_store = data.shape
+    dp = dp_store * 2 if (isinstance(kv_cache, QuantKV)
+                          and is_packed_int4(data)) else dp_store
     T, KH, D = k.shape
     if D < dp:
         pad = [(0, 0), (0, 0), (0, dp - D)]
@@ -185,6 +250,12 @@ def write_kv_xla(
     kv = jnp.stack([k, v], axis=2).reshape(T, kh2, dp)
     block_idx = slot_mapping // block_size
     offset = slot_mapping % block_size
+    if isinstance(kv_cache, QuantKV) and is_packed_int4(data):
+        q, scale = quantize_rows_int4(kv)
+        new_data = data.at[block_idx, :, offset, :].set(q)
+        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
+            scale)
+        return QuantKV(new_data, new_scales)
     if isinstance(kv_cache, QuantKV):
         q, scale = quantize_rows(kv, data.dtype)
         new_data = data.at[block_idx, :, offset, :].set(q)
