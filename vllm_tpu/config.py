@@ -83,6 +83,10 @@ class ModelConfig:
     mamba_d_inner: int = 0
     mamba_time_step_limit: tuple[float, float] = (0.0, float("inf"))
     layer_types: tuple[str, ...] | None = None  # hybrid layer map
+    # Multimodal (llava-family): vision tower geometry + the token id
+    # the processor expands to one-per-patch (ref: llava config).
+    vision: dict[str, Any] | None = None
+    image_token_index: int = -1
     # logit softcap (gemma2-style); None == disabled
     logit_softcap: float | None = None
     hf_config: dict[str, Any] = field(default_factory=dict, repr=False)

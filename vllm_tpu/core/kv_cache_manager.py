@@ -67,7 +67,15 @@ class KVCacheManager:
         hashes = self.req_to_block_hashes.setdefault(request.request_id, [])
         tokens = request.all_token_ids
         num_full = len(tokens) // self.block_size
-        extra = (request.lora_name, ) if request.lora_name else None
+        # Anything that changes KV content for identical token ids
+        # rides the hash: LoRA adapter, multimodal inputs (ref analog:
+        # mm hashing in kv_cache_utils block hashing).
+        extra_parts = []
+        if request.lora_name:
+            extra_parts.append(request.lora_name)
+        if getattr(request, "mm_hash", None):
+            extra_parts.append(request.mm_hash)
+        extra = tuple(extra_parts) if extra_parts else None
         while len(hashes) < num_full:
             i = len(hashes)
             parent = hashes[-1] if hashes else None

@@ -46,6 +46,8 @@ class Request:
         priority: int = 0,
         lora_name: Optional[str] = None,
         pooling_params=None,  # PoolingParams => embedding request
+        mm_data=None,  # {"image": np [N,3,H,W]} (prompt pre-expanded)
+        mm_hash: Optional[str] = None,
     ) -> None:
         self.request_id = request_id
         self.prompt_token_ids = list(prompt_token_ids)
@@ -55,6 +57,8 @@ class Request:
         self.priority = priority
         self.lora_name = lora_name
         self.pooling_params = pooling_params
+        self.mm_data = mm_data
+        self.mm_hash = mm_hash
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[int | str] = None

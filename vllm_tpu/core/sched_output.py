@@ -27,6 +27,7 @@ class NewRequestData:
     sampling_params: "SamplingParams"
     lora_name: "str | None" = None
     pooling_params: "object | None" = None  # PoolingParams
+    mm_data: "object | None" = None  # multimodal inputs (VLM)
 
 
 @dataclass

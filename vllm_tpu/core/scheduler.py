@@ -292,6 +292,7 @@ class Scheduler:
                             sampling_params=request.sampling_params,
                             lora_name=request.lora_name,
                             pooling_params=request.pooling_params,
+                            mm_data=request.mm_data,
                         ))
                 else:
                     out.scheduled_new_reqs.append(
@@ -304,6 +305,7 @@ class Scheduler:
                             sampling_params=request.sampling_params,
                             lora_name=request.lora_name,
                             pooling_params=request.pooling_params,
+                            mm_data=request.mm_data,
                         ))
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens

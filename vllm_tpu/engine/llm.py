@@ -74,10 +74,13 @@ class LLM:
         sampling_params: Optional[Union[SamplingParams,
                                         Sequence[SamplingParams]]] = None,
         lora_name: Optional[str] = None,
+        multi_modal_data: Optional[Sequence] = None,  # per prompt
     ) -> list[RequestOutput]:
         if isinstance(prompts, str):
             prompts = [prompts]
         n = len(prompts)
+        if multi_modal_data is None:
+            multi_modal_data = [None] * n
         if sampling_params is None:
             sampling_params = [SamplingParams()] * n
         elif isinstance(sampling_params, SamplingParams):
@@ -88,14 +91,17 @@ class LLM:
         # each sample runs as its own engine request; outputs regroup.
         import dataclasses
         order: list[list[str]] = []
-        for prompt, sp in zip(prompts, sampling_params):
+        for prompt, sp, mm in zip(prompts, sampling_params,
+                                  multi_modal_data):
             fan = []
             for i in range(sp.n):
                 child = sp if sp.n == 1 else dataclasses.replace(
                     sp, n=1,
                     seed=None if sp.seed is None else sp.seed + i)
-                fan.append(self.engine.add_request(prompt, child,
-                                                   lora_name=lora_name))
+                fan.append(
+                    self.engine.add_request(prompt, child,
+                                            lora_name=lora_name,
+                                            multi_modal_data=mm))
             order.append(fan)
 
         finals: dict[str, RequestOutput] = {}

@@ -184,6 +184,7 @@ class LLMEngine:
         lora_name: Optional[str] = None,
         pooling_params=None,
         kv_transfer=None,  # KVTransferPayload from a prefill engine
+        multi_modal_data=None,  # {"image": np [N,3,H,W]}
     ) -> str:
         params = params or SamplingParams()
         if request_id is None:
@@ -206,9 +207,31 @@ class LLMEngine:
                 reg.slot_of(lora_name)  # validate early
             except KeyError as e:
                 raise ValueError(str(e)) from e
+        mm_hash = None
+        if multi_modal_data is not None:
+            # Expand each image placeholder to one token per patch
+            # (the processor's replacement step, ref: llava input
+            # mapper) and fold the image content into block hashing.
+            import hashlib as _hashlib
+            mc = self.config.model
+            assert mc.vision is not None, "model is not multimodal"
+            from vllm_tpu.models.llava import num_patches
+            P = num_patches(mc)
+            tok = mc.image_token_index
+            expanded: list[int] = []
+            for t in prompt_token_ids:
+                expanded.extend([tok] * P if t == tok else [t])
+            n_imgs = sum(1 for t in prompt_token_ids if t == tok)
+            imgs = multi_modal_data["image"]
+            assert imgs.shape[0] == n_imgs, (
+                f"{n_imgs} image tokens but {imgs.shape[0]} images")
+            prompt_token_ids = expanded
+            mm_hash = _hashlib.sha256(
+                np.ascontiguousarray(imgs).tobytes()).hexdigest()
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority, lora_name=lora_name,
-                          pooling_params=pooling_params)
+                          pooling_params=pooling_params,
+                          mm_data=multi_modal_data, mm_hash=mm_hash)
         if kv_transfer is not None:
             # Disagg P/D decode side (ref analog: KVConnector inject,
             # vllm/distributed/kv_transfer/): the payload region skips

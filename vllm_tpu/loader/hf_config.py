@@ -23,6 +23,7 @@ SUPPORTED_ARCHS = {
     "DeepseekV3ForCausalLM": "deepseek",
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
+    "LlavaForConditionalGeneration": "llava",  # VLM
 }
 
 
@@ -74,6 +75,23 @@ def model_config_from_hf(
             [eos] if eos is not None else [])
         return cfg
 
+    vision = None
+    image_token_index = -1
+    if arch == "LlavaForConditionalGeneration":
+        vc = hf["vision_config"]
+        vision = {
+            "hidden_size": vc["hidden_size"],
+            "intermediate_size": vc["intermediate_size"],
+            "num_layers": vc["num_hidden_layers"],
+            "num_heads": vc["num_attention_heads"],
+            "image_size": vc["image_size"],
+            "patch_size": vc["patch_size"],
+            "feature_layer": hf.get("vision_feature_layer", -2),
+            "layer_norm_eps": vc.get("layer_norm_eps", 1e-5),
+        }
+        image_token_index = hf.get("image_token_index", 32000)
+        hf = dict(hf, **hf["text_config"])  # language dims from text
+
     num_heads = hf["num_attention_heads"]
     max_pos = hf.get("max_position_embeddings", 2048)
     cfg = ModelConfig(
@@ -99,6 +117,8 @@ def model_config_from_hf(
                         or hf.get("attention_bias", False)),
         sliding_window=(hf.get("sliding_window")
                         if hf.get("use_sliding_window", True) else None),
+        vision=vision,
+        image_token_index=image_token_index,
         hf_config=hf,
     )
     if arch == "BambaForCausalLM":  # hybrid SSM + attention

@@ -99,6 +99,8 @@ def load_llama_params(
     if quant is not None and quant.enabled:
         from vllm_tpu.quant.loader import load_quantized_llama_params
         return load_quantized_llama_params(model_path, cfg, quant)
+    if cfg.vision is not None:
+        return _load_llava_params(model_path, cfg)
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
@@ -336,6 +338,112 @@ def _load_deepseek_params(model_path: str, cfg: ModelConfig) -> dict:
             dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_llava_params(model_path: str, cfg: ModelConfig) -> dict:
+    """LLaVA mapping: vision tower (conv kernel flattened for the
+    matmul patchify) + projector + llama language model."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    vL = cfg.vision["num_layers"]
+    vlayers: list[dict] = [dict() for _ in range(vL)]
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {
+        "layers": layers,
+        "vision_tower": {"layers": vlayers},
+        "projector": {},
+    }
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    def put_dense(d, key, kind, w):
+        leaf = d.setdefault(key, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            w.T if kind == "weight" else w)
+
+    vt = params["vision_tower"]
+    for name, w in _iter_safetensors(model_path):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if name.startswith("language_model."):
+            rest = name[len("language_model."):]
+            if rest.startswith("model."):  # legacy nested naming
+                rest = rest[len("model."):]
+            if rest == "lm_head.weight":
+                if not cfg.tie_word_embeddings:
+                    params["lm_head"] = {"weight": to_jax(w.T)}
+            elif rest == "embed_tokens.weight":
+                params["embed_tokens"] = {"weight": to_jax(w)}
+            elif rest == "norm.weight":
+                params["norm"] = to_jax(w)
+            elif rest.startswith("layers."):
+                idx_s, _, tail = rest[len("layers."):].partition(".")
+                li = int(idx_s)
+                layer = layers[li]
+                if tail == "input_layernorm.weight":
+                    layer["input_layernorm"] = to_jax(w)
+                elif tail == "post_attention_layernorm.weight":
+                    layer["post_attention_layernorm"] = to_jax(w)
+                else:
+                    mod, _, kind = tail.rpartition(".")
+                    if mod in _DIRECT:
+                        put_dense(layer, _DIRECT[mod], kind, w)
+                    elif mod in _FUSED:
+                        leaf_name, slot = _FUSED[mod]
+                        pending.setdefault((li, leaf_name, kind),
+                                           {})[slot] = w
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("multi_modal_projector."):
+            rest = name[len("multi_modal_projector."):]
+            mod, _, kind = rest.rpartition(".")
+            put_dense(params["projector"], mod, kind, w)
+        elif name.startswith("vision_tower.vision_model."):
+            rest = name[len("vision_tower.vision_model."):]
+            if rest == "embeddings.class_embedding":
+                vt["class_embedding"] = to_jax(w)
+            elif rest == "embeddings.patch_embedding.weight":
+                # conv [Ev, 3, P, P] -> [3*P*P, Ev]
+                ev = w.shape[0]
+                vt["patch_embedding"] = {
+                    "weight": to_jax(w.reshape(ev, -1).T)
+                }
+            elif rest == "embeddings.position_embedding.weight":
+                vt["position_embedding"] = to_jax(w)
+            elif rest.startswith("pre_layrnorm."):
+                leaf = vt.setdefault("pre_layernorm", {})
+                leaf["scale" if rest.endswith("weight") else
+                     "bias"] = to_jax(w)
+            elif rest.startswith("post_layernorm."):
+                pass  # feature extraction uses raw hidden states
+            elif rest.startswith("encoder.layers."):
+                idx_s, _, tail = rest[len("encoder.layers."):].partition(
+                    ".")
+                vlayer = vlayers[int(idx_s)]
+                if tail.startswith(("layer_norm1.", "layer_norm2.")):
+                    key = tail.split(".")[0]
+                    leaf = vlayer.setdefault(key, {})
+                    leaf["scale" if tail.endswith("weight") else
+                         "bias"] = to_jax(w)
+                else:
+                    mod, _, kind = tail.rpartition(".")
+                    mod = mod.replace("self_attn.", "").replace(
+                        "mlp.", "")
+                    put_dense(vlayer, mod, kind, w)
+        else:
+            logger.warning("unmapped weight %s", name)
+
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            cat.T if kind == "weight" else cat)
     return params
 
 

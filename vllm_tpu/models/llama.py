@@ -131,9 +131,11 @@ def forward(
     q_blk: int = 128,  # static: attention kernel query-window rows
     lora: dict | None = None,  # {leaf_name: stack} per layer list
     lora_idx=None,  # [T] adapter slot per token row
+    input_embeds: jax.Array | None = None,  # VLM-merged embeddings
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Returns (hidden_states [T, E], updated kv_caches)."""
-    x = params["embed_tokens"]["weight"][input_ids]
+    x = (input_embeds if input_embeds is not None else
+         params["embed_tokens"]["weight"][input_ids])
     cos, sin = rope_cos_sin(positions, cfg)
     new_caches = []
     for i, layer in enumerate(params["layers"]):

@@ -20,6 +20,7 @@ _REGISTRY: dict[str, str] = {
     "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
     "Mamba2ForCausalLM": "vllm_tpu.models.mamba2",  # pure SSM
     "BambaForCausalLM": "vllm_tpu.models.bamba",  # hybrid SSM+attn
+    "LlavaForConditionalGeneration": "vllm_tpu.models.llava",  # VLM
 }
 
 

@@ -74,6 +74,10 @@ class StepInputs(NamedTuple):
     # Multi-LoRA: [T] adapter slot per token row (None = no adapters
     # registered; see lora/ and ops/lora.py).
     lora_idx: Optional[jax.Array] = None
+    # Multimodal (VLM): projected patch embeddings for this step's
+    # scheduled image tokens + per-token buffer row (-1 = text).
+    mm_buffer: Optional[jax.Array] = None
+    mm_rows: Optional[jax.Array] = None
 
 
 class TPUModelRunner:
@@ -243,6 +247,8 @@ class TPUModelRunner:
             if getattr(nr, "pooling_params", None) is not None:
                 state.pooling = nr.pooling_params
                 state.pool_sum = None  # accumulated over prefill chunks
+            if getattr(nr, "mm_data", None) is not None:
+                self._install_mm(state, nr)
         for cr in out.scheduled_cached_reqs:
             state = self.batch.reqs[cr.req_id]
             if cr.new_block_ids:
@@ -292,6 +298,7 @@ class TPUModelRunner:
 
         req_ids: list[str] = []
         emits: list[bool] = []
+        spans: list[tuple[str, int, int, int]] = []  # (id, t0, start, n)
         t = 0
         prev_row = -1
         for req_id, n in sched:
@@ -325,12 +332,14 @@ class TPUModelRunner:
             # verification input, so draft j is judged there.
             for j, d_tok in enumerate(drafts):
                 draft_targets[row, K - len(drafts) + j] = d_tok
+            spans.append((req_id, t, start, n))
             t += n
             qsl[row + 1] = t
             prev_row = row
             req_ids.append(req_id)
             emits.append(start + real_n >= len(state.token_ids))
         qsl[prev_row + 2:] = t
+        mm_buffer, mm_rows = self._build_mm(spans, T_pad)
 
         b = self.batch
         # Host copy for EAGLE's accepted-position arithmetic.
@@ -358,8 +367,61 @@ class TPUModelRunner:
                            if K > 0 else None),
             lora_idx=(jnp.asarray(lora_idx)
                       if lora_idx is not None else None),
+            mm_buffer=mm_buffer,
+            mm_rows=mm_rows,
         )
         return inputs, req_ids, emits, q_blk
+
+    # -- multimodal ----------------------------------------------------
+    def _install_mm(self, state, nr) -> None:
+        """Encode the request's images once (jitted vision tower) and
+        precompute the prompt-position -> patch-row map."""
+        import functools as _ft
+        from vllm_tpu.models import llava
+        mc = self.config.model
+        if not hasattr(self, "_mm_encode"):
+            self._mm_encode = jax.jit(
+                _ft.partial(llava.encode_images, self.params, mc))
+        imgs = jnp.asarray(nr.mm_data["image"])
+        embeds = self._mm_encode(imgs)  # [N, P, E]
+        state.mm_embeds = embeds.reshape(-1, embeds.shape[-1])
+        tok = mc.image_token_index
+        idx = np.full(len(nr.prompt_token_ids), -1, np.int32)
+        c = 0
+        for i, t in enumerate(nr.prompt_token_ids):
+            if t == tok:
+                idx[i] = c
+                c += 1
+        state.mm_index = idx
+
+    def _build_mm(self, spans, T_pad):
+        """(mm_buffer [Pbuf, E], mm_rows [T_pad]) for this step, or
+        (None, None) when no scheduled token is an image patch."""
+        mm_rows = np.full((T_pad, ), -1, np.int32)
+        buffers = []
+        offset = 0
+        any_row = False
+        for req_id, t0, start, n in spans:
+            state = self.batch.reqs[req_id]
+            embeds = getattr(state, "mm_embeds", None)
+            if embeds is None or start >= len(state.mm_index):
+                continue
+            used = False
+            for i in range(min(n, len(state.mm_index) - start)):
+                mi = state.mm_index[start + i]
+                if mi >= 0:
+                    mm_rows[t0 + i] = offset + mi
+                    used = any_row = True
+            if used:
+                buffers.append(embeds)
+                offset += embeds.shape[0]
+        if not any_row:
+            return None, None
+        buf = jnp.concatenate(buffers, axis=0)
+        pad_to = padded_bucket(buf.shape[0])
+        if pad_to > buf.shape[0]:
+            buf = jnp.pad(buf, ((0, pad_to - buf.shape[0]), (0, 0)))
+        return buf, jnp.asarray(mm_rows)
 
     # -- KV block transfer (offload tier + disagg P/D) -----------------
     def read_blocks(self, block_ids: list[int]):
@@ -852,6 +914,9 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     lora_kw = {}
     if isinstance(params, dict) and "lora" in params:
         lora_kw = dict(lora=params["lora"], lora_idx=inputs.lora_idx)
+    if inputs.mm_buffer is not None:
+        lora_kw.update(mm_buffer=inputs.mm_buffer,
+                       mm_rows=inputs.mm_rows)
     hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
                                       inputs.positions, kv_caches, meta,
                                       q_blk=q_blk, **lora_kw)
