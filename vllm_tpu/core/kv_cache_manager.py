@@ -47,7 +47,19 @@ class KVCacheManager:
         self.enable_caching = enable_caching
         self.hash_algo = hash_algo
         self.sliding_window = sliding_window
-        self.block_pool = BlockPool(num_blocks, enable_caching)
+        import os
+        if os.environ.get("VLLM_TPU_NATIVE_POOL") == "1":
+            # Native (C++) pool: same semantics, no per-op Python cost
+            # (csrc/block_pool.cc; parity suite guards equivalence).
+            from vllm_tpu.core.native_pool import (NativeBlockPool,
+                                                   native_pool_available)
+            if native_pool_available():
+                self.block_pool = NativeBlockPool(num_blocks,
+                                                  enable_caching)
+            else:
+                self.block_pool = BlockPool(num_blocks, enable_caching)
+        else:
+            self.block_pool = BlockPool(num_blocks, enable_caching)
         # Per-request count of leading blocks already swapped for the
         # null block (sliding window; ref analog: SlidingWindowManager
         # remove_skipped_blocks, v1/core/single_type_kv_cache_manager.py).
