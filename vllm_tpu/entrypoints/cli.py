@@ -21,15 +21,29 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-kv-blocks", type=int, default=None)
     p.add_argument("--quantization", default=None)
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    p.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
+    p.add_argument("--expert-parallel-size", "-ep", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   help="auto|bfloat16|fp8|fp8_pth|int8|int4")
+    p.add_argument("--host-swap-bytes", type=int, default=0,
+                   help="CPU-RAM KV tier size (0 = off)")
+    p.add_argument("--otlp-traces-endpoint", default=None)
+    p.add_argument("--trace-file", default=None)
+    # Speculative decoding: {"method": "ngram"|"eagle", ...} json
+    p.add_argument("--speculative-config", default=None)
 
 
 def _engine_config(args):
-    from vllm_tpu.config import (CacheConfig, EngineConfig, ParallelConfig,
-                                 SchedulerConfig)
+    from vllm_tpu.config import (CacheConfig, EngineConfig,
+                                 ObservabilityConfig, ParallelConfig,
+                                 SchedulerConfig, SpeculativeConfig)
     from vllm_tpu.loader.hf_config import model_config_from_hf
     from vllm_tpu.quant.config import detect_quant_config
+    spec = SpeculativeConfig()
+    if getattr(args, "speculative_config", None):
+        spec = SpeculativeConfig(**json.loads(args.speculative_config))
     return EngineConfig(
         model=model_config_from_hf(args.model,
                                    max_model_len=args.max_model_len,
@@ -37,13 +51,21 @@ def _engine_config(args):
         cache=CacheConfig(
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,
+            cache_dtype=args.kv_cache_dtype,
+            host_swap_bytes=args.host_swap_bytes,
             enable_prefix_caching=not args.no_enable_prefix_caching),
         scheduler=SchedulerConfig(
             max_num_batched_tokens=args.max_num_batched_tokens,
             max_num_seqs=args.max_num_seqs),
         parallel=ParallelConfig(
-            tensor_parallel_size=args.tensor_parallel_size),
+            tensor_parallel_size=args.tensor_parallel_size,
+            pipeline_parallel_size=args.pipeline_parallel_size,
+            expert_parallel_size=args.expert_parallel_size),
         quant=detect_quant_config(args.model, args.quantization),
+        speculative=spec,
+        observability=ObservabilityConfig(
+            otlp_traces_endpoint=args.otlp_traces_endpoint,
+            trace_file=args.trace_file),
         seed=args.seed,
     )
 
