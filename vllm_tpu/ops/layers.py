@@ -48,6 +48,17 @@ def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
         inv_freq = scaled
     elif rope_type == "linear":
         inv_freq = inv_freq / rs["factor"]
+    elif rope_type == "yarn":
+        inv_freq = _yarn_inv_freq(inv_freq, d, cfg, rs)
+    elif rope_type == "dynamic":
+        # Dynamic NTK at full extension (static-shape serving bakes
+        # the max-length base; ref: _compute_dynamic_ntk_parameters at
+        # seq_len = max_position_embeddings * factor).
+        factor = rs["factor"]
+        mult = factor * factor - factor + 1.0
+        base = cfg.rope_theta * mult**(d / (d - 2))
+        inv_freq = 1.0 / (base**(jnp.arange(0, d, 2, dtype=jnp.float32) /
+                                 d))
     elif rope_type in (None, "default"):
         pass
     else:
@@ -55,12 +66,64 @@ def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
     return inv_freq
 
 
+def _yarn_inv_freq(inv_freq: jax.Array, d: int, cfg: ModelConfig,
+                   rs: dict) -> jax.Array:
+    """YaRN (ref: HF _compute_yarn_parameters / vllm yarn rotary):
+    per-dim interpolation/extrapolation blend over a linear ramp
+    between the beta_fast/beta_slow rotation boundaries."""
+    import math
+    factor = rs["factor"]
+    old_len = (rs.get("original_max_position_embeddings")
+               or cfg.max_model_len)
+    beta_fast = rs.get("beta_fast") or 32
+    beta_slow = rs.get("beta_slow") or 1
+    base = cfg.rope_theta
+
+    def corr_dim(rot):
+        return (d * math.log(old_len / (rot * 2 * math.pi)) /
+                (2 * math.log(base)))
+
+    low = max(math.floor(corr_dim(beta_fast)), 0)
+    high = min(math.ceil(corr_dim(beta_slow)), d - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(d // 2, dtype=jnp.float32) - low) / (high - low), 0,
+        1)
+    extrap_factor = 1.0 - ramp
+    return (inv_freq / factor * (1 - extrap_factor) +
+            inv_freq * extrap_factor)
+
+
+def yarn_attention_factor(cfg: ModelConfig) -> float:
+    """cos/sin magnitude scale for yarn (HF attention_scaling; deepseek
+    uses the mscale/mscale_all_dim ratio)."""
+    import math
+    rs = cfg.rope_scaling or {}
+    if rs.get("rope_type", rs.get("type")) != "yarn":
+        return 1.0
+    if rs.get("attention_factor") is not None:
+        return float(rs["attention_factor"])
+
+    def get_mscale(scale, m=1.0):
+        return 0.1 * m * math.log(scale) + 1.0 if scale > 1 else 1.0
+
+    factor = rs["factor"]
+    mscale, mscale_all = rs.get("mscale"), rs.get("mscale_all_dim")
+    if mscale and mscale_all:
+        return float(get_mscale(factor, mscale) /
+                     get_mscale(factor, mscale_all))
+    return float(get_mscale(factor))
+
+
 def rope_cos_sin(positions: jax.Array,
                  cfg: ModelConfig) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables for a batch of positions: each [T, head_dim//2]."""
+    """cos/sin tables for a batch of positions: each [T, head_dim//2],
+    scaled by the yarn attention factor when configured."""
     inv_freq = rope_inv_freq(cfg)
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    s = yarn_attention_factor(cfg)
+    return jnp.cos(freqs) * s, jnp.sin(freqs) * s
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
