@@ -21,9 +21,6 @@ def _host_quantized_params(mc, method: str) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from vllm_tpu.quant.loader import make_device_leaf
-    from vllm_tpu.quant.ref import quantize_groupwise
-
     rng = np.random.default_rng(0)
     H, KH, D, E, I = (mc.num_heads, mc.num_kv_heads, mc.head_dim,
                       mc.hidden_size, mc.intermediate_size)
@@ -31,13 +28,19 @@ def _host_quantized_params(mc, method: str) -> dict:
     gsize = 128 if method == "int4" else E
 
     def qleaf(K, N):
-        # Perf bench: random *quantized* values directly (equivalent to
-        # quantized random weights, without the slow host quantizer).
-        q = rng.integers(0, (1 << bits), (K, N), dtype=np.int32)
-        s_ = (rng.random((K // 128, N)).astype(np.float32) + 0.5) * 0.004
-        z = np.full((K // 128, N), 1 << (bits - 1), np.int32)
-        return {k: jnp.asarray(v)
-                for k, v in make_device_leaf(q, s_, z, None, bits).items()}
+        # Perf bench: random *packed* bytes directly — bit-identical in
+        # distribution to packing random levels, without the int32
+        # detour (the host generator dominated bench startup: ~14 min
+        # for the 8B pytree; this path takes seconds).
+        s_ = (rng.random((K // 128, N), dtype=np.float32) + 0.5) * 0.004
+        if bits == 4:
+            packed = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
+            return {"qweight": jnp.asarray(packed),
+                    "scales": jnp.asarray(s_),
+                    "zbias": jnp.asarray(-8.0 * s_)}
+        q = rng.integers(-127, 128, (K, N), dtype=np.int8)
+        return {"qweight": jnp.asarray(q), "scales": jnp.asarray(s_),
+                "zbias": jnp.asarray(np.zeros_like(s_))}
 
     layers = []
     for _ in range(mc.num_layers):
