@@ -103,3 +103,66 @@ def ragged_paged_attention_xla(
     probs = jnp.where(mask4, probs, 0.0)
     out = jnp.einsum("thgs,tshd->thgd", probs, v_t.astype(jnp.float32))
     return out.reshape(T, H, D).astype(q.dtype)
+
+
+def merge_attn_states(
+    outs: jax.Array,  # [C, T, H, D] partial attention outputs
+    lses: jax.Array,  # [C, T, H] log-sum-exp of each partial's scores
+) -> jax.Array:
+    """Combine attention computed over disjoint KV chunks.
+
+    The flash-attention merge identity (ref analog: csrc
+    merge_attn_states + the cascade/DCP combine,
+    vllm/v1/attention/ops/): with per-chunk softmax statistics
+    ``lse_c = log sum_j exp(s_cj)``, the exact full-KV attention is
+
+        out = sum_c softmax_weight_c * out_c,
+        weight_c = exp(lse_c - lse_total),
+        lse_total = log sum_c exp(lse_c)
+
+    Chunks with no keys pass ``lse = -inf`` and drop out. This is the
+    building block for cascade attention (shared-prefix split) and
+    decode context parallelism (KV sharded over a mesh axis, merged
+    with one small collective instead of gathering KV).
+    """
+    m = jnp.max(lses, axis=0, keepdims=True)  # [1, T, H]
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.exp(lses - m)  # [C, T, H]
+    total = jnp.sum(w, axis=0)  # [T, H]
+    total = jnp.where(total > 0, total, 1.0)
+    merged = jnp.einsum("cth,cthd->thd", w, outs.astype(jnp.float32))
+    return (merged / total[..., None]).astype(outs.dtype)
+
+
+@partial(jax.jit, static_argnames=("sm_scale", ))
+def chunk_attention_with_lse(
+    q: jax.Array,  # [T, H, D]
+    k: jax.Array,  # [T?, S, KH, D] per-row keys for this chunk
+    v: jax.Array,
+    valid: jax.Array,  # [T, S] bool key-validity mask
+    *,
+    sm_scale: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Attention over one KV chunk returning (out [T, H, D],
+    lse [T, H]) for merge_attn_states. Rows with zero valid keys
+    return lse = -inf (dropped by the merge)."""
+    T, H, D = q.shape
+    KH = k.shape[2]
+    G = H // KH
+    qf = q.astype(jnp.float32) * sm_scale
+    # group heads explicitly: [T, KH, G, D] x [T, S, KH, D]
+    qg = qf.reshape(T, KH, G, D)
+    scores = jnp.einsum("tkgd,tskd->tkgs", qg, k.astype(jnp.float32))
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(jnp.isfinite(scores), p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("tkgs,tskd->tkgd", p, v.astype(jnp.float32))
+    out = out / jnp.where(denom > 0, denom, 1.0)
+    lse = (m_safe[..., 0] + jnp.log(jnp.where(denom[..., 0] > 0,
+                                              denom[..., 0], 1.0)))
+    lse = jnp.where(denom[..., 0] > 0, lse, -jnp.inf)
+    return (out.reshape(T, H, D).astype(q.dtype),
+            lse.reshape(T, H).astype(jnp.float32))
