@@ -96,8 +96,8 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *, n_k: int):
                              preferred_element_type=jnp.float32)
     xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
     xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
-    s = s_ref[0]  # [2, bn] f32
-    zb = zb_ref[0]
+    s = s_ref[0].astype(jnp.float32)  # [2, bn]
+    zb = zb_ref[0].astype(jnp.float32)
     acc_ref[...] += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
                      xs1 * zb[1:2, :])
 
@@ -128,8 +128,10 @@ def w4a16_matmul(
 
     # Leading-indexed scale layout: pipeline indexes only the untiled
     # leading dim (Mosaic: sliced tiled dims must be tile-aligned).
-    s3 = scales.astype(jnp.float32).reshape(n_k, 2, N)
-    zb3 = zbias.astype(jnp.float32).reshape(n_k, 2, N)
+    # dtype passes through: prepare_weights ships bf16 scales (halves
+    # ~19% of the weight stream); the kernel upcasts in the epilogue.
+    s3 = scales.reshape(n_k, 2, N)
+    zb3 = zbias.reshape(n_k, 2, N)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_k=n_k),
