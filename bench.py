@@ -60,7 +60,9 @@ def _host_quantized_params(mc, method: str) -> dict:
         "embed_tokens": {"weight": dense((mc.vocab_size, E))},
         "layers": layers,
         "norm": jnp.ones((E,), jnp.bfloat16),
-        "lm_head": {"weight": dense((E, mc.vocab_size))},
+        # lm_head quantized too (ref: lm_head_quantized checkpoints):
+        # the bf16 head was 262MB/step of the decode stream.
+        "lm_head": qleaf(E, mc.vocab_size),
     }
 
 

@@ -24,6 +24,8 @@ SUPPORTED_ARCHS = {
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
     "LlavaForConditionalGeneration": "llava",  # VLM
+    "Qwen2MoeForCausalLM": "qwen2_moe",  # MoE + shared expert
+    "Qwen3MoeForCausalLM": "qwen2_moe",
 }
 
 
@@ -113,7 +115,8 @@ def model_config_from_hf(
         max_model_len=min(max_model_len or max_pos, max_pos),
         dtype=dtype,
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
-        attention_bias=(arch == "Qwen2ForCausalLM"
+        attention_bias=(arch in ("Qwen2ForCausalLM",
+                                 "Qwen2MoeForCausalLM")
                         or hf.get("attention_bias", False)),
         sliding_window=(hf.get("sliding_window")
                         if hf.get("use_sliding_window", True) else None),
@@ -136,6 +139,8 @@ def model_config_from_hf(
         cfg.mamba_d_state = hf.get("mamba_d_state", 128)
         cfg.mamba_d_conv = hf.get("mamba_d_conv", 4)
         cfg.mamba_n_groups = hf.get("mamba_n_groups", 1)
+    if arch in ("Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM"):
+        cfg.norm_topk_prob = hf.get("norm_topk_prob", False)
     if hf.get("kv_lora_rank"):  # MLA (DeepSeek-V2/V3)
         cfg.q_lora_rank = hf.get("q_lora_rank")
         cfg.kv_lora_rank = hf["kv_lora_rank"]

@@ -107,6 +107,9 @@ def load_llama_params(
         return _load_mamba2_params(model_path, cfg)
     if cfg.layer_types is not None:
         return _load_bamba_params(model_path, cfg)
+    if cfg.architecture in ("Qwen2MoeForCausalLM",
+                            "Qwen3MoeForCausalLM"):
+        return _load_qwen2_moe_params(model_path, cfg)
     if cfg.num_experts > 0:
         return _load_mixtral_params(model_path, cfg)
 
@@ -444,6 +447,94 @@ def _load_llava_params(model_path: str, cfg: ModelConfig) -> dict:
         leaf = layers[li].setdefault(leaf_name, {})
         leaf["weight" if kind == "weight" else "bias"] = to_jax(
             cat.T if kind == "weight" else cat)
+    return params
+
+
+def _load_qwen2_moe_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Qwen2/3-MoE mapping: expert stacking + sigmoid-gated shared
+    expert (mlp.shared_expert[_gate]) + qkv bias / qk-norm."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+    experts: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+    shared_gu: dict[int, dict[str, np.ndarray]] = {}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            elif tail == "self_attn.q_norm.weight":  # qwen3-moe
+                layer["q_norm"] = to_jax(w)
+            elif tail == "self_attn.k_norm.weight":
+                layer["k_norm"] = to_jax(w)
+            elif tail == "mlp.gate.weight":
+                layer["router"] = {"weight": to_jax(w.T)}
+            elif tail == "mlp.shared_expert_gate.weight":
+                layer["shared_gate"] = {"weight": to_jax(w.T)}
+            elif tail.startswith("mlp.experts."):
+                parts = tail.split(".")
+                experts.setdefault((li, int(parts[2])),
+                                   {})[parts[3]] = w
+            elif tail.startswith(("mlp.shared_expert.", "mlp.")):
+                which = tail.split(".")[-2]
+                if which == "down_proj":
+                    layer["down_proj"] = {"weight": to_jax(w.T)}
+                else:
+                    shared_gu.setdefault(li, {})[which] = w
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in _DIRECT:
+                    leaf = layer.setdefault(_DIRECT[mod], {})
+                    leaf["weight" if kind == "weight" else "bias"] = \
+                        to_jax(w.T if kind == "weight" else w)
+                elif mod in _FUSED:
+                    leaf_name, slot = _FUSED[mod]
+                    pending.setdefault((li, leaf_name, kind),
+                                       {})[slot] = w
+                else:
+                    logger.warning("unmapped weight %s", name)
+
+    for li, parts in shared_gu.items():
+        cat = np.concatenate([parts["gate_proj"], parts["up_proj"]],
+                             axis=0)
+        layers[li]["gate_up_proj"] = {"weight": to_jax(cat.T)}
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            cat.T if kind == "weight" else cat)
+    for li in range(cfg.num_layers):
+        ids = sorted(e for (l2, e) in experts if l2 == li)
+        if not ids:
+            continue
+        gu, dn = [], []
+        for e in ids:
+            ws = experts[(li, e)]
+            gu.append(np.concatenate([ws["gate_proj"].T,
+                                      ws["up_proj"].T], axis=1))
+            dn.append(ws["down_proj"].T)
+        layers[li]["w_gate_up"] = to_jax(np.stack(gu))
+        layers[li]["w_down"] = to_jax(np.stack(dn))
     return params
 
 

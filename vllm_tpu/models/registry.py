@@ -21,6 +21,8 @@ _REGISTRY: dict[str, str] = {
     "Mamba2ForCausalLM": "vllm_tpu.models.mamba2",  # pure SSM
     "BambaForCausalLM": "vllm_tpu.models.bamba",  # hybrid SSM+attn
     "LlavaForConditionalGeneration": "vllm_tpu.models.llava",  # VLM
+    "Qwen2MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
+    "Qwen3MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
 }
 
 
