@@ -68,3 +68,30 @@ def test_w8a16_path():
     x = rng.standard_normal((4, 256)).astype(np.float32)
     got = np.asarray(quantized_matmul_xla(jnp.asarray(x), leaf))
     np.testing.assert_allclose(got, x @ w_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_desc_act_pallas_path_matches_xla():
+    """desc_act leaves now take the fused kernel: gather x by perm,
+    then the group-sorted qweight is kernel-ready (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vllm_tpu.quant.kernels import quantized_matmul_xla
+    from vllm_tpu.quant.loader import make_device_leaf
+    from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
+    from vllm_tpu.quant.ref import quantize_groupwise
+
+    rng = np.random.default_rng(0)
+    K, N, T = 512, 256, 4
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    q, s, z = quantize_groupwise(w, 4, 128, sym=True)
+    perm = rng.permutation(K).astype(np.int32)
+    leaf = {k: jnp.asarray(v) for k, v in
+            make_device_leaf(q, s, z, perm, 4).items()}
+    x = jnp.asarray(rng.standard_normal((T, K)).astype(np.float32))
+
+    ref = quantized_matmul_xla(x, leaf)
+    xg = x[:, leaf["perm"]]
+    got = w4a16_matmul(xg, leaf["qweight"], leaf["scales"],
+                       leaf["zbias"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

@@ -78,9 +78,14 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     from vllm_tpu.ops.dispatch import attention_backend
     x_k = x.shape[-1]
     if (attention_backend() == "pallas" and leaf["qweight"].dtype
-            == jnp.uint8 and "perm" not in leaf
+            == jnp.uint8
             and leaf["scales"].shape[0] * 128 == x_k):
         from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
+        if "perm" in leaf:
+            # desc_act: the loader already sorted qweight rows by
+            # group, so the fused kernel applies after gathering x
+            # (the reference's g_idx act-reorder, MPLinearKernel.py:22).
+            x = x[..., leaf["perm"]]
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         out = w4a16_matmul(x2, leaf["qweight"], leaf["scales"],
@@ -108,7 +113,7 @@ def prepare_weights(params):
         if isinstance(node, dict):
             qw = node.get("qweight")
             if (qw is not None and getattr(qw, "dtype", None) == jnp.uint8
-                    and qw.ndim == 2 and "perm" not in node
+                    and qw.ndim == 2
                     and "mx_scale" not in node and "scales" in node
                     and qw.shape[0] % 128 == 0
                     and node["scales"].shape[0] * 64 == qw.shape[0]):

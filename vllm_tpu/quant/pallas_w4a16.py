@@ -75,7 +75,8 @@ def unpack_tiled(tiled: jax.Array) -> jax.Array:
     return tiled.transpose(1, 2, 0, 3).reshape(n_k * half, n_n * bn)
 
 
-def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *, n_k: int):
+def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
+            n_k: int, ksup: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -84,22 +85,26 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *, n_k: int):
 
     # Mosaic legalizes bit ops/casts on i32 vectors, not i8: widen
     # first. Raw levels go to the MXU; scales wait for the epilogue.
-    packed = qw_ref[0, 0].astype(jnp.int32)  # [HALF, bn]
-    lo = (packed & 0xF).astype(x_ref.dtype)
-    hi = ((packed >> 4) & 0xF).astype(x_ref.dtype)
+    # ksup K-tiles per grid step (fatter HBM reads, fewer steps).
     x = x_ref[...]
-    x0 = x[:, :HALF]
-    x1 = x[:, HALF:]
-    y0 = jax.lax.dot_general(x0, lo, (((1, ), (0, )), ((), ())),
-                             preferred_element_type=jnp.float32)
-    y1 = jax.lax.dot_general(x1, hi, (((1, ), (0, )), ((), ())),
-                             preferred_element_type=jnp.float32)
-    xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
-    xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
-    s = s_ref[0].astype(jnp.float32)  # [2, bn]
-    zb = zb_ref[0].astype(jnp.float32)
-    acc_ref[...] += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
-                     xs1 * zb[1:2, :])
+    acc = jnp.zeros_like(acc_ref)
+    for j in range(ksup):
+        packed = qw_ref[0, j].astype(jnp.int32)  # [HALF, bn]
+        lo = (packed & 0xF).astype(x.dtype)
+        hi = ((packed >> 4) & 0xF).astype(x.dtype)
+        x0 = x[:, j * BK:j * BK + HALF]
+        x1 = x[:, j * BK + HALF:(j + 1) * BK]
+        y0 = jax.lax.dot_general(x0, lo, (((1, ), (0, )), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        y1 = jax.lax.dot_general(x1, hi, (((1, ), (0, )), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
+        xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
+        s = s_ref[j].astype(jnp.float32)  # [2, bn]
+        zb = zb_ref[j].astype(jnp.float32)
+        acc += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
+                xs1 * zb[1:2, :])
+    acc_ref[...] += acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -125,6 +130,11 @@ def w4a16_matmul(
     n_n, n_k, _, bn = qweight.shape
     N = n_n * bn
     n_t = cdiv(T, bt)
+    # K-supersteps: process 2 K-tiles (512 rows) per grid step when
+    # they divide — halves grid-step count and doubles the per-step
+    # weight DMA.
+    ksup = 2 if n_k % 2 == 0 else 1
+    n_kg = n_k // ksup
 
     # Leading-indexed scale layout: pipeline indexes only the untiled
     # leading dim (Mosaic: sliced tiled dims must be tile-aligned).
@@ -134,16 +144,17 @@ def w4a16_matmul(
     zb3 = zbias.reshape(n_k, 2, N)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
-        grid=(n_t, n_n, n_k),
+        functools.partial(_kernel, n_k=n_kg, ksup=ksup),
+        grid=(n_t, n_n, n_kg),
         in_specs=[
-            pl.BlockSpec((bt, BK), lambda t, n, k: (t, k),
+            pl.BlockSpec((bt, ksup * BK), lambda t, n, k: (t, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, HALF, bn), lambda t, n, k: (n, k, 0, 0),
+            pl.BlockSpec((1, ksup, HALF, bn),
+                         lambda t, n, k: (n, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda t, n, k: (k, 0, n),
+            pl.BlockSpec((ksup, 2, bn), lambda t, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bn), lambda t, n, k: (k, 0, n),
+            pl.BlockSpec((ksup, 2, bn), lambda t, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n),
