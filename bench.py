@@ -105,7 +105,7 @@ def main() -> None:
         scheduler=SchedulerConfig(
             max_num_batched_tokens=2048, max_num_seqs=num_reqs,
             multi_step_decode_horizon=int(
-                os.environ.get("VLLM_TPU_BENCH_HORIZON", "32"))),
+                os.environ.get("VLLM_TPU_BENCH_HORIZON", "64"))),
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
     quant = os.environ.get("VLLM_TPU_BENCH_QUANT",

@@ -15,7 +15,8 @@ reference vLLM fork (see SURVEY.md), designed TPU-first:
 
 __version__ = "0.1.0"
 
-__all__ = ["LLM", "SamplingParams", "__version__"]
+__all__ = ["LLM", "SamplingParams", "PoolingParams", "AsyncLLM",
+           "EngineConfig", "__version__"]
 
 
 def __getattr__(name):
@@ -23,7 +24,16 @@ def __getattr__(name):
     if name == "SamplingParams":
         from vllm_tpu.sample.params import SamplingParams
         return SamplingParams
+    if name == "PoolingParams":
+        from vllm_tpu.sample.params import PoolingParams
+        return PoolingParams
     if name == "LLM":
         from vllm_tpu.engine.llm import LLM
         return LLM
+    if name == "AsyncLLM":
+        from vllm_tpu.engine.async_llm import AsyncLLM
+        return AsyncLLM
+    if name == "EngineConfig":
+        from vllm_tpu.config import EngineConfig
+        return EngineConfig
     raise AttributeError(name)

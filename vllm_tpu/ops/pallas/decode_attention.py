@@ -47,7 +47,7 @@ from vllm_tpu.ops.kv_cache import (LANE, QuantKV, quant_max,
                                    scale_planes)
 
 RING = 4  # in-flight superstep slots per program
-F_BLOCKS = 4  # KV blocks per superstep (bf16 kernel)
+F_BLOCKS = 8  # KV blocks per superstep (bf16 kernel)
 MAX_HG = 8  # max kv heads statically unrolled per program
 MAX_UNROLL = 32  # bound on RB * HG (Mosaic code size)
 

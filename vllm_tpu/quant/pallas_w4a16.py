@@ -132,8 +132,9 @@ def w4a16_matmul(
     n_t = cdiv(T, bt)
     # K-supersteps: process 2 K-tiles (512 rows) per grid step when
     # they divide — halves grid-step count and doubles the per-step
-    # weight DMA.
-    ksup = 2 if n_k % 2 == 0 else 1
+    # weight DMA. Decode shapes only: at prefill bt the doubled
+    # weight/scale blocks push past the 16M scoped-VMEM budget.
+    ksup = 2 if n_k % 2 == 0 and bt <= 64 else 1
     n_kg = n_k // ksup
 
     # Leading-indexed scale layout: pipeline indexes only the untiled
