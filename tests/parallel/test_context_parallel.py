@@ -1,0 +1,147 @@
+"""Context parallelism (cp mesh axis) on the virtual 8-device CPU mesh.
+
+Ref analog: the reference's DCP/PCP suites (tests/distributed/
+test_context_parallel.py, test_dcp_a2a.py) — here the KV shards ride a
+GSPMD mesh axis and attention merges per-rank (out, lse) partials
+(parallel/context.py), so the checks are end-to-end greedy parity plus
+the allocator's partition-placement invariant.
+"""
+
+import pytest
+
+from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                             ParallelConfig, SchedulerConfig)
+from vllm_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_tpu.core.request import Request
+from vllm_tpu.models import llama
+from vllm_tpu.parallel.mesh import make_mesh
+from tests.parallel.test_tp_sharding import run_generate
+
+
+def make_cfg(cp: int, tp: int = 1) -> EngineConfig:
+    return EngineConfig(
+        model=ModelConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=8,
+            num_kv_heads=4,
+            max_model_len=128,
+            dtype="float32",
+        ),
+        cache=CacheConfig(block_size=16, num_gpu_blocks=33),
+        scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                  max_num_seqs=4),
+        parallel=ParallelConfig(context_parallel_size=cp,
+                                tensor_parallel_size=tp),
+    )
+
+
+def run_long_generate(cfg, params, mesh=None, n_tokens=24):
+    """Greedy generation with prompts spanning several KV blocks, long
+    enough that decode crosses block (and therefore cp-rank)
+    boundaries."""
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.sample.params import SamplingParams
+    engine = LLMEngine(cfg, params=params, tokenizer=None, mesh=mesh)
+    prompts = [
+        [(7 * i + 3) % 256 for i in range(40)],  # 3 blocks
+        [1, 9, 17, 33, 42],
+        [(i * i) % 256 for i in range(21)],  # crosses a block mid-way
+    ]
+    ids = [
+        engine.add_request(
+            p, SamplingParams(temperature=0.0, max_tokens=n_tokens,
+                              ignore_eos=True)) for p in prompts
+    ]
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    return [done[i] for i in ids]
+
+
+def test_cp2_matches_single_device(cpu_devices):
+    params = llama.random_params(make_cfg(cp=1).model, seed=11)
+    ref = run_long_generate(make_cfg(cp=1), params, mesh=None)
+    cfg = make_cfg(cp=2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
+def test_cp2_tp2_matches_single_device(cpu_devices):
+    params = llama.random_params(make_cfg(cp=1).model, seed=5)
+    ref = run_long_generate(make_cfg(cp=1), params, mesh=None)
+    cfg = make_cfg(cp=2, tp=2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
+def test_cp4_matches_single_device(cpu_devices):
+    params = llama.random_params(make_cfg(cp=1).model, seed=2)
+    ref = run_long_generate(make_cfg(cp=1), params, mesh=None,
+                            n_tokens=8)
+    cfg = make_cfg(cp=4)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel),
+                            n_tokens=8)
+    assert got == ref
+
+
+def _req(rid, n_tokens, tokens=None):
+    from vllm_tpu.sample.params import SamplingParams
+    return Request(request_id=rid,
+                   prompt_token_ids=(tokens if tokens is not None else
+                                     list(range(n_tokens))),
+                   sampling_params=SamplingParams(max_tokens=4))
+
+
+def test_manager_partition_placement():
+    """Chunk j's block must come from partition j % cp — global id in
+    [(j % cp) * blocks_local, (j % cp + 1) * blocks_local)."""
+    cp, blocks_local = 4, 16
+    mgr = KVCacheManager(num_blocks=cp * blocks_local, block_size=16,
+                         enable_caching=True, cp=cp)
+    req = _req("r1", 6 * 16)
+    blocks = mgr.allocate_slots(req, 6 * 16)
+    assert blocks is not None
+    ids = mgr.get_block_ids("r1")
+    assert len(ids) == 6
+    for j, gid in enumerate(ids):
+        assert gid // blocks_local == j % cp, (j, gid)
+
+
+def test_manager_prefix_hit_under_cp():
+    cp, blocks_local = 2, 32
+    mgr = KVCacheManager(num_blocks=cp * blocks_local, block_size=16,
+                         enable_caching=True, cp=cp)
+    r1 = _req("a", 48)
+    mgr.allocate_slots(r1, 48)
+    r1.num_computed_tokens = 48
+    # Register full blocks, then free: content stays cached.
+    mgr.allocate_slots(r1, 1)
+    ids1 = mgr.get_block_ids("a")
+    mgr.free(r1)
+    # Same 48-token prefix + one extra token.
+    r2 = _req("b", 49, tokens=list(range(48)) + [999])
+    computed, n = mgr.get_computed_blocks(r2)
+    assert n == 48
+    assert [b.block_id for b in computed.blocks] == ids1[:3]
+    # And the hits still satisfy the placement invariant.
+    for j, b in enumerate(computed.blocks):
+        assert b.block_id // blocks_local == j % cp
+
+
+def test_manager_exhaustion_is_per_partition():
+    """One full partition must stall allocation even if others are
+    free (chunk routing cannot substitute partitions)."""
+    cp, blocks_local = 2, 4  # 3 usable per partition (null eats one)
+    mgr = KVCacheManager(num_blocks=cp * blocks_local, block_size=16,
+                         enable_caching=False, cp=cp)
+    # 5 chunks: partition 0 needs 3 (chunks 0,2,4), partition 1 two.
+    assert mgr.allocate_slots(_req("a", 5 * 16), 5 * 16) is not None
+    # 1 more chunk-0 block would need partition 0 -> exhausted.
+    assert mgr.allocate_slots(_req("b", 16), 16) is None
+    # Yet the global free count (1 left in partition 1) is nonzero.
+    assert sum(p.num_free_blocks for p in mgr.pools) == 1

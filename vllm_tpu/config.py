@@ -185,11 +185,18 @@ class ParallelConfig:
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
     pipeline_parallel_size: int = 1
+    # Context parallelism (the reference's DCP/PCP,
+    # decode_context_parallel_size parallel.py:342): paged-KV blocks
+    # interleave over the ``cp`` mesh axis at block granularity — token
+    # chunk j lives on rank j % cp — and attention merges per-rank
+    # partials with one small (out, lse) all-gather (see
+    # parallel/context.py).
+    context_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:
         return (self.tensor_parallel_size * self.data_parallel_size *
-                self.pipeline_parallel_size)
+                self.pipeline_parallel_size * self.context_parallel_size)
 
 
 # ---------------------------------------------------------------------------

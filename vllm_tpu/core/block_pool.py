@@ -70,11 +70,17 @@ class PrefixCacheStats:
 
 class BlockPool:
 
-    def __init__(self, num_blocks: int, enable_caching: bool = True) -> None:
+    def __init__(self, num_blocks: int, enable_caching: bool = True,
+                 id_offset: int = 0) -> None:
+        """``id_offset`` shifts all block ids: context parallelism runs
+        one pool per cp-rank partition, pool r owning global ids
+        [r * blocks_local, (r+1) * blocks_local) — the contiguous GSPMD
+        shard of the cache array's block axis (parallel/context.py)."""
         assert num_blocks >= 2, "need >= 2 blocks (one is the null block)"
         self.num_blocks = num_blocks
         self.enable_caching = enable_caching
-        self.blocks = [KVCacheBlock(i) for i in range(num_blocks)]
+        self.blocks = [KVCacheBlock(id_offset + i)
+                       for i in range(num_blocks)]
         # Null block: permanently ref'd, id 0.
         self.null_block = self.blocks[0]
         self.null_block.ref_cnt = 1

@@ -42,13 +42,32 @@ class KVCacheManager:
         enable_caching: bool = True,
         hash_algo: str = "builtin",
         sliding_window: Optional[int] = None,
+        cp: int = 1,
     ) -> None:
         self.block_size = block_size
         self.enable_caching = enable_caching
         self.hash_algo = hash_algo
         self.sliding_window = sliding_window
+        # Context parallelism: the cache array's block axis is GSPMD-
+        # sharded over ``cp``, and token chunk j must land on rank
+        # j % cp (parallel/context.py layout). One pool per rank
+        # partition enforces that placement; chunk j's block is drawn
+        # from partition j % cp and carries a *global* id in
+        # [r * blocks_local, (r+1) * blocks_local). Ref analog: the
+        # dcp_world_size accounting in the reference scheduler
+        # (vllm/v1/core/sched/scheduler.py:175).
+        self.cp = cp
         import os
-        if os.environ.get("VLLM_TPU_NATIVE_POOL") == "1":
+        if cp > 1:
+            assert num_blocks % cp == 0, (num_blocks, cp)
+            self.blocks_local = num_blocks // cp
+            self.pools = [
+                BlockPool(self.blocks_local, enable_caching,
+                          id_offset=r * self.blocks_local)
+                for r in range(cp)
+            ]
+            self.block_pool = self.pools[0]
+        elif os.environ.get("VLLM_TPU_NATIVE_POOL") == "1":
             # Native (C++) pool: same semantics, no per-op Python cost
             # (csrc/block_pool.cc; parity suite guards equivalence).
             from vllm_tpu.core.native_pool import (NativeBlockPool,
@@ -58,8 +77,12 @@ class KVCacheManager:
                                                   enable_caching)
             else:
                 self.block_pool = BlockPool(num_blocks, enable_caching)
+            self.blocks_local = num_blocks
+            self.pools = [self.block_pool]
         else:
             self.block_pool = BlockPool(num_blocks, enable_caching)
+            self.blocks_local = num_blocks
+            self.pools = [self.block_pool]
         # Per-request count of leading blocks already swapped for the
         # null block (sliding window; ref analog: SlidingWindowManager
         # remove_skipped_blocks, v1/core/single_type_kv_cache_manager.py).
@@ -72,6 +95,33 @@ class KVCacheManager:
         # number of this request's blocks already registered in the
         # prefix cache.
         self.num_cached_blocks: dict[str, int] = {}
+
+    # -- cp partition routing -----------------------------------------
+    def _pool_of_chunk(self, chunk_idx: int) -> BlockPool:
+        return self.pools[chunk_idx % self.cp]
+
+    def _pool_of_block(self, block: KVCacheBlock) -> BlockPool:
+        return self.pools[block.block_id // self.blocks_local]
+
+    def _null_of_chunk(self, chunk_idx: int) -> KVCacheBlock:
+        return self._pool_of_chunk(chunk_idx).null_block
+
+    def _is_null(self, block: KVCacheBlock) -> bool:
+        return any(block is p.null_block for p in self.pools)
+
+    def _free_routed(self, blocks: list[KVCacheBlock]) -> None:
+        """free_blocks with per-partition routing, preserving the
+        caller's eviction-priority order within each partition."""
+        if self.cp == 1:
+            self.block_pool.free_blocks(blocks)
+            return
+        per: list[list[KVCacheBlock]] = [[] for _ in self.pools]
+        for b in blocks:
+            if self._is_null(b):
+                continue
+            per[b.block_id // self.blocks_local].append(b)
+        for pool, bs in zip(self.pools, per):
+            pool.free_blocks(bs)
 
     # -- hashing -----------------------------------------------------
     def _update_block_hashes(self, request: Request) -> list[BlockHash]:
@@ -122,7 +172,7 @@ class KVCacheManager:
         for i, h in enumerate(hashes):
             if (i + 1) * self.block_size > max_cache_hit_tokens:
                 break
-            block = self.block_pool.get_cached_block(h)
+            block = self._pool_of_chunk(i).get_cached_block(h)
             if block is None:
                 break
             blocks.append(block)
@@ -152,18 +202,30 @@ class KVCacheManager:
         num_required_blocks = cdiv(total_tokens, self.block_size)
         num_new_blocks = (num_required_blocks - len(req_blocks) -
                           len(new_computed))
+        start_chunk = len(req_blocks) + len(new_computed)
 
         # Availability check: freshly touched computed blocks with
-        # ref 0 would come out of the free pool too.
-        num_evictable_computed = sum(1 for b in new_computed
-                                     if b.ref_cnt == 0)
-        if (num_new_blocks >
-                self.block_pool.num_free_blocks - num_evictable_computed):
+        # ref 0 would come out of the free pool too. Per partition
+        # under cp (demand at chunk start_chunk + k hits partition
+        # (start_chunk + k) % cp).
+        demand = [0] * self.cp
+        for k in range(max(num_new_blocks, 0)):
+            demand[(start_chunk + k) % self.cp] += 1
+        evictable = [0] * self.cp
+        for b in new_computed:
+            if b.ref_cnt == 0:
+                evictable[b.block_id // self.blocks_local] += 1
+        if any(d > p.num_free_blocks - e
+               for d, p, e in zip(demand, self.pools, evictable)):
             return None
 
         # Take refs on the prefix-hit blocks and append them.
         if new_computed:
-            self.block_pool.touch(new_computed)
+            if self.cp == 1:
+                self.block_pool.touch(new_computed)
+            else:
+                for b in new_computed:
+                    self._pool_of_block(b).touch([b])
             req_blocks.extend(new_computed)
             self.num_cached_blocks[request.request_id] = (
                 self.num_cached_blocks.get(request.request_id, 0) +
@@ -171,7 +233,14 @@ class KVCacheManager:
 
         new_blocks: list[KVCacheBlock] = []
         if num_new_blocks > 0:
-            new_blocks = self.block_pool.get_new_blocks(num_new_blocks)
+            if self.cp == 1:
+                new_blocks = self.block_pool.get_new_blocks(num_new_blocks)
+            else:
+                new_blocks = [
+                    self._pool_of_chunk(start_chunk +
+                                        k).get_new_blocks(1)[0]
+                    for k in range(num_new_blocks)
+                ]
             req_blocks.extend(new_blocks)
 
         # Register hashes for blocks that become full this step
@@ -186,8 +255,13 @@ class KVCacheManager:
             hashes = self._update_block_hashes(request)
             num_cached = self.num_cached_blocks.get(request.request_id, 0)
             if num_full_after > num_cached:
-                self.block_pool.cache_full_blocks(req_blocks, hashes,
-                                                  num_cached, num_full_after)
+                if self.cp == 1:
+                    self.block_pool.cache_full_blocks(
+                        req_blocks, hashes, num_cached, num_full_after)
+                else:
+                    for i in range(num_cached, num_full_after):
+                        self._pool_of_chunk(i).cache_full_blocks(
+                            [req_blocks[i]], [hashes[i]], 0, 1)
                 self.num_cached_blocks[
                     request.request_id] = num_full_after
         return KVCacheBlocks(new_blocks)
@@ -210,11 +284,13 @@ class KVCacheManager:
         start = self._num_nulled.get(request.request_id, 0)
         if n_dead <= start:
             return
-        null = self.block_pool.null_block
-        dead = [b for b in req_blocks[start:n_dead] if b is not null]
+        dead = [b for b in req_blocks[start:n_dead]
+                if not self._is_null(b)]
         for i in range(start, n_dead):
-            req_blocks[i] = null
-        self.block_pool.free_blocks(list(reversed(dead)))
+            # Under cp the null must sit in chunk i's partition so the
+            # (masked) placeholder stays a local row on rank i % cp.
+            req_blocks[i] = self._null_of_chunk(i)
+        self._free_routed(list(reversed(dead)))
         self._num_nulled[request.request_id] = n_dead
 
     def free(self, request: Request) -> None:
@@ -223,7 +299,7 @@ class KVCacheManager:
         blocks = self.req_to_blocks.pop(request.request_id, [])
         self.num_cached_blocks.pop(request.request_id, None)
         self._num_nulled.pop(request.request_id, None)
-        self.block_pool.free_blocks(list(reversed(blocks)))
+        self._free_routed(list(reversed(blocks)))
 
     def free_block_hashes(self, request: Request) -> None:
         self.req_to_block_hashes.pop(request.request_id, None)
@@ -233,7 +309,9 @@ class KVCacheManager:
 
     @property
     def usage(self) -> float:
-        return self.block_pool.usage
+        if self.cp == 1:
+            return self.block_pool.usage
+        return sum(p.usage for p in self.pools) / self.cp
 
     def reset_prefix_cache(self) -> bool:
-        return self.block_pool.reset_prefix_cache()
+        return all([p.reset_prefix_cache() for p in self.pools])

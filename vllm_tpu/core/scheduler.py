@@ -46,6 +46,7 @@ class Scheduler:
             enable_caching=config.cache.enable_prefix_caching,
             hash_algo=config.cache.prefix_caching_hash_algo,
             sliding_window=config.model.sliding_window,
+            cp=config.parallel.context_parallel_size,
         )
 
         # EAGLE's chained draft steps write draft-KV up to k positions
@@ -63,7 +64,8 @@ class Scheduler:
         if (config.cache.host_swap_bytes > 0
                 and config.cache.enable_prefix_caching
                 and not config.model.mamba_num_heads
-                and config.parallel.pipeline_parallel_size == 1):
+                and config.parallel.pipeline_parallel_size == 1
+                and config.parallel.context_parallel_size == 1):
             from vllm_tpu.core.kv_offload import HostKVPool
             self.host_kv_pool = HostKVPool(config.cache.host_swap_bytes)
             self.kv_cache_manager.block_pool.on_evict = (

@@ -57,6 +57,17 @@ class LLMEngine:
             params = self._load_params()
 
         num_blocks = self._determine_num_kv_blocks()
+        cp = config.parallel.context_parallel_size
+        if cp > 1:
+            # Context parallelism: per-device sizing stays what the
+            # memory probe computed; the *global* pool is cp x that,
+            # GSPMD-sharded over the cp axis (parallel/context.py).
+            if mc.mamba_num_heads or getattr(mc, "kv_lora_rank", None):
+                raise NotImplementedError(
+                    "context_parallel_size > 1 supports paged-KV "
+                    "attention models (MLA/SSM caches are not "
+                    "cp-sharded yet)")
+            num_blocks = num_blocks * cp
         # Guard: every request must be able to fit (a request needing
         # more blocks than the pool stalls the scheduler forever).
         # Sliding-window models free out-of-window blocks, so the
@@ -303,13 +314,13 @@ class LLMEngine:
         from vllm_tpu.core.kv_offload import KVTransferPayload
         cc = self.config.cache
         bs = cc.block_size
-        pool = self.scheduler.kv_cache_manager.block_pool
+        mgr = self.scheduler.kv_cache_manager
         block_ids, h = [], None
         for i in range(len(prompt_token_ids) // bs):
             chunk = tuple(prompt_token_ids[i * bs:(i + 1) * bs])
             h = hash_block_tokens(h, chunk, None,
                                   cc.prefix_caching_hash_algo)
-            block = pool.get_cached_block(h)
+            block = mgr._pool_of_chunk(i).get_cached_block(h)
             if block is None:
                 break
             block_ids.append(block.block_id)

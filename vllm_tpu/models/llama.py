@@ -36,8 +36,7 @@ import jax.numpy as jnp
 
 from vllm_tpu.config import ModelConfig
 from vllm_tpu.ops.dispatch import (fused_decode_attention,
-                                   ragged_paged_attention)
-from vllm_tpu.ops.kv_cache import write_kv_xla
+                                   ragged_paged_attention, write_kv)
 from vllm_tpu.ops.layers import (apply_rope, rms_norm, rope_cos_sin,
                                  silu_and_mul)  # noqa: F401
 from vllm_tpu.ops.linear import linear
@@ -98,7 +97,7 @@ def _attention(
     # Write-through first, then attend over the whole [0, seq_len)
     # prefix from the cache — current tokens included (unified
     # prefill/decode contract, see ops/attention.py).
-    kv_cache = write_kv_xla(kv_cache, k, v, meta.slot_mapping)
+    kv_cache = write_kv(kv_cache, k, v, meta.slot_mapping)
 
     out = ragged_paged_attention(
         q,

@@ -36,7 +36,8 @@ def token_row_ids(query_start_loc: jax.Array, num_tokens: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("sm_scale", "causal", "sliding_window",
-                                   "logit_softcap"))
+                                   "logit_softcap", "chunk_stride",
+                                   "return_lse"))
 def ragged_paged_attention_xla(
     q: jax.Array,  # [T, H, D] (D true, unpadded)
     kv_cache: jax.Array,  # [num_blocks, 2*KH, block_size, Dp]
@@ -48,10 +49,20 @@ def ragged_paged_attention_xla(
     causal: bool = True,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    chunk_stride: int = 1,
+    chunk_offset: jax.Array | int = 0,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Reference implementation. Materializes each row's full KV
     (gather over the block table) — memory-hungry but simple; the
-    Pallas kernel streams blocks instead."""
+    Pallas kernel streams blocks instead.
+
+    ``chunk_stride``/``chunk_offset`` support context parallelism (ref
+    analog: the DCP interleaved KV layout, cp_kv_cache_interleave_size
+    + ops/dcp_alltoall.py): block-table slot i holds the KV of global
+    token chunk ``i * chunk_stride + chunk_offset``, so key positions
+    are strided. With ``return_lse`` the per-(token, head) log-sum-exp
+    rides along for merge_attn_states."""
     T, H, D = q.shape
     R, max_blocks = block_tables.shape
     if isinstance(kv_cache, QuantKV):
@@ -89,7 +100,14 @@ def ragged_paged_attention_xla(
     if logit_softcap is not None:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
 
-    kv_pos = jnp.arange(max_kv, dtype=jnp.int32)  # [max_kv]
+    if chunk_stride == 1 and isinstance(chunk_offset, int) \
+            and chunk_offset == 0:
+        kv_pos = jnp.arange(max_kv, dtype=jnp.int32)  # [max_kv]
+    else:
+        chunk = (jnp.arange(max_blocks, dtype=jnp.int32) * chunk_stride +
+                 chunk_offset)
+        kv_pos = (chunk[:, None] * block_size + jnp.arange(
+            block_size, dtype=jnp.int32)[None, :]).reshape(max_kv)
     mask = kv_pos[None, :] < seq_lens[rows][:, None]  # [T, max_kv]
     if causal:
         mask &= kv_pos[None, :] <= q_pos[:, None]
@@ -98,11 +116,22 @@ def ragged_paged_attention_xla(
     mask4 = mask[:, None, None, :]
     scores = jnp.where(mask4, scores, -jnp.inf)
 
-    # Rows that are fully masked (padding tokens) produce zeros.
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(mask4, probs, 0.0)
-    out = jnp.einsum("thgs,tshd->thgd", probs, v_t.astype(jnp.float32))
-    return out.reshape(T, H, D).astype(q.dtype)
+    # Rows that are fully masked (padding tokens, or — under context
+    # parallelism — rows with no keys on this rank) produce zeros (and
+    # lse = -inf, dropped by merge_attn_states).
+    m = jnp.max(scores, axis=-1, keepdims=True)  # [T, KH, G, 1]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.where(mask4, jnp.exp(scores - m_safe), 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("thgs,tshd->thgd", p, v_t.astype(jnp.float32))
+    out = out / jnp.where(denom > 0, denom, 1.0)
+    out = out.reshape(T, H, D).astype(q.dtype)
+    if not return_lse:
+        return out
+    d0 = denom[..., 0]
+    lse = m_safe[..., 0] + jnp.log(jnp.where(d0 > 0, d0, 1.0))
+    lse = jnp.where(d0 > 0, lse, -jnp.inf)
+    return out, lse.reshape(T, H).astype(jnp.float32)
 
 
 def merge_attn_states(

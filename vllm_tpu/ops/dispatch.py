@@ -22,6 +22,21 @@ def _packed_int4(kv_cache) -> bool:
         kv_cache.data)
 
 
+def _cp_size() -> int:
+    from vllm_tpu.parallel.mesh import AXIS_CP, axis_size
+    return axis_size(AXIS_CP)
+
+
+def write_kv(kv_cache, k, v, slot_mapping):
+    """Prefill write-through; under context parallelism each rank
+    writes only its owned slots (parallel/context.py)."""
+    from vllm_tpu.ops.kv_cache import write_kv_xla
+    if _cp_size() > 1:
+        from vllm_tpu.parallel.context import cp_write_kv
+        return cp_write_kv(kv_cache, k, v, slot_mapping)
+    return write_kv_xla(kv_cache, k, v, slot_mapping)
+
+
 @functools.cache
 def attention_backend() -> str:
     env = os.environ.get("VLLM_TPU_ATTN_BACKEND")
@@ -43,6 +58,16 @@ def ragged_paged_attention(
     logit_softcap: float | None = None,
     q_blk: int = 128,
 ) -> jax.Array:
+    if _cp_size() > 1:
+        # KV sharded over the cp mesh axis: per-rank partials + merge
+        # (the XLA path runs per shard; a Pallas lse-emitting variant
+        # is the optimization path once CP runs on real multi-chip).
+        from vllm_tpu.parallel.context import cp_ragged_attention
+        return cp_ragged_attention(q, kv_cache, block_tables,
+                                   query_start_loc, seq_lens,
+                                   sm_scale=sm_scale,
+                                   sliding_window=sliding_window,
+                                   logit_softcap=logit_softcap)
     if attention_backend() == "pallas" and not _packed_int4(kv_cache):
         from vllm_tpu.ops.pallas.ragged_attention import (
             ragged_paged_attention as pallas_attn)
@@ -73,6 +98,13 @@ def fused_decode_attention(
     """Decode fast path: KV write fused into the attention kernel
     (in-place cache via input_output_aliases). XLA fallback: scatter
     write then gather attention. Returns (out, updated cache)."""
+    if _cp_size() > 1:
+        from vllm_tpu.parallel.context import cp_fused_decode_attention
+        return cp_fused_decode_attention(q, new_k, new_v, kv_cache,
+                                         block_tables, seq_lens,
+                                         sm_scale=sm_scale,
+                                         sliding_window=sliding_window,
+                                         logit_softcap=logit_softcap)
     if attention_backend() == "pallas" and not _packed_int4(kv_cache):
         from vllm_tpu.ops.pallas.decode_attention import (
             decode_paged_attention)

@@ -235,9 +235,12 @@ def write_kv_xla(
     k: jax.Array,  # [T, KH, D]
     v: jax.Array,  # [T, KH, D]
     slot_mapping: jax.Array,  # [T] int32, flat slots
+    oob: str | None = None,
 ) -> KVCache:
     """Scatter new K/V rows into the paged cache (functional; caller
-    donates kv_cache under jit so XLA updates in place)."""
+    donates kv_cache under jit so XLA updates in place). ``oob="drop"``
+    makes out-of-range slots explicit no-ops (context parallelism
+    writes only rank-owned slots, parallel/context.py)."""
     data = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
     num_blocks, kh2, block_size, dp_store = data.shape
     dp = dp_store * 2 if (isinstance(kv_cache, QuantKV)
@@ -250,19 +253,20 @@ def write_kv_xla(
     kv = jnp.stack([k, v], axis=2).reshape(T, kh2, dp)
     block_idx = slot_mapping // block_size
     offset = slot_mapping % block_size
+    mode = dict(mode=oob) if oob is not None else {}
     if isinstance(kv_cache, QuantKV) and is_packed_int4(data):
         q, scale = quantize_rows_int4(kv)
-        new_data = data.at[block_idx, :, offset, :].set(q)
+        new_data = data.at[block_idx, :, offset, :].set(q, **mode)
         new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
-            scale)
+            scale, **mode)
         return QuantKV(new_data, new_scales)
     if isinstance(kv_cache, QuantKV):
         q, scale = quantize_rows(kv, data.dtype)
-        new_data = data.at[block_idx, :, offset, :].set(q)
+        new_data = data.at[block_idx, :, offset, :].set(q, **mode)
         # scales [B, SP2, LANE]: plane rows x token lanes.
         new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
-            scale)
+            scale, **mode)
         return QuantKV(new_data, new_scales)
     kv = kv.astype(data.dtype)
     # Advanced indexing: per token t, cache[block[t], :, offset[t], :] = kv[t]
-    return data.at[block_idx, :, offset, :].set(kv)
+    return data.at[block_idx, :, offset, :].set(kv, **mode)

@@ -1,0 +1,200 @@
+"""Context parallelism (CP): paged-KV sharded over the ``cp`` mesh axis.
+
+The reference splits long-context work two ways: DCP shards the KV of a
+sequence across ranks for decode with an all2all score/value exchange
+(ref: vllm/v1/attention/ops/dcp_alltoall.py, ``decode_context_parallel_
+size`` parallel.py:342, interleaved layout ``cp_kv_cache_interleave_
+size``), and PCP ring-shards prefill (ref: gpu/pcp_manager.py,
+parallel_state.py:1860-1875). TPU-native formulation — one mechanism
+covers both phases:
+
+- **Layout**: block-granular interleave. Token chunk j (= block-table
+  slot j, covering tokens [j*bs, (j+1)*bs)) lives on rank ``j % cp``.
+  The allocator draws chunk j's block from partition ``j % cp`` of the
+  pool (core/kv_cache_manager.py), and GSPMD shards the cache array's
+  block axis over ``cp``, so global block id g sits on rank
+  ``g // blocks_local``. Block *content* stays a contiguous token chunk
+  — prefix caching is untouched by CP.
+- **Compute**: under ``shard_map`` (manual over ``cp`` only; tp stays
+  GSPMD-auto, same pattern as ops/moe.py), every rank runs attention
+  over its local KV shard with strided key positions, producing
+  (out, lse) partials. One small all-gather of the partials +
+  ``merge_attn_states`` replaces gathering KV — the collective is
+  O(T*H*D), independent of context length.
+- **Writes**: each rank scatters only the slots it owns; foreign slots
+  map out of bounds and drop (scatter ``mode="drop"``).
+
+Queries stay replicated over ``cp`` (decode compute is KV-bound, so
+this costs ~nothing; sharding prefill queries ring-style is a future
+optimization — the merge identity already supports it).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vllm_tpu.ops.kv_cache import QuantKV, write_kv_xla
+from vllm_tpu.parallel.mesh import AXIS_CP, axis_size, get_current_mesh
+
+
+def cp_size() -> int:
+    return axis_size(AXIS_CP)
+
+
+def local_block_tables(tables: jax.Array, rank: jax.Array, cp: int,
+                       blocks_local: int) -> jax.Array:
+    """Global [R, MB] block table -> this rank's local [R, ceil(MB/cp)]
+    view: local slot i holds the *local* block id of global chunk
+    ``i * cp + rank``. Padding/foreign entries clamp into range; the
+    attention mask (strided kv positions vs seq_lens) keeps them dead.
+    """
+    R, MB = tables.shape
+    mbl = -(-MB // cp)
+    pad = mbl * cp - MB
+    t = jnp.pad(tables, ((0, 0), (0, pad))).reshape(R, mbl, cp)
+    mine = jnp.take(t, rank, axis=2)  # [R, mbl]
+    return jnp.clip(mine - rank * blocks_local, 0, blocks_local - 1)
+
+
+def _local_slots(slot_mapping: jax.Array, rank: jax.Array,
+                 blocks_local: int, block_size: int) -> jax.Array:
+    """Global flat slots -> local flat slots; foreign slots map to
+    blocks_local * block_size (out of bounds => scatter drops them)."""
+    g = slot_mapping // block_size
+    off = slot_mapping % block_size
+    owned = (g // blocks_local) == rank
+    return jnp.where(owned, (g - rank * blocks_local) * block_size + off,
+                     blocks_local * block_size)
+
+
+def _cache_parts(kv_cache, cp: int):
+    """Split a cache into (data, scales, quant) — plain caches ride a
+    cp-shardable dummy scales plane so one shard_map signature covers
+    both."""
+    if isinstance(kv_cache, QuantKV):
+        return kv_cache.data, kv_cache.scales, True
+    return kv_cache, jnp.zeros((cp, 1), jnp.float32), False
+
+
+def cp_write_kv(kv_cache, k: jax.Array, v: jax.Array,
+                slot_mapping: jax.Array):
+    """Prefill write-through under CP: every rank scatters the slots it
+    owns, drops the rest."""
+    mesh = get_current_mesh()
+    cp = mesh.shape[AXIS_CP]
+    data, scales, quant = _cache_parts(kv_cache, cp)
+
+    def local_fn(data, scales, k, v, slots):
+        r = jax.lax.axis_index(AXIS_CP)
+        blocks_local, _, bs, _ = data.shape
+        cache = QuantKV(data, scales) if quant else data
+        ls = _local_slots(slots, r, blocks_local, bs)
+        cache = write_kv_xla(cache, k, v, ls, oob="drop")
+        if quant:
+            return cache.data, cache.scales
+        return cache, scales
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
+        in_specs=(P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        out_specs=(P(AXIS_CP), P(AXIS_CP)))
+    data, scales = fn(data, scales, k, v, slot_mapping)
+    return QuantKV(data, scales) if quant else data
+
+
+def cp_ragged_attention(
+    q: jax.Array,  # [T, H, D]
+    kv_cache,
+    block_tables: jax.Array,  # [R, MB] global
+    query_start_loc: jax.Array,
+    seq_lens: jax.Array,  # [R] global kv lengths
+    *,
+    sm_scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+) -> jax.Array:
+    """Ragged paged attention with KV sharded over ``cp``: per-rank
+    partial (out, lse) -> all-gather -> merge_attn_states."""
+    from vllm_tpu.ops.attention import (merge_attn_states,
+                                        ragged_paged_attention_xla)
+    mesh = get_current_mesh()
+    cp = mesh.shape[AXIS_CP]
+    data, scales, quant = _cache_parts(kv_cache, cp)
+
+    def local_fn(q, data, scales, tables, qsl, seq_lens):
+        r = jax.lax.axis_index(AXIS_CP)
+        blocks_local = data.shape[0]
+        cache = QuantKV(data, scales) if quant else data
+        lt = local_block_tables(tables, r, cp, blocks_local)
+        out, lse = ragged_paged_attention_xla(
+            q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            chunk_stride=cp, chunk_offset=r, return_lse=True)
+        outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CP)
+        lses = jax.lax.all_gather(lse, AXIS_CP)
+        return merge_attn_states(outs, lses).astype(q.dtype)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
+        in_specs=(P(), P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        # The merged output is replicated over cp by construction
+        # (identical all-gathered partials on every rank); the VMA
+        # checker can't prove that, so it is disabled.
+        out_specs=P(), check_vma=False)
+    return fn(q, data, scales, block_tables, query_start_loc, seq_lens)
+
+
+def cp_fused_decode_attention(
+    q: jax.Array,  # [R, H, D]
+    new_k: jax.Array,  # [R, KH, D]
+    new_v: jax.Array,
+    kv_cache,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,  # includes the new token
+    *,
+    sm_scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+):
+    """Decode step under CP: the owning rank writes the new token's KV,
+    every rank attends over its shard, partials merge. Returns
+    (out, updated cache)."""
+    from vllm_tpu.ops.attention import (merge_attn_states,
+                                        ragged_paged_attention_xla)
+    mesh = get_current_mesh()
+    cp = mesh.shape[AXIS_CP]
+    data, scales, quant = _cache_parts(kv_cache, cp)
+    R = q.shape[0]
+
+    def local_fn(q, k, v, data, scales, tables, seq_lens):
+        r = jax.lax.axis_index(AXIS_CP)
+        blocks_local, _, bs, _ = data.shape
+        cache = QuantKV(data, scales) if quant else data
+        pos = jnp.maximum(seq_lens - 1, 0)
+        gblk = jnp.take_along_axis(tables, (pos // bs)[:, None],
+                                   axis=1)[:, 0]
+        slots = gblk * bs + pos % bs
+        ls = _local_slots(slots, r, blocks_local, bs)
+        cache = write_kv_xla(cache, k, v, ls, oob="drop")
+        lt = local_block_tables(tables, r, cp, blocks_local)
+        qsl = jnp.arange(R + 1, dtype=jnp.int32)
+        out, lse = ragged_paged_attention_xla(
+            q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            chunk_stride=cp, chunk_offset=r, return_lse=True)
+        outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CP)
+        lses = jax.lax.all_gather(lse, AXIS_CP)
+        merged = merge_attn_states(outs, lses).astype(q.dtype)
+        if quant:
+            return merged, cache.data, cache.scales
+        return merged, cache, scales
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
+        in_specs=(P(), P(), P(), P(AXIS_CP), P(AXIS_CP), P(), P()),
+        out_specs=(P(), P(AXIS_CP), P(AXIS_CP)), check_vma=False)
+    out, data, scales = fn(q, new_k, new_v, data, scales, block_tables,
+                           seq_lens)
+    return out, (QuantKV(data, scales) if quant else data)

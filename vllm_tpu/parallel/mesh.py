@@ -7,8 +7,10 @@ named axes of a single ``jax.sharding.Mesh``; XLA emits the ICI/DCN
 collectives from sharding annotations (SURVEY.md §2.6 TPU-native
 equivalent).
 
-Axis order is (dp, ep, pp, tp): tp innermost so tensor-parallel
-collectives ride the fastest ICI links.
+Axis order is (dp, ep, pp, cp, tp): tp innermost so tensor-parallel
+collectives ride the fastest ICI links; cp (decode/prefill context
+parallelism — the reference's _DCP/_PCP groups) sits next to tp since
+its per-step collective is one small (out, lse) all-gather.
 """
 
 from __future__ import annotations
@@ -22,26 +24,29 @@ from vllm_tpu.config import ParallelConfig
 AXIS_DP = "dp"
 AXIS_EP = "ep"
 AXIS_PP = "pp"
+AXIS_CP = "cp"
 AXIS_TP = "tp"
-AXES = (AXIS_DP, AXIS_EP, AXIS_PP, AXIS_TP)
+AXES = (AXIS_DP, AXIS_EP, AXIS_PP, AXIS_CP, AXIS_TP)
 
 
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    dp, ep, pp, tp = (parallel.data_parallel_size,
-                      parallel.expert_parallel_size,
-                      parallel.pipeline_parallel_size,
-                      parallel.tensor_parallel_size)
-    want = dp * ep * pp * tp
+    dp, ep, pp, cp, tp = (parallel.data_parallel_size,
+                          parallel.expert_parallel_size,
+                          parallel.pipeline_parallel_size,
+                          parallel.context_parallel_size,
+                          parallel.tensor_parallel_size)
+    want = dp * ep * pp * cp * tp
     if want > len(devices):
-        raise ValueError(f"mesh {dp}x{ep}x{pp}x{tp} needs {want} devices, "
-                         f"have {len(devices)}")
-    arr = np.asarray(devices[:want]).reshape(dp, ep, pp, tp)
+        raise ValueError(
+            f"mesh {dp}x{ep}x{pp}x{cp}x{tp} needs {want} devices, "
+            f"have {len(devices)}")
+    arr = np.asarray(devices[:want]).reshape(dp, ep, pp, cp, tp)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1, 1, 1), AXES)
 
 
 # -- ambient mesh -----------------------------------------------------

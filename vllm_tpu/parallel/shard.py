@@ -115,19 +115,23 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
 def kv_cache_sharding(cfg: ModelConfig, mesh: Mesh):
     """(data, scales) shardings. data [num_blocks, 2*KH, block_size,
     Dp]: shard the head axis (axis 1) over tp, matching the
-    head-sharded k/v from column-parallel QKV. scales [num_blocks,
-    SP2, LANE] (per-token-head quant): shard the plane axis the same
-    way when the padded plane count divides."""
+    head-sharded k/v from column-parallel QKV; the block axis (axis 0)
+    shards over cp (context parallelism — block placement is enforced
+    by the partitioned allocator, parallel/context.py). scales
+    [num_blocks, SP2, LANE] (per-token-head quant): shard the plane
+    axis the same way when the padded plane count divides."""
     tp = mesh.shape[AXIS_TP]
     from vllm_tpu.ops.kv_cache import scale_planes
+    from vllm_tpu.parallel.mesh import AXIS_CP
     if (2 * cfg.num_kv_heads) % tp == 0 and tp <= 2 * cfg.num_kv_heads:
-        data = NamedSharding(mesh, P(None, AXIS_TP, None, None))
+        data = NamedSharding(mesh, P(AXIS_CP, AXIS_TP, None, None))
         sp2 = scale_planes(cfg.num_kv_heads)
-        scales = (NamedSharding(mesh, P(None, AXIS_TP, None))
+        scales = (NamedSharding(mesh, P(AXIS_CP, AXIS_TP, None))
                   if sp2 == 2 * cfg.num_kv_heads else
-                  NamedSharding(mesh, P()))
+                  NamedSharding(mesh, P(AXIS_CP, None, None)))
         return (data, scales)
-    return (NamedSharding(mesh, P()), NamedSharding(mesh, P()))
+    return (NamedSharding(mesh, P(AXIS_CP, None, None, None)),
+            NamedSharding(mesh, P(AXIS_CP, None, None)))
 
 
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
