@@ -1,0 +1,132 @@
+"""EPLB — expert load balancing (parallel/eplb.py).
+
+Ref analog: the reference's EPLB suites (tests/distributed/test_eplb_*
+— algorithm properties + placement execution). Checks here: placement
+validity/balance, logical->physical routing round-robin, and the
+transparency invariant — enabling EPLB (and rebalancing mid-stream)
+must not change greedy outputs, with and without redundant replicas,
+dense and EP-sharded.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                             ParallelConfig, SchedulerConfig)
+from vllm_tpu.models import mixtral
+from vllm_tpu.parallel.eplb import (EplbState, maps_from_placement,
+                                    rebalance_placement, set_active_state,
+                                    translate_expert_ids)
+from vllm_tpu.parallel.mesh import make_mesh
+
+
+def test_rebalance_placement_properties():
+    load = np.array([100.0, 1.0, 1.0, 1.0, 50.0, 1.0, 1.0, 1.0])
+    p2l, rank_of = rebalance_placement(load, num_physical=12, ep=4)
+    assert len(p2l) == 12
+    counts = np.bincount(p2l, minlength=8)
+    assert (counts >= 1).all()  # every logical expert placed
+    # Spare replicas go to the heaviest experts.
+    assert counts[0] == counts.max()
+    assert counts[4] >= 2
+    # Rank capacity respected: 3 physical per rank.
+    assert (np.bincount(rank_of) == 3).all()
+    # Per-rank load (replica load = load/replicas) reasonably even.
+    rl = np.zeros(4)
+    for p, e in enumerate(p2l):
+        rl[p // 3] += load[e] / counts[e]
+    assert rl.max() / rl.min() < 2.0
+
+
+def test_maps_and_translate_roundtrip():
+    p2l = np.array([0, 1, 2, 3, 0, 2])  # experts 0 and 2 replicated
+    l2p, counts = maps_from_placement(p2l, 4)
+    assert counts.tolist() == [2, 1, 2, 1]
+    eplb = {
+        "log_to_phys": jnp.asarray(l2p),
+        "replica_counts": jnp.asarray(counts),
+        "layer_idx": jnp.asarray(0, jnp.int32),
+    }
+    ids = jnp.asarray([[0, 2], [0, 1], [2, 3], [0, 0]], jnp.int32)
+    phys = np.asarray(translate_expert_ids(ids, eplb))
+    # Every physical id maps back to the right logical expert.
+    assert (p2l[phys.reshape(-1)] == np.asarray(ids).reshape(-1)).all()
+    # Replicated experts actually use > 1 replica across assignments.
+    zero_slots = {p for p, l in zip(phys.reshape(-1),
+                                    np.asarray(ids).reshape(-1)) if l == 0}
+    assert len(zero_slots) == 2
+
+
+def test_eplb_state_balancedness():
+    st = EplbState(num_logical=4, num_layers=1, window=10)
+    st.record(0, np.array([100, 100, 100, 100]))
+    assert st.balancedness() == pytest.approx(1.0)
+    st2 = EplbState(num_logical=4, num_layers=1, window=10)
+    st2.record(0, np.array([400, 0, 0, 0]))
+    assert st2.balancedness() == pytest.approx(0.25)
+
+
+def _cfg(ep=1, eplb=False, redundant=0):
+    return EngineConfig(
+        model=ModelConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=8, num_kv_heads=4, max_model_len=128,
+            dtype="float32", architecture="MixtralForCausalLM",
+            num_experts=4, num_experts_per_tok=2),
+        cache=CacheConfig(block_size=16, num_gpu_blocks=33),
+        scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                  max_num_seqs=4),
+        parallel=ParallelConfig(expert_parallel_size=ep,
+                                enable_eplb=eplb,
+                                num_redundant_experts=redundant,
+                                eplb_step_interval=3),
+    )
+
+
+def _generate(cfg, params, mesh=None):
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.sample.params import SamplingParams
+    engine = LLMEngine(cfg, params=params, tokenizer=None, mesh=mesh)
+    prompts = [[1, 9, 17, 33, 42], [7, 7, 7], [(3 * i) % 256
+                                               for i in range(21)]]
+    ids = [
+        engine.add_request(
+            p, SamplingParams(temperature=0.0, max_tokens=10,
+                              ignore_eos=True)) for p in prompts
+    ]
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out.outputs[0].token_ids
+    return [done[i] for i in ids], engine
+
+
+@pytest.fixture(autouse=True)
+def _reset_state():
+    yield
+    set_active_state(None)
+
+
+def test_eplb_transparent_dense(cpu_devices):
+    params = mixtral.random_params(_cfg().model, seed=4)
+    ref, _ = _generate(_cfg(), params)
+    got, eng = _generate(_cfg(eplb=True, redundant=2), params)
+    assert got == ref
+    st = eng.runner.eplb
+    # Load was recorded and at least one rebalance ran (10 decode
+    # steps > interval 3).
+    assert st.ema.sum() > 0
+    assert st.rebalances >= 1
+    assert 0 < st.balancedness() <= 1.0
+
+
+def test_eplb_transparent_ep4(cpu_devices):
+    cfg = _cfg(ep=4, eplb=True, redundant=4)
+    params = mixtral.random_params(cfg.model, seed=4)
+    ref, _ = _generate(_cfg(), params)
+    got, eng = _generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+    assert eng.runner.eplb.rebalances >= 1

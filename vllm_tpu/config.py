@@ -192,6 +192,15 @@ class ParallelConfig:
     # partials with one small (out, lse) all-gather (see
     # parallel/context.py).
     context_parallel_size: int = 1
+    # EPLB — expert-parallel load balancing (ref: EPLBConfig,
+    # vllm/config/parallel.py + vllm/distributed/eplb/). Physical
+    # expert replicas (num_experts + num_redundant_experts) are
+    # periodically re-packed onto EP ranks from observed routing load
+    # (parallel/eplb.py).
+    enable_eplb: bool = False
+    num_redundant_experts: int = 0
+    eplb_window: int = 1000  # EMA horizon (steps) for load tracking
+    eplb_step_interval: int = 100  # steps between rebalances
 
     @property
     def world_size(self) -> int:

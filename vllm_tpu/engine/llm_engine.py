@@ -346,6 +346,8 @@ class LLMEngine:
         runner_out = self.runner.execute_model(sched_out)
         core_outputs = self.scheduler.update_from_output(
             sched_out, runner_out)
+        if self.runner.eplb is not None:
+            self.runner.maybe_rebalance_eplb()
         results, to_abort = self.output_processor.process_outputs(
             core_outputs)
         if to_abort:

@@ -163,7 +163,8 @@ def _route(cfg: ModelConfig, router: dict, x: jax.Array):
 def _moe_ffn(cfg: ModelConfig, layer: dict, x: jax.Array) -> jax.Array:
     weights, ids = _route(cfg, layer["router"], x)
     out = apply_experts(x, weights, ids, layer["w_gate_up"],
-                        layer["w_down"], cfg.num_experts_per_tok)
+                        layer["w_down"], cfg.num_experts_per_tok,
+                        eplb=layer.get("eplb"))
     if "gate_up_proj" in layer:  # shared experts (always-on dense MLP)
         out = out + _mlp(layer, x)
     return out

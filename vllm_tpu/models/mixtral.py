@@ -44,7 +44,8 @@ def forward(
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + fused_moe_apply(h, layer["router"], layer["w_gate_up"],
-                                layer["w_down"], cfg.num_experts_per_tok)
+                                layer["w_down"], cfg.num_experts_per_tok,
+                                eplb=layer.get("eplb"))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, new_caches
 

@@ -35,7 +35,8 @@ def _ffn(cfg: ModelConfig, layer: dict, x: jax.Array) -> jax.Array:
         return _mlp(layer, x)
     out = fused_moe_apply(x, layer["router"], layer["w_gate_up"],
                           layer["w_down"], cfg.num_experts_per_tok,
-                          renormalize=cfg.norm_topk_prob)
+                          renormalize=cfg.norm_topk_prob,
+                          eplb=layer.get("eplb"))
     gate = jax.nn.sigmoid(
         jnp.dot(x.astype(jnp.float32),
                 layer["shared_gate"]["weight"].astype(jnp.float32)))

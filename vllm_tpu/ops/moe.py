@@ -49,27 +49,40 @@ def fused_moe_apply(
     w_down,  # [E, I, H] array, or WNA16 dict leaf
     top_k: int,
     renormalize: bool = True,
+    eplb: dict | None = None,
 ) -> jax.Array:
     from vllm_tpu.ops.linear import linear
     router_logits = linear(router_leaf, x)  # [T, E]
     weights, expert_ids = topk_softmax_routing(router_logits, top_k,
                                                renormalize)
     return apply_experts(x, weights, expert_ids, w_gate_up, w_down,
-                         top_k)
+                         top_k, eplb=eplb)
 
 
 def apply_experts(
     x: jax.Array,  # [T, H]
     weights: jax.Array,  # [T, K] combine weights (any routing scheme)
-    expert_ids: jax.Array,  # [T, K] int32
+    expert_ids: jax.Array,  # [T, K] int32 *logical* expert ids
     w_gate_up,
     w_down,
     top_k: int,
+    eplb: dict | None = None,
 ) -> jax.Array:
     """Expert compute + combine for externally computed routing
-    (DeepSeek group-limited / sigmoid gates route here too)."""
+    (DeepSeek group-limited / sigmoid gates route here too).
+
+    With an ``eplb`` leaf the stacked weights are *physical* replicas
+    and routing translates logical->physical on device; the step's
+    logical load streams to the host balancer (parallel/eplb.py)."""
     T, H = x.shape
     A = T * top_k  # total assignments (static)
+
+    if eplb is not None:
+        from vllm_tpu.parallel.eplb import (maybe_record_load,
+                                            translate_expert_ids)
+        maybe_record_load(eplb["layer_idx"], expert_ids,
+                          eplb["replica_counts"].shape[0])
+        expert_ids = translate_expert_ids(expert_ids, eplb)
 
     from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
     if axis_size(AXIS_EP) > 1:

@@ -141,13 +141,34 @@ class EplbState:
                                       1.0)))
 
 
-def record_load_callback(state: EplbState, layer_idx: int,
-                         expert_ids: jax.Array, num_logical: int) -> None:
+# Host-side balancer the jitted step streams load counts to. Installed
+# by the engine when enable_eplb is on (analog of the reference's
+# process-global EplbState reached through the model runner).
+_ACTIVE_STATE: EplbState | None = None
+
+
+def set_active_state(state: EplbState | None) -> None:
+    global _ACTIVE_STATE
+    _ACTIVE_STATE = state
+
+
+def get_active_state() -> EplbState | None:
+    return _ACTIVE_STATE
+
+
+def maybe_record_load(layer_idx: jax.Array, expert_ids: jax.Array,
+                      num_logical: int) -> None:
     """Stream this step's logical routing counts to the host state
-    (called inside jit; ordered=False keeps it off the critical path)."""
+    (called inside jit; ordered=False keeps it off the critical path).
+    A no-op unless a balancer was installed *before* trace time."""
+    if _ACTIVE_STATE is None:
+        return
     counts = jnp.bincount(expert_ids.reshape(-1), length=num_logical)
 
-    def _cb(c):
-        state.record(layer_idx, np.asarray(c))
+    def _cb(li, c):
+        state = _ACTIVE_STATE
+        if state is not None:
+            state.record(int(li), np.asarray(c))
 
-    jax.experimental.io_callback(_cb, None, counts, ordered=False)
+    jax.experimental.io_callback(_cb, None, layer_idx, counts,
+                                 ordered=False)

@@ -179,6 +179,14 @@ class TPUModelRunner:
                     config.cache.cache_dtype, mc.dtype) * num_kv_blocks /
                 2**20)
 
+        # EPLB: physical expert replicas + host load balancer
+        # (parallel/eplb.py). Must precede jit-program creation only in
+        # the sense that the eplb leaves join the params pytree before
+        # the first trace.
+        self.eplb = None
+        if config.parallel.enable_eplb:
+            self._init_eplb()
+
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
@@ -191,6 +199,103 @@ class TPUModelRunner:
             donate_argnums=(1, ),
             static_argnums=(3, ),  # horizon
         )
+
+    # -- EPLB ----------------------------------------------------------
+    def _init_eplb(self) -> None:
+        """Convert logical expert stacks to physical replica stacks and
+        install per-layer ``eplb`` map leaves (ref analog: EplbState
+        construction + the initial even replica spread,
+        vllm/distributed/eplb/eplb_state.py)."""
+        import numpy as np
+        from vllm_tpu.parallel.eplb import (EplbState, rebalance_placement,
+                                            set_active_state)
+        from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
+        pc, mc = self.config.parallel, self.config.model
+        E = mc.num_experts
+        assert E, "enable_eplb needs a MoE model"
+        ep = axis_size(AXIS_EP)
+        e_phys = E + pc.num_redundant_experts
+        if ep > 1 and e_phys % ep != 0:
+            raise ValueError(
+                f"num_experts + num_redundant_experts = {e_phys} must "
+                f"divide expert_parallel_size = {ep}")
+        moe_layers = [i for i, l in enumerate(self.params["layers"])
+                      if "w_gate_up" in l]
+        for i in moe_layers:
+            for key in ("w_gate_up", "w_down"):
+                if isinstance(self.params["layers"][i][key], dict) and ep == 1:
+                    raise NotImplementedError(
+                        "EPLB over the single-device tile-major quantized "
+                        "MoE layout is unsupported; use ep > 1 or "
+                        "unquantized experts")
+        self.eplb = EplbState(num_logical=E, num_layers=mc.num_layers,
+                              window=pc.eplb_window,
+                              step_interval=pc.eplb_step_interval)
+        set_active_state(self.eplb)
+        # Initial placement from uniform load: spare replicas spread
+        # round-robin, replicas packed evenly on ranks.
+        p2l, _ = rebalance_placement(np.ones(E), e_phys, max(ep, 1))
+        self._eplb_p2l = {i: p2l for i in moe_layers}
+        for i in moe_layers:
+            self._install_eplb_placement(i, p2l)
+
+    def _install_eplb_placement(self, layer_idx: int,
+                                phys_to_log) -> None:
+        """Regather the layer's physical stacks for a new placement and
+        refresh its map leaf. Same shapes => value-only update, no
+        recompile; under EP the gather moves experts across ranks (XLA
+        emits the collective — ref analog: rebalance_execute.py P2P)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from vllm_tpu.parallel.eplb import maps_from_placement
+        layer = self.params["layers"][layer_idx]
+        E = self.config.model.num_experts
+        cur_p2l = self._eplb_p2l[layer_idx]
+        first_phys = {}  # logical -> a current physical slot holding it
+        for p, e in enumerate(cur_p2l):
+            first_phys.setdefault(int(e), p)
+        has_maps = "eplb" in layer
+
+        def regather(a):
+            if not has_maps:  # first install: stacks are logical
+                src = np.asarray(phys_to_log, np.int32)
+            else:
+                src = np.asarray([first_phys[int(e)] for e in phys_to_log],
+                                 np.int32)
+            out = jnp.take(a, jnp.asarray(src), axis=0)
+            return jax.device_put(out, a.sharding)
+
+        for key in ("w_gate_up", "w_down"):
+            leaf = layer[key]
+            layer[key] = (jax.tree.map(regather, leaf)
+                          if isinstance(leaf, dict) else regather(leaf))
+        l2p, counts = maps_from_placement(np.asarray(phys_to_log), E)
+        layer["eplb"] = {
+            "log_to_phys": jnp.asarray(l2p, jnp.int32),
+            "replica_counts": jnp.asarray(counts, jnp.int32),
+            "layer_idx": jnp.asarray(layer_idx, jnp.int32),
+        }
+        self._eplb_p2l[layer_idx] = np.asarray(phys_to_log)
+
+    def maybe_rebalance_eplb(self) -> None:
+        """Engine-step hook: every eplb_step_interval steps recompute
+        per-layer placements from the load EMA and regather."""
+        import numpy as np
+        from vllm_tpu.parallel.eplb import rebalance_placement
+        from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
+        if self.eplb is None or not self.eplb.should_rebalance():
+            return
+        ep = max(axis_size(AXIS_EP), 1)
+        E = self.config.model.num_experts
+        e_phys = E + self.config.parallel.num_redundant_experts
+        for i in list(self._eplb_p2l):
+            load = self.eplb.ema[i]
+            if not load.any():
+                continue
+            p2l, _ = rebalance_placement(load, e_phys, ep)
+            if not np.array_equal(p2l, self._eplb_p2l[i]):
+                self._install_eplb_placement(i, p2l)
+        self.eplb.rebalances += 1
 
     def set_eagle_proposer(self, draft_params: dict,
                            dcfg=None) -> None:
