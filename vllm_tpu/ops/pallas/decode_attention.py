@@ -121,30 +121,47 @@ def _kernel(
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
 
     def dmas(slot, p):
-        """F block copies for superstep p (= iter * RB + r)."""
+        """F block copies for superstep p (= iter * RB + r), each
+        gated on the block actually existing for its row — a short row
+        in a long batch otherwise streams up to F-1 garbage blocks per
+        superstep (measured 60% KV overfetch at the bench shape)."""
         it = p // RB
         r = p % RB
+        nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
         cps = []
         for f in range(F):
             blk = it * F + f
             bidx = jnp.minimum(blk, max_blocks - 1)
             bid = bt_ref[row0 + r, bidx]
-            cps.append(pltpu.make_async_copy(
+            cps.append((pltpu.make_async_copy(
                 kv_hbm.at[bid, pl.ds(head0, 2 * HG)],
                 kv_buf.at[slot, :, pl.ds(f * block_size, block_size), :],
-                sems.at[slot, f]))
+                sems.at[slot, f]), blk < nblk_r))
         return cps
 
     def start(slot, p):
-        for cp in dmas(slot, p):
-            cp.start()
+        for cp, cond in dmas(slot, p):
+            @pl.when(cond)
+            def _(cp=cp):
+                cp.start()
 
     def wait(slot, p):
-        for cp in dmas(slot, p):
-            cp.wait()
+        for cp, cond in dmas(slot, p):
+            @pl.when(cond)
+            def _(cp=cp):
+                cp.wait()
 
     total = nit_max * RB
     p0 = first * RB
+
+    # Skipped slots must hold finite bits: masked probabilities are
+    # exactly 0, but 0 x NaN (uninitialized VMEM) still poisons the
+    # p @ V dot. One zero-fill on the first program covers it — later
+    # programs only ever see previously streamed (finite) KV.
+    @pl.when((t == 0) & (hg == 0))
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+
     for k in range(RING):
         @pl.when(p0 + k < total)
         def _(k=k):
@@ -284,6 +301,8 @@ def _qkernel(
     def dmas(slot, p):
         blk = p // RB
         r = p % RB
+        # Gate on the block existing for this row (see _kernel.dmas).
+        cond = blk < pl.cdiv(seq_lens_ref[row0 + r], block_size)
         bidx = jnp.minimum(blk, max_blocks - 1)
         bid = bt_ref[row0 + r, bidx]
         kv_cp = pltpu.make_async_copy(
@@ -292,18 +311,30 @@ def _qkernel(
         s_cp = pltpu.make_async_copy(
             sc_hbm.at[bid, pl.ds(s_head0, SL)], s_buf.at[slot],
             sems.at[slot, 1])
-        return kv_cp, s_cp
+        return [(kv_cp, cond), (s_cp, cond)]
 
     def start(slot, p):
-        for cp in dmas(slot, p):
-            cp.start()
+        for cp, cond in dmas(slot, p):
+            @pl.when(cond)
+            def _(cp=cp):
+                cp.start()
 
     def wait(slot, p):
-        for cp in dmas(slot, p):
-            cp.wait()
+        for cp, cond in dmas(slot, p):
+            @pl.when(cond)
+            def _(cp=cp):
+                cp.wait()
 
     total = nblk_max * RB
     p0 = first * RB
+
+    # Finite-bits guarantee for skipped slots (see _kernel): fp8 data
+    # and f32 scales both admit NaN bit patterns.
+    @pl.when((t == 0) & (hg == 0))
+    def _():
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+        s_buf[...] = jnp.zeros_like(s_buf)
+
     for k in range(RING):
         @pl.when(p0 + k < total)
         def _(k=k):
