@@ -108,8 +108,11 @@ class ModelConfig:
 
 # Cache dtype surface mirrors the reference's CacheDType
 # (ref: vllm/config/cache.py:19-35): auto/bf16 plus quantized modes.
+# tq4/tq3 are TurboQuant codebook modes (ref:
+# vllm/v1/attention/backends/turboquant_attn.py): nibble-packed indices
+# into a Lloyd-Max N(0,1) codebook over the RHT-rotated basis.
 CacheDType = Literal["auto", "bfloat16", "fp8", "fp8_pth", "int8",
-                     "int4"]
+                     "int4", "tq4", "tq3"]
 
 
 @dataclass
@@ -136,7 +139,8 @@ class CacheConfig:
 
     @property
     def is_quantized(self) -> bool:
-        return self.cache_dtype in ("fp8", "fp8_pth", "int8", "int4")
+        return self.cache_dtype in ("fp8", "fp8_pth", "int8", "int4",
+                                    "tq4", "tq3")
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,11 @@ class LLMEngine:
                     "context_parallel_size > 1 supports paged-KV "
                     "attention models (MLA/SSM caches are not "
                     "cp-sharded yet)")
+            if config.cache.cache_dtype in ("tq4", "tq3"):
+                raise NotImplementedError(
+                    "TurboQuant codebook KV under context parallelism "
+                    "is not wired yet (the cp shard_map drops the "
+                    "codebook leaf)")
             num_blocks = num_blocks * cp
         # Guard: every request must be able to fit (a request needing
         # more blocks than the pool stalls the scheduler forever).

@@ -40,15 +40,23 @@ class QuantKV(NamedTuple):
     KVQuantMode, kv_cache_interface.py:33).
 
     data:   [num_blocks, 2*KH, block_size, Dp] int8 / float8_e4m3fn
+            (or uint8 nibble-pairs for the packed 4-bit modes)
     scales: [num_blocks, SP2, LANE] f32 — scale[b, hs, t] dequantizes
             plane hs (k=2h, v=2h+1) of token t in block b. Tokens ride
             the LANE dim so kernels apply K-scales to score columns and
             V-scales to prob columns — no sublane/lane transposes.
             SP2 = round_up(2*KH, SUBLANE) so per-head-group DMA slices
             stay (8, 128)-tile aligned; block_size <= LANE assumed.
+    codebook: None for the uniform modes; a small [L] f32 level table
+            for TurboQuant codebook modes (tq3/tq4 — ref analog:
+            vllm/v1/attention/backends/turboquant_attn.py +
+            quantization/turboquant/): nibbles index Lloyd-Max-optimal
+            N(0,1) levels in the RHT-rotated basis, scales carry the
+            per-(token, plane) RMS.
     """
     data: jax.Array
     scales: jax.Array
+    codebook: jax.Array | None = None
 
 
 KVCache = Union[jax.Array, QuantKV]
@@ -68,7 +76,7 @@ def kv_cache_jnp_dtype(cache_dtype: str, model_dtype: str):
         return jnp.float8_e4m3fn
     if cache_dtype == "int8":
         return jnp.int8
-    if cache_dtype == "int4":
+    if cache_dtype in ("int4", "tq4", "tq3"):
         return jnp.uint8  # two nibbles per byte along head_dim
     if cache_dtype in ("bfloat16", "float32", "float16"):
         return jnp.dtype(cache_dtype)
@@ -76,7 +84,24 @@ def kv_cache_jnp_dtype(cache_dtype: str, model_dtype: str):
 
 
 def is_per_token_head(cache_dtype: str) -> bool:
-    return cache_dtype in ("int8", "fp8_pth", "int4")
+    return cache_dtype in ("int8", "fp8_pth", "int4", "tq4", "tq3")
+
+
+# Lloyd-Max-optimal scalar quantizer levels for N(0, 1) (the RHT
+# rotation gaussianizes coordinates, so a fixed Gaussian codebook is
+# near-optimal per token-head — TurboQuant's core observation). tq3
+# packs 8 levels in the same nibble container as tq4: byte alignment
+# beats the extra bit on TPU (DMA tiling), the codebook is what differs.
+TQ4_LEVELS = (-2.7326, -2.0690, -1.6181, -1.2562, -0.9424, -0.6568,
+              -0.3881, -0.1284, 0.1284, 0.3881, 0.6568, 0.9424, 1.2562,
+              1.6181, 2.0690, 2.7326)
+TQ3_LEVELS = (-2.1520, -1.3439, -0.7560, -0.2451, 0.2451, 0.7560,
+              1.3439, 2.1520)
+
+
+def tq_codebook(cache_dtype: str) -> jax.Array:
+    return jnp.asarray(TQ4_LEVELS if cache_dtype == "tq4" else TQ3_LEVELS,
+                       jnp.float32)
 
 
 def is_packed_int4(data: jax.Array) -> bool:
@@ -100,7 +125,7 @@ def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
     assert block_size <= LANE, "per-token-head scales assume bs <= 128"
     dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
     shape = kv_cache_shape(num_blocks, block_size, num_kv_heads, head_dim)
-    if cache_dtype == "int4":  # nibble-packed along head_dim
+    if cache_dtype in ("int4", "tq4", "tq3"):  # nibble-packed
         shape = shape[:-1] + (shape[-1] // 2, )
 
     def put(x, sh):
@@ -116,6 +141,8 @@ def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
     scales = put(
         jnp.ones((num_blocks, scale_planes(num_kv_heads), LANE),
                  jnp.float32), scale_sh)
+    if cache_dtype in ("tq4", "tq3"):
+        return QuantKV(data, scales, tq_codebook(cache_dtype))
     return QuantKV(data, scales)
 
 
@@ -125,7 +152,7 @@ def kv_cache_bytes_per_block(block_size: int, num_kv_heads: int,
     dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
     n = (2 * num_kv_heads * block_size * padded_head_dim(head_dim) *
          jnp.dtype(dtype).itemsize)
-    if cache_dtype == "int4":
+    if cache_dtype in ("int4", "tq4", "tq3"):
         n //= 2
     if is_per_token_head(cache_dtype):
         n += scale_planes(num_kv_heads) * LANE * 4
@@ -207,6 +234,33 @@ def quantize_rows_int4(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
     return packed, scale
 
 
+def quantize_rows_tq(kv: jax.Array,
+                     codebook: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """TurboQuant codebook quantization: RHT-rotate, RMS-normalize per
+    (token, plane), snap to the nearest codebook level, nibble-pack the
+    indices. The rotation gaussianizes coordinates so the fixed N(0,1)
+    Lloyd-Max codebook is near-optimal (ref analog: the TurboQuant
+    quantizer, vllm quantization/turboquant/)."""
+    dp = kv.shape[-1]
+    rot = kv.astype(jnp.float32) @ _rht_matrix(dp)
+    scale = jnp.sqrt(jnp.mean(rot * rot, axis=-1))  # RMS ~ sigma
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0),
+                    0.0)
+    norm = rot * inv[..., None]
+    mid = (codebook[1:] + codebook[:-1]) * 0.5
+    idx = jnp.searchsorted(mid, norm).astype(jnp.uint8)  # [.., dp]
+    packed = idx[..., 0::2] | (idx[..., 1::2] << 4)
+    return packed, scale
+
+
+def _unpack_tq(data: jax.Array, codebook: jax.Array) -> jax.Array:
+    """[..., Dp/2] uint8 nibble indices -> [..., Dp] f32 levels."""
+    lo = codebook[(data & 0xF).astype(jnp.int32)]
+    hi = codebook[(data >> 4).astype(jnp.int32)]
+    return jnp.stack([lo, hi], axis=-1).reshape(*data.shape[:-1],
+                                                data.shape[-1] * 2)
+
+
 def _unpack_int4(data: jax.Array) -> jax.Array:
     """[..., Dp/2] uint8 -> [..., Dp] f32 centered values."""
     lo = (data & 0xF).astype(jnp.float32) - 8.0
@@ -218,7 +272,13 @@ def _unpack_int4(data: jax.Array) -> jax.Array:
 def dequant_block_kv(qkv: QuantKV) -> jax.Array:
     """Materialize the float cache [num_blocks, 2KH, bs, Dp] f32
     (XLA reference path; kernels dequantize in VMEM instead)."""
-    data, scales = qkv
+    data, scales, codebook = qkv
+    if codebook is not None:  # TurboQuant codebook modes
+        vals = _unpack_tq(data, codebook)  # rotated basis
+        kh2, bs = data.shape[1], data.shape[2]
+        s = scales[:, :kh2, :bs]
+        rot = vals * s[..., None]
+        return rot @ _rht_matrix(vals.shape[-1]).T
     if is_packed_int4(data):
         vals = _unpack_int4(data)  # rotated basis
         kh2, bs = data.shape[1], data.shape[2]
@@ -254,6 +314,12 @@ def write_kv_xla(
     block_idx = slot_mapping // block_size
     offset = slot_mapping % block_size
     mode = dict(mode=oob) if oob is not None else {}
+    if isinstance(kv_cache, QuantKV) and kv_cache.codebook is not None:
+        q, scale = quantize_rows_tq(kv, kv_cache.codebook)
+        new_data = data.at[block_idx, :, offset, :].set(q, **mode)
+        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
+            scale, **mode)
+        return QuantKV(new_data, new_scales, kv_cache.codebook)
     if isinstance(kv_cache, QuantKV) and is_packed_int4(data):
         q, scale = quantize_rows_int4(kv)
         new_data = data.at[block_idx, :, offset, :].set(q, **mode)

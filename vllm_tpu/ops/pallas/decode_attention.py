@@ -543,7 +543,7 @@ def _decode_quant(
     logit_softcap: float | None,
     interpret: bool,
 ) -> tuple[jax.Array, QuantKV]:
-    data, scales = kv_cache
+    data, scales = kv_cache.data, kv_cache.scales
     R, H, Dp = q.shape
     num_blocks, kh2, block_size, _ = data.shape
     SP2 = scales.shape[1]

@@ -565,7 +565,8 @@ class TPUModelRunner:
             if isinstance(c, QuantKV):
                 self.kv_caches[i] = QuantKV(
                     _scatter_blocks(c.data, idx, pad(datas[i])),
-                    _scatter_blocks(c.scales, idx, pad(scales[i])))
+                    _scatter_blocks(c.scales, idx, pad(scales[i])),
+                    c.codebook)
             else:
                 self.kv_caches[i] = _scatter_blocks(
                     c, idx, pad(datas[i]).astype(c.dtype))
