@@ -82,7 +82,8 @@ def _float_twin(cache: QuantKV) -> jax.Array:
     return dequant_block_kv(cache).astype(jnp.float32)
 
 
-@pytest.mark.parametrize("mode", ["int8", "fp8_pth"])
+@pytest.mark.parametrize("mode", ["int8", "fp8_pth", "int4", "tq4",
+                                  "tq3"])
 @pytest.mark.parametrize("ctx_lens", [[17], [16, 1, 33, 120], [5, 0, 9]])
 def test_fused_decode_quant_matches_dequant_reference(ctx_lens, mode):
     rng = np.random.default_rng(0)
@@ -138,7 +139,8 @@ def test_fused_decode_quant_multi_head_group():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("mode", ["int8", "fp8_pth"])
+@pytest.mark.parametrize("mode", ["int8", "fp8_pth", "int4", "tq4",
+                                  "tq3"])
 def test_ragged_prefill_quant_matches_dequant_reference(mode):
     rng = np.random.default_rng(5)
     # Mixed prefill: rows with multiple query tokens.

@@ -31,7 +31,8 @@ def test_int4_write_dequant_roundtrip():
 
     cache = make_kv_cache(4, bs, KH, D, "int4", "float32")
     assert cache.data.dtype == jnp.uint8
-    assert cache.data.shape[-1] == D // 2  # nibble-packed
+    # K/V-paired nibble pack: KH byte planes, full-lane trailing dim.
+    assert cache.data.shape == (4, KH, bs, D)
     cache = write_kv_xla(cache, k, v, slots)
     deq = np.asarray(dequant_block_kv(cache))  # [B, 2KH, bs, Dp]
 

@@ -14,14 +14,6 @@ import os
 import jax
 
 
-def _packed_int4(kv_cache) -> bool:
-    """Nibble-packed int4 caches take the XLA path until the Pallas
-    kernels grow in-VMEM nibble unpack (they handle int8/fp8 today)."""
-    from vllm_tpu.ops.kv_cache import QuantKV, is_packed_int4
-    return isinstance(kv_cache, QuantKV) and is_packed_int4(
-        kv_cache.data)
-
-
 def _cp_size() -> int:
     from vllm_tpu.parallel.mesh import AXIS_CP, axis_size
     return axis_size(AXIS_CP)
@@ -68,7 +60,7 @@ def ragged_paged_attention(
                                    sm_scale=sm_scale,
                                    sliding_window=sliding_window,
                                    logit_softcap=logit_softcap)
-    if attention_backend() == "pallas" and not _packed_int4(kv_cache):
+    if attention_backend() == "pallas":
         from vllm_tpu.ops.pallas.ragged_attention import (
             ragged_paged_attention as pallas_attn)
         return pallas_attn(q, kv_cache, block_tables, query_start_loc,
@@ -105,7 +97,7 @@ def fused_decode_attention(
                                          sm_scale=sm_scale,
                                          sliding_window=sliding_window,
                                          logit_softcap=logit_softcap)
-    if attention_backend() == "pallas" and not _packed_int4(kv_cache):
+    if attention_backend() == "pallas":
         from vllm_tpu.ops.pallas.decode_attention import (
             decode_paged_attention)
         return decode_paged_attention(q, new_k, new_v, kv_cache,

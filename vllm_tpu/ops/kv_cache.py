@@ -125,8 +125,14 @@ def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
     assert block_size <= LANE, "per-token-head scales assume bs <= 128"
     dtype = kv_cache_jnp_dtype(cache_dtype, model_dtype)
     shape = kv_cache_shape(num_blocks, block_size, num_kv_heads, head_dim)
-    if cache_dtype in ("int4", "tq4", "tq3"):  # nibble-packed
-        shape = shape[:-1] + (shape[-1] // 2, )
+    if cache_dtype in ("int4", "tq4", "tq3"):
+        # Nibble modes pack K (low nibble) and V (high nibble) of the
+        # same head into one byte plane: [B, KH, bs, Dp]. Packing along
+        # the *plane* axis (not head_dim) keeps the trailing dim a full
+        # 128 lanes so kernels can DMA tile-aligned slices and unpack
+        # with pure vector ops — the KV analog of the W4A16 kernel's
+        # half-split prepack (quant/pallas_w4a16.py).
+        shape = (shape[0], num_kv_heads) + shape[2:]
 
     def put(x, sh):
         return jax.device_put(x, sh) if sh is not None else x
@@ -200,11 +206,14 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=8)
-def _rht_matrix(dp: int) -> jax.Array:
+def _rht_matrix(dp: int):
     """Deterministic random-sign Hadamard rotation [dp, dp] (ref
     analog: the RHT pre-rotation of int4 per-token-head KV,
     vllm/v1/attention/ops/int4_per_token_head.py + TurboQuant's
-    incoherence processing). Orthonormal: H @ H.T == I."""
+    incoherence processing). Orthonormal: H @ H.T == I.
+
+    Returns numpy (not jax) so the lru_cache never captures a tracer:
+    jnp ops convert it to an on-device constant at each use site."""
     import numpy as np
     assert dp & (dp - 1) == 0, f"Dp={dp} must be a power of 2"
     h = np.array([[1.0]])
@@ -212,15 +221,16 @@ def _rht_matrix(dp: int) -> jax.Array:
         h = np.block([[h, h], [h, -h]])
     signs = np.where(
         np.random.default_rng(1234).random(dp) < 0.5, -1.0, 1.0)
-    return jnp.asarray((h * signs[None, :]) / np.sqrt(dp), jnp.float32)
+    return ((h * signs[None, :]) / np.sqrt(dp)).astype(np.float32)
 
 
 def quantize_rows_int4(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
     """RHT-rotate + per-(token, plane) symmetric int4, nibble-packed.
 
-    kv [T, 2KH, Dp] float -> (packed uint8 [T, 2KH, Dp/2] — low nibble
-    = even index, biased +8 —, scales [T, 2KH] f32 in the *rotated*
-    basis; dequant un-rotates, so consumers stay in the original basis.
+    kv [T, 2KH, Dp] float -> (packed uint8 [T, KH, Dp] — low nibble =
+    K plane 2h biased +8, high nibble = V plane 2h+1 —, scales
+    [T, 2KH] f32 in the *rotated* basis; dequant un-rotates, so
+    consumers stay in the original basis.
     """
     dp = kv.shape[-1]
     rot = kv.astype(jnp.float32) @ _rht_matrix(dp)
@@ -230,7 +240,7 @@ def quantize_rows_int4(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
                     0.0)
     q = jnp.clip(jnp.floor(rot * inv[..., None] + 0.5), -7, 7)
     q = (q + 8.0).astype(jnp.uint8)  # 1..15 (0 unused)
-    packed = (q[..., 0::2] | (q[..., 1::2] << 4))
+    packed = q[..., 0::2, :] | (q[..., 1::2, :] << 4)  # K | V<<4
     return packed, scale
 
 
@@ -248,25 +258,32 @@ def quantize_rows_tq(kv: jax.Array,
                     0.0)
     norm = rot * inv[..., None]
     mid = (codebook[1:] + codebook[:-1]) * 0.5
-    idx = jnp.searchsorted(mid, norm).astype(jnp.uint8)  # [.., dp]
-    packed = idx[..., 0::2] | (idx[..., 1::2] << 4)
+    idx = jnp.searchsorted(mid, norm).astype(jnp.uint8)  # [.., 2KH, dp]
+    packed = idx[..., 0::2, :] | (idx[..., 1::2, :] << 4)  # K | V<<4
     return packed, scale
 
 
+def _interleave_planes(k: jax.Array, v: jax.Array) -> jax.Array:
+    """Re-interleave K/V planes along axis 1: two [N, KH, ...] arrays
+    -> [N, 2KH, ...] with K at even slots, V at odd (works for both
+    block caches [B, KH, bs, Dp] and row batches [T, KH, Dp])."""
+    stacked = jnp.stack([k, v], axis=2)  # [N, KH, 2, ...]
+    return stacked.reshape((k.shape[0], 2 * k.shape[1]) + k.shape[2:])
+
+
 def _unpack_tq(data: jax.Array, codebook: jax.Array) -> jax.Array:
-    """[..., Dp/2] uint8 nibble indices -> [..., Dp] f32 levels."""
-    lo = codebook[(data & 0xF).astype(jnp.int32)]
-    hi = codebook[(data >> 4).astype(jnp.int32)]
-    return jnp.stack([lo, hi], axis=-1).reshape(*data.shape[:-1],
-                                                data.shape[-1] * 2)
+    """[N, KH, ..., Dp] uint8 K|V<<4 nibble indices ->
+    [N, 2KH, ..., Dp] f32 levels (planes re-interleaved)."""
+    k = codebook[(data & 0xF).astype(jnp.int32)]
+    v = codebook[(data >> 4).astype(jnp.int32)]
+    return _interleave_planes(k, v)
 
 
 def _unpack_int4(data: jax.Array) -> jax.Array:
-    """[..., Dp/2] uint8 -> [..., Dp] f32 centered values."""
-    lo = (data & 0xF).astype(jnp.float32) - 8.0
-    hi = (data >> 4).astype(jnp.float32) - 8.0
-    return jnp.stack([lo, hi], axis=-1).reshape(*data.shape[:-1],
-                                                data.shape[-1] * 2)
+    """[N, KH, ..., Dp] uint8 K|V<<4 -> [N, 2KH, ..., Dp] f32."""
+    k = (data & 0xF).astype(jnp.float32) - 8.0
+    v = (data >> 4).astype(jnp.float32) - 8.0
+    return _interleave_planes(k, v)
 
 
 def dequant_block_kv(qkv: QuantKV) -> jax.Array:
@@ -275,13 +292,13 @@ def dequant_block_kv(qkv: QuantKV) -> jax.Array:
     data, scales, codebook = qkv
     if codebook is not None:  # TurboQuant codebook modes
         vals = _unpack_tq(data, codebook)  # rotated basis
-        kh2, bs = data.shape[1], data.shape[2]
+        kh2, bs = vals.shape[1], vals.shape[2]
         s = scales[:, :kh2, :bs]
         rot = vals * s[..., None]
         return rot @ _rht_matrix(vals.shape[-1]).T
     if is_packed_int4(data):
         vals = _unpack_int4(data)  # rotated basis
-        kh2, bs = data.shape[1], data.shape[2]
+        kh2, bs = vals.shape[1], vals.shape[2]
         s = scales[:, :kh2, :bs]
         rot = vals * s[..., None]
         return rot @ _rht_matrix(vals.shape[-1]).T
@@ -302,10 +319,9 @@ def write_kv_xla(
     makes out-of-range slots explicit no-ops (context parallelism
     writes only rank-owned slots, parallel/context.py)."""
     data = kv_cache.data if isinstance(kv_cache, QuantKV) else kv_cache
-    num_blocks, kh2, block_size, dp_store = data.shape
-    dp = dp_store * 2 if (isinstance(kv_cache, QuantKV)
-                          and is_packed_int4(data)) else dp_store
+    num_blocks, _, block_size, dp = data.shape
     T, KH, D = k.shape
+    kh2 = 2 * KH
     if D < dp:
         pad = [(0, 0), (0, 0), (0, dp - D)]
         k = jnp.pad(k, pad)

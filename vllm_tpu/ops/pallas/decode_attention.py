@@ -43,7 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.kv_cache import (LANE, QuantKV, quant_max,
+from vllm_tpu.ops.kv_cache import (LANE, TQ3_LEVELS, TQ4_LEVELS,
+                                   QuantKV, _rht_matrix,
+                                   is_packed_int4, quant_max,
                                    scale_planes)
 
 RING = 4  # in-flight superstep slots per program
@@ -265,18 +267,28 @@ def _qkernel(
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
+    packed: bool = False,
+    levels: tuple | None = None,
 ):
     """Per-token-head quantized variant of _kernel (one block per ring
     slot): K-scales multiply score columns, V-scales multiply prob
     columns (both lane-resident — zero relayouts); the fused write
     quantizes the new row in-kernel with the same round-half-up rule as
     ops/kv_cache.quantize_rows. Ref analog: int4_per_token_head.py
-    store+attend pair."""
+    store+attend pair.
+
+    packed=True: nibble modes (int4 per-token-head + RHT, or TurboQuant
+    codebook when ``levels`` is given). The cache plane layout is
+    [B, KH, bs, Dp] uint8 with K in the low nibble and V in the high
+    nibble (kv_cache.py make_kv_cache); q/new_kv arrive RHT-rotated and
+    the caller un-rotates the output, so in-kernel math runs entirely in
+    the rotated basis (scores are exact: H is orthonormal)."""
     t = pl.program_id(0)
     hg = pl.program_id(1)
     HG2 = 2 * HG
+    HGP = HG if packed else HG2  # data planes per head group
     SL = s_buf.shape[1]
-    head0 = hg * HG2
+    head0 = hg * HGP
     # Scale-plane slice start: when the group covers all heads the
     # whole padded plane rides along (SL >= 2*KH); else SL == 2*HG.
     s_head0 = hg * SL
@@ -306,7 +318,7 @@ def _qkernel(
         bidx = jnp.minimum(blk, max_blocks - 1)
         bid = bt_ref[row0 + r, bidx]
         kv_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, pl.ds(head0, HG2)], kv_buf.at[slot],
+            kv_hbm.at[bid, pl.ds(head0, HGP)], kv_buf.at[slot],
             sems.at[slot, 0])
         s_cp = pltpu.make_async_copy(
             sc_hbm.at[bid, pl.ds(s_head0, SL)], s_buf.at[slot],
@@ -340,6 +352,42 @@ def _qkernel(
         def _(k=k):
             start((p0 + k) % RING, p0 + k)
 
+    def _quant_plane(rowf):
+        """Quantize one rotated [1, Dp] f32 row to nibble indices +
+        scale — bit-identical to kv_cache.quantize_rows_int4 /
+        quantize_rows_tq (packed modes only)."""
+        if levels is not None:  # TurboQuant codebook: RMS + snap
+            scale = jnp.sqrt(jnp.mean(rowf * rowf, axis=1,
+                                      keepdims=True))
+            inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
+                scale > 0.0, scale, 1.0), 0.0)
+            norm = rowf * inv
+            idx = jnp.zeros_like(norm, dtype=jnp.int32)
+            import numpy as _np
+            for j in range(1, len(levels)):
+                # f32 midpoint arithmetic: bit-matches the XLA path's
+                # searchsorted over an f32 midpoint array.
+                mid = float((_np.float32(levels[j]) +
+                             _np.float32(levels[j - 1])) *
+                            _np.float32(0.5))
+                idx = idx + (norm > mid).astype(jnp.int32)
+            return idx, scale
+        amax = jnp.max(jnp.abs(rowf), axis=1, keepdims=True)
+        scale = amax / 7.0
+        inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
+            scale > 0.0, scale, 1.0), 0.0)
+        idx = jnp.clip(jnp.floor(rowf * inv + 0.5), -7.0,
+                       7.0).astype(jnp.int32) + 8
+        return idx, scale
+
+    def _lut(idx):
+        """Codebook gather as a static select chain (Mosaic has no
+        cheap vector gather; L <= 16)."""
+        x = jnp.full(idx.shape, levels[0], jnp.float32)
+        for j in range(1, len(levels)):
+            x = jnp.where(idx == j, levels[j], x)
+        return x
+
     def body(i, carry):
         nc = list(carry)
         for r in range(RB):
@@ -351,29 +399,51 @@ def _qkernel(
             # block's tiles (data + scale), write both back.
             @pl.when((i == last_blks[r]) & (seq_lens[r] > 0))
             def _(r=r, slot=slot_h):
-                for hs in range(HG2):
-                    rowf = new_kv_ref[r, hs, :][None, :].astype(
-                        jnp.float32)  # [1, Dp]
-                    amax = jnp.max(jnp.abs(rowf), axis=1, keepdims=True)
-                    scale = amax / qmax  # [1, 1]
-                    inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
-                        scale > 0.0, scale, 1.0), 0.0)
-                    scaled = rowf * inv
-                    if qdtype == jnp.int8:
-                        qrow = jnp.clip(jnp.floor(scaled + 0.5), -qmax,
-                                        qmax).astype(jnp.int32).astype(
-                                            jnp.int8)
-                    else:
-                        qrow = scaled.astype(qdtype)
-                    tile = kv_buf[slot, hs]  # [bs, Dp]
-                    kv_buf[slot, hs] = jnp.where(row_iota == offs[r],
-                                                 qrow, tile)
-                    srow = s_buf[slot, hs:hs + 1, :]  # [1, LANE]
-                    s_buf[slot, hs:hs + 1, :] = jnp.where(
-                        col_iota == offs[r], scale, srow)
+                if packed:
+                    for h in range(HG):
+                        scales = []
+                        nibs = []
+                        for hs in (2 * h, 2 * h + 1):
+                            rowf = new_kv_ref[r, hs, :][None, :].astype(
+                                jnp.float32)
+                            idx, sc = _quant_plane(rowf)
+                            nibs.append(idx)
+                            scales.append(sc)
+                        byte = (nibs[0] | (nibs[1] << 4)).astype(
+                            jnp.uint8)
+                        tile = kv_buf[slot, h]  # [bs, Dp]
+                        kv_buf[slot, h] = jnp.where(
+                            row_iota == offs[r], byte, tile)
+                        for hs, sc in zip((2 * h, 2 * h + 1), scales):
+                            srow = s_buf[slot, hs:hs + 1, :]
+                            s_buf[slot, hs:hs + 1, :] = jnp.where(
+                                col_iota == offs[r], sc, srow)
+                else:
+                    for hs in range(HG2):
+                        rowf = new_kv_ref[r, hs, :][None, :].astype(
+                            jnp.float32)  # [1, Dp]
+                        amax = jnp.max(jnp.abs(rowf), axis=1,
+                                       keepdims=True)
+                        scale = amax / qmax  # [1, 1]
+                        inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
+                            scale > 0.0, scale, 1.0), 0.0)
+                        scaled = rowf * inv
+                        if qdtype == jnp.int8:
+                            qrow = jnp.clip(jnp.floor(scaled + 0.5),
+                                            -qmax, qmax).astype(
+                                                jnp.int32).astype(
+                                                    jnp.int8)
+                        else:
+                            qrow = scaled.astype(qdtype)
+                        tile = kv_buf[slot, hs]  # [bs, Dp]
+                        kv_buf[slot, hs] = jnp.where(
+                            row_iota == offs[r], qrow, tile)
+                        srow = s_buf[slot, hs:hs + 1, :]  # [1, LANE]
+                        s_buf[slot, hs:hs + 1, :] = jnp.where(
+                            col_iota == offs[r], scale, srow)
                 bid = bt_ref[row0 + r, last_blks[r]]
                 wb = pltpu.make_async_copy(
-                    kv_buf.at[slot], kv_out.at[bid, pl.ds(head0, HG2)],
+                    kv_buf.at[slot], kv_out.at[bid, pl.ds(head0, HGP)],
                     wsem.at[0])
                 sb = pltpu.make_async_copy(
                     s_buf.at[slot], sc_out.at[bid, pl.ds(s_head0, SL)],
@@ -391,7 +461,17 @@ def _qkernel(
             for h in range(HG):
                 m, l, acc = nc[r * HG + h]
                 q_h = q_ref[r, h * G:(h + 1) * G, :].astype(jnp.float32)
-                if qdtype == jnp.int8:
+                if packed:
+                    byte = kv_buf[slot_h, h].astype(jnp.int32)
+                    k_i = byte & 0xF
+                    v_i = byte >> 4
+                    if levels is not None:
+                        k = _lut(k_i)
+                        v = _lut(v_i)
+                    else:
+                        k = (k_i - 8).astype(jnp.float32)
+                        v = (v_i - 8).astype(jnp.float32)
+                elif qdtype == jnp.int8:
                     k = kv_buf[slot_h, 2 * h].astype(jnp.int32).astype(
                         jnp.float32)
                     v = kv_buf[slot_h,
@@ -456,8 +536,10 @@ def decode_paged_attention(
     R, H, D = q.shape
     quant = isinstance(kv_cache, QuantKV)
     data = kv_cache.data if quant else kv_cache
-    num_blocks, kh2, block_size, Dp = data.shape
-    KH = kh2 // 2
+    packed = quant and is_packed_int4(data)
+    num_blocks, planes, block_size, Dp = data.shape
+    KH = planes if packed else planes // 2
+    kh2 = 2 * KH
     G = H // KH
     HG = _pick_head_group(KH, aligned=quant)
     n_hg = KH // HG
@@ -470,11 +552,22 @@ def decode_paged_attention(
     # Interleave K/V rows on the head axis: [R, 2KH, Dp].
     new_kv = jnp.stack([new_k, new_v], axis=2).reshape(R, kh2, Dp)
     if quant:
+        out_dtype = q.dtype
+        if packed:
+            # RHT modes: rotate q/new_kv into the cache's basis, run
+            # the kernel entirely there (scores exact — H orthonormal),
+            # un-rotate the output. f32 carries keep the in-kernel
+            # quantization bit-equal to kv_cache.quantize_rows_int4/tq.
+            rot = _rht_matrix(Dp)
+            q = q.astype(jnp.float32) @ rot
+            new_kv = new_kv.astype(jnp.float32) @ rot
         out, kv_cache = _decode_quant(
             q, new_kv, kv_cache, block_tables, seq_lens,
             sm_scale=sm_scale, HG=HG, n_hg=n_hg, G=G, RB=RB,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
-            interpret=interpret)
+            packed=packed, interpret=interpret)
+        if packed:
+            out = (out @ rot.T).astype(out_dtype)
         return out[..., :D], kv_cache
     new_kv = new_kv.astype(kv_cache.dtype)
 
@@ -541,13 +634,21 @@ def _decode_quant(
     RB: int,
     sliding_window: int | None,
     logit_softcap: float | None,
+    packed: bool,
     interpret: bool,
 ) -> tuple[jax.Array, QuantKV]:
     data, scales = kv_cache.data, kv_cache.scales
     R, H, Dp = q.shape
-    num_blocks, kh2, block_size, _ = data.shape
+    block_size = data.shape[2]
     SP2 = scales.shape[1]
     SL = 2 * HG if n_hg > 1 else SP2
+    HGP = HG if packed else 2 * HG  # data planes per head group
+    # Static level table for the in-kernel select chain (the traced
+    # codebook leaf can't be read at trace time; its *length* is static
+    # and identifies the mode — kv_cache.tq_codebook).
+    levels = (None if kv_cache.codebook is None else
+              TQ4_LEVELS if kv_cache.codebook.shape[0] == 16 else
+              TQ3_LEVELS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -567,7 +668,7 @@ def _decode_quant(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, 2 * HG, block_size, Dp), data.dtype),
+            pltpu.VMEM((RING, HGP, block_size, Dp), data.dtype),
             pltpu.VMEM((RING, SL, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((RING, 2)),
             pltpu.SemaphoreType.DMA((2, )),
@@ -578,7 +679,8 @@ def _decode_quant(
                           block_size=block_size, HG=HG, G=G, RB=RB,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
-                          logit_softcap=logit_softcap),
+                          logit_softcap=logit_softcap,
+                          packed=packed, levels=levels),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, H, Dp), q.dtype),
@@ -597,4 +699,4 @@ def _decode_quant(
         ),
         interpret=interpret,
     )(seq_lens, block_tables, q, new_kv, data, scales)
-    return out, QuantKV(data, scales)
+    return out, QuantKV(data, scales, kv_cache.codebook)

@@ -226,23 +226,45 @@ def _qkernel(
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
+    packed: bool = False,
+    levels: tuple | None = None,
 ):
     """Per-token-head quantized variant: K-scales multiply score
     columns, V-scales multiply prob columns, so the flash update runs
     per KV block (scale rows are lane-resident per block — no
     transposes). Ref analog: unified_attention_int4
-    (v1/attention/ops/int4_per_token_head.py)."""
+    (v1/attention/ops/int4_per_token_head.py).
+
+    packed=True: nibble caches [B, KH, bs, Dp] uint8, K low / V high
+    nibble (kv_cache.py); one byte-plane DMA per (block, head) rides in
+    k_buf (v_buf unused), q arrives RHT-rotated and the caller
+    un-rotates the output."""
     r = pl.program_id(0)
     q_start = qsl_ref[r]
     q_len = qsl_ref[r + 1] - q_start
     seq_len = seq_lens_ref[r]
     FS = F * block_size
     D = q_buf.shape[-1]
-    int8 = k_buf.dtype == jnp.int8
+    int8 = k_buf.dtype == jnp.int8 and not packed
+
+    def _lut(idx):
+        x = jnp.full(idx.shape, levels[0], jnp.float32)
+        for j in range(1, len(levels)):
+            x = jnp.where(idx == j, levels[j], x)
+        return x
 
     def kv_dma(slot, i, f, h):
         bidx = jnp.minimum(i * F + f, max_blocks - 1)
         bid = bt_ref[r, bidx]
+        s_cp = pltpu.make_async_copy(
+            sc_hbm.at[bid], s_buf.at[slot, pl.ds(f * SP2, SP2), :],
+            kv_sems.at[slot, 2, f])
+        if packed:
+            kv_cp = pltpu.make_async_copy(
+                kv_hbm.at[bid, h],
+                k_buf.at[slot, pl.ds(f * block_size, block_size), :],
+                kv_sems.at[slot, 0, f])
+            return kv_cp, s_cp
         k_cp = pltpu.make_async_copy(
             kv_hbm.at[bid, 2 * h],
             k_buf.at[slot, pl.ds(f * block_size, block_size), :],
@@ -251,9 +273,6 @@ def _qkernel(
             kv_hbm.at[bid, 2 * h + 1],
             v_buf.at[slot, pl.ds(f * block_size, block_size), :],
             kv_sems.at[slot, 1, f])
-        s_cp = pltpu.make_async_copy(
-            sc_hbm.at[bid], s_buf.at[slot, pl.ds(f * SP2, SP2), :],
-            kv_sems.at[slot, 2, f])
         return k_cp, v_cp, s_cp
 
     def kv_start(slot, i, h):
@@ -304,7 +323,19 @@ def _qkernel(
                     # rows dequantize scores/probs.
                     for f in range(F):
                         blk = pl.ds(f * block_size, block_size)
-                        if int8:
+                        if packed:
+                            byte = k_buf[slot, blk, :].astype(jnp.int32)
+                            k_i = byte & 0xF
+                            v_i = byte >> 4
+                            if levels is not None:
+                                k = _lut(k_i).astype(q2.dtype)
+                                v = _lut(v_i).astype(q2.dtype)
+                            else:
+                                k = (k_i - 8).astype(jnp.float32).astype(
+                                    q2.dtype)
+                                v = (v_i - 8).astype(jnp.float32).astype(
+                                    q2.dtype)
+                        elif int8:
                             k = k_buf[slot, blk, :].astype(
                                 jnp.int32).astype(jnp.float32).astype(
                                     q2.dtype)
@@ -390,8 +421,9 @@ def ragged_paged_attention(
     R, max_blocks = block_tables.shape
     quant = isinstance(kv_cache, QuantKV)
     data = kv_cache.data if quant else kv_cache
-    num_blocks, kh2, block_size, Dp = data.shape
-    KH = kh2 // 2
+    packed = quant and data.dtype == jnp.uint8
+    num_blocks, planes, block_size, Dp = data.shape
+    KH = planes if packed else planes // 2
     G = H // KH
     F = f_blocks
     QBLK = q_blk
@@ -406,6 +438,18 @@ def ragged_paged_attention(
     T = q.shape[0]
 
     if quant:
+        out_dtype = q.dtype
+        levels = None
+        if packed:
+            # RHT nibble modes: run in the rotated basis (see the
+            # decode kernel) — rotate q, un-rotate the output.
+            from vllm_tpu.ops.kv_cache import (TQ3_LEVELS, TQ4_LEVELS,
+                                               _rht_matrix)
+            if kv_cache.codebook is not None:
+                levels = (TQ4_LEVELS if kv_cache.codebook.shape[0] == 16
+                          else TQ3_LEVELS)
+            rot = _rht_matrix(Dp)
+            q = q.astype(jnp.float32) @ rot
         SP2 = kv_cache.scales.shape[1]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -430,7 +474,8 @@ def ragged_paged_attention(
         kernel = functools.partial(
             _qkernel, sm_scale=sm_scale, block_size=block_size,
             QBLK=QBLK, F=F, KH=KH, G=G, SP2=SP2, max_blocks=max_blocks,
-            sliding_window=sliding_window, logit_softcap=logit_softcap)
+            sliding_window=sliding_window, logit_softcap=logit_softcap,
+            packed=packed, levels=levels)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -445,6 +490,8 @@ def ragged_paged_attention(
             interpret=interpret,
         )(query_start_loc, seq_lens, block_tables, q, data,
           kv_cache.scales)
+        if packed:
+            out = (out @ rot.T).astype(out_dtype)
         return out[:T_in, :, :D]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
