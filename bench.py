@@ -98,9 +98,13 @@ def main() -> None:
                          num_heads=32, num_kv_heads=4,
                          max_model_len=1024, dtype="bfloat16")
         num_blocks = 1025
+    # KV-cache quantization (BASELINE.md ladder: "INT4-g128 + FP8 KV"):
+    # auto=bf16 | fp8 | fp8_pth | int8 | int4 | tq4 | tq3.
+    kv_dtype = os.environ.get("VLLM_TPU_BENCH_KV", "auto")
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(block_size=32, num_gpu_blocks=num_blocks,
+                          cache_dtype=kv_dtype,
                           enable_prefix_caching=False),
         scheduler=SchedulerConfig(
             max_num_batched_tokens=2048, max_num_seqs=num_reqs,
@@ -147,18 +151,27 @@ def main() -> None:
     # generation-token counter (multi-step steps emit >1 per request).
     add_all("bench")
     m = engine.metrics
+    prof_dir = os.environ.get("VLLM_TPU_BENCH_PROFILE")
+    if prof_dir:
+        import jax.profiler
+        import contextlib
+        prof = jax.profiler.trace(prof_dir)
+    else:
+        import contextlib
+        prof = contextlib.nullcontext()
     t_start = time.perf_counter()
     g_start = m.generation_tokens_total
     decode_t0 = None
     decode_g0 = 0
     emitted: set[str] = set()
-    while engine.has_unfinished_requests():
-        outs = engine.step()
-        for o in outs:
-            emitted.add(o.request_id)
-        if decode_t0 is None and len(emitted) >= num_reqs:
-            decode_t0 = time.perf_counter()
-            decode_g0 = m.generation_tokens_total
+    with prof:
+        while engine.has_unfinished_requests():
+            outs = engine.step()
+            for o in outs:
+                emitted.add(o.request_id)
+            if decode_t0 is None and len(emitted) >= num_reqs:
+                decode_t0 = time.perf_counter()
+                decode_g0 = m.generation_tokens_total
     t_end = time.perf_counter()
     total_time = t_end - t_start
     decode_tokens = m.generation_tokens_total - decode_g0
@@ -173,7 +186,10 @@ def main() -> None:
         file=sys.stderr)
     print(
         json.dumps({
-            "metric": f"decode_tokens_per_sec_{size}_bs32" + ("_" + quant if quant else "_bf16"),
+            "metric": (f"decode_tokens_per_sec_{size}_bs32"
+                       + ("_" + quant if quant else "_bf16")
+                       + ("" if kv_dtype == "auto"
+                          else f"_kv{kv_dtype}")),
             "value": round(tput, 1),
             "unit": "tok/s",
             "vs_baseline": 1.0,

@@ -87,6 +87,7 @@ class ModelConfig:
     # the processor expands to one-per-patch (ref: llava config).
     vision: dict[str, Any] | None = None
     image_token_index: int = -1
+    video_token_index: int = -1
     # logit softcap (gemma2-style); None == disabled
     logit_softcap: float | None = None
     hf_config: dict[str, Any] = field(default_factory=dict, repr=False)

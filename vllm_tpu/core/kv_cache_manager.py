@@ -67,7 +67,7 @@ class KVCacheManager:
                 for r in range(cp)
             ]
             self.block_pool = self.pools[0]
-        elif os.environ.get("VLLM_TPU_NATIVE_POOL") == "1":
+        elif __import__("vllm_tpu.envs", fromlist=["envs"]).VLLM_TPU_NATIVE_POOL:
             # Native (C++) pool: same semantics, no per-op Python cost
             # (csrc/block_pool.cc; parity suite guards equivalence).
             from vllm_tpu.core.native_pool import (NativeBlockPool,

@@ -35,6 +35,7 @@ class AsyncLLM:
         self._new_requests: queue.Queue = queue.Queue()
         self._request_queues: dict[str, asyncio.Queue] = {}
         self._aborted: set[str] = set()
+        self._reinit_attempts = 0
         self._counter = Counter()
         self._shutdown = threading.Event()
         self._thread = threading.Thread(target=self._busy_loop,
@@ -92,6 +93,19 @@ class AsyncLLM:
                     for rid in in_flight:
                         self._emit_error(rid, e)
                     if consecutive_failures >= 3:
+                        # Retry tier (ref analog: EngineCoreSentinel.
+                        # retry engine_core_sentinel.py:122): rebuild
+                        # scheduler + device state once before giving
+                        # up; a failure during or after re-init is
+                        # terminal.
+                        if self._reinit_attempts < 1:
+                            self._reinit_attempts += 1
+                            try:
+                                self.engine.reinitialize()
+                                consecutive_failures = 0
+                                continue
+                            except Exception:  # noqa: BLE001
+                                logger.exception("engine re-init failed")
                         logger.error("engine unhealthy; stopping loop")
                         self._shutdown.set()
 

@@ -90,6 +90,7 @@ class LLMEngine:
                 f"{config.cache.block_size}); lower max_model_len or "
                 f"raise num_kv_blocks/memory")
 
+        self._num_kv_blocks = num_blocks
         self.scheduler = Scheduler(config, num_blocks=num_blocks)
         self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
         sc = config.speculative
@@ -231,16 +232,36 @@ class LLMEngine:
             import hashlib as _hashlib
             mc = self.config.model
             assert mc.vision is not None, "model is not multimodal"
-            from vllm_tpu.models.llava import num_patches
-            P = num_patches(mc)
             tok = mc.image_token_index
-            expanded: list[int] = []
-            for t in prompt_token_ids:
-                expanded.extend([tok] * P if t == tok else [t])
-            n_imgs = sum(1 for t in prompt_token_ids if t == tok)
-            imgs = multi_modal_data["image"]
-            assert imgs.shape[0] == n_imgs, (
-                f"{n_imgs} image tokens but {imgs.shape[0]} images")
+            grids = multi_modal_data.get("image_grid_thw") \
+                if hasattr(multi_modal_data, "get") else None
+            if grids is not None:
+                # Qwen2-VL class: one token per *merged* patch, count
+                # varies per image grid (t*h*w / merge^2).
+                merge = mc.vision.get("spatial_merge_size", 2)
+                counts = [int(t * h * w) // (merge * merge)
+                          for t, h, w in grids]
+                expanded: list[int] = []
+                gi = 0
+                for t in prompt_token_ids:
+                    if t == tok:
+                        expanded.extend([tok] * counts[gi])
+                        gi += 1
+                    else:
+                        expanded.append(t)
+                assert gi == len(counts), (
+                    f"{gi} image tokens but {len(counts)} grids")
+                imgs = multi_modal_data["image"]
+            else:
+                from vllm_tpu.models.llava import num_patches
+                P = num_patches(mc)
+                expanded = []
+                for t in prompt_token_ids:
+                    expanded.extend([tok] * P if t == tok else [t])
+                n_imgs = sum(1 for t in prompt_token_ids if t == tok)
+                imgs = multi_modal_data["image"]
+                assert imgs.shape[0] == n_imgs, (
+                    f"{n_imgs} image tokens but {imgs.shape[0]} images")
             prompt_token_ids = expanded
             mm_hash = _hashlib.sha256(
                 np.ascontiguousarray(imgs).tobytes()).hexdigest()
@@ -343,6 +364,22 @@ class LLMEngine:
                                        RequestStatus.FINISHED_ABORTED)
         for rid in request_ids:
             self.output_processor.abort(rid)
+
+    def reinitialize(self) -> None:
+        """Fault-recovery re-init (ref analog: EngineCoreSentinel.retry
+        engine_core_sentinel.py:122 + WorkerSentinel device cleanup):
+        abort everything in flight, rebuild the scheduler's KV
+        bookkeeping from scratch, and reset the runner's device state
+        (fresh KV caches + persistent batch) while keeping loaded
+        weights and compiled programs."""
+        self.abort_request(list(self.scheduler.requests))
+        self.scheduler = Scheduler(self.config,
+                                   num_blocks=self._num_kv_blocks)
+        if self.scheduler.host_kv_pool is not None:
+            self.runner.host_kv_pool = self.scheduler.host_kv_pool
+        self.runner.reset_state()
+        logger.warning("engine reinitialized after fault: KV caches "
+                       "reset, weights kept")
 
     def step(self) -> list[RequestOutput]:
         import time as _time

@@ -102,6 +102,10 @@ class OpenAIServer:
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         app.router.add_post("/start_profile", self.start_profile)
         app.router.add_post("/stop_profile", self.stop_profile)
+        # Anthropic Messages API on the same engine (ref analog:
+        # vllm/entrypoints/anthropic/).
+        from vllm_tpu.entrypoints.anthropic import AnthropicRoutes
+        AnthropicRoutes(self).register(app)
         return app
 
     async def health(self, request: web.Request) -> web.Response:

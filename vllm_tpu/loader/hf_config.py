@@ -26,6 +26,20 @@ SUPPORTED_ARCHS = {
     "LlavaForConditionalGeneration": "llava",  # VLM
     "Qwen2MoeForCausalLM": "qwen2_moe",  # MoE + shared expert
     "Qwen3MoeForCausalLM": "qwen2_moe",
+    "Qwen2VLForConditionalGeneration": "qwen2_vl",  # VLM + mrope
+}
+
+# Fallback when config.json lacks "architectures" (model_type -> arch).
+_MODEL_TYPE_ARCHS = {
+    "qwen2_vl": "Qwen2VLForConditionalGeneration",
+    "llava": "LlavaForConditionalGeneration",
+    "mixtral": "MixtralForCausalLM",
+    "qwen2_moe": "Qwen2MoeForCausalLM",
+    "qwen3_moe": "Qwen3MoeForCausalLM",
+    "mamba2": "Mamba2ForCausalLM",
+    "bamba": "BambaForCausalLM",
+    "deepseek_v2": "DeepseekV2ForCausalLM",
+    "deepseek_v3": "DeepseekV3ForCausalLM",
 }
 
 
@@ -41,7 +55,10 @@ def model_config_from_hf(
     dtype: str = "bfloat16",
 ) -> ModelConfig:
     hf = load_hf_config_dict(model_path)
-    arch = hf.get("architectures", ["LlamaForCausalLM"])[0]
+    arch = (hf.get("architectures") or [None])[0]
+    if arch is None:  # some save paths omit architectures
+        arch = _MODEL_TYPE_ARCHS.get(hf.get("model_type"),
+                                     "LlamaForCausalLM")
     if arch not in SUPPORTED_ARCHS:
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
@@ -79,6 +96,7 @@ def model_config_from_hf(
 
     vision = None
     image_token_index = -1
+    video_token_index = -1
     if arch == "LlavaForConditionalGeneration":
         vc = hf["vision_config"]
         vision = {
@@ -93,6 +111,23 @@ def model_config_from_hf(
         }
         image_token_index = hf.get("image_token_index", 32000)
         hf = dict(hf, **hf["text_config"])  # language dims from text
+    elif arch == "Qwen2VLForConditionalGeneration":
+        vc = hf["vision_config"]
+        vision = {
+            "embed_dim": vc.get("embed_dim", vc.get("hidden_size")),
+            "depth": vc["depth"],
+            "num_heads": vc.get("num_heads", 16),
+            "patch_size": vc.get("patch_size", 14),
+            "temporal_patch_size": vc.get("temporal_patch_size", 2),
+            "spatial_merge_size": vc.get("spatial_merge_size", 2),
+            "mlp_ratio": vc.get("mlp_ratio", 4),
+            "hidden_act": vc.get("hidden_act", "quick_gelu"),
+            "in_channels": vc.get("in_channels", vc.get("in_chans", 3)),
+        }
+        image_token_index = hf.get("image_token_id", 151655)
+        video_token_index = hf.get("video_token_id", 151656)
+        if "text_config" in hf:
+            hf = dict(hf, **hf["text_config"])
 
     num_heads = hf["num_attention_heads"]
     max_pos = hf.get("max_position_embeddings", 2048)
@@ -116,12 +151,14 @@ def model_config_from_hf(
         dtype=dtype,
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         attention_bias=(arch in ("Qwen2ForCausalLM",
-                                 "Qwen2MoeForCausalLM")
+                                 "Qwen2MoeForCausalLM",
+                                 "Qwen2VLForConditionalGeneration")
                         or hf.get("attention_bias", False)),
         sliding_window=(hf.get("sliding_window")
                         if hf.get("use_sliding_window", True) else None),
         vision=vision,
         image_token_index=image_token_index,
+        video_token_index=video_token_index,
         hf_config=hf,
     )
     if arch == "BambaForCausalLM":  # hybrid SSM + attention

@@ -99,6 +99,8 @@ def load_llama_params(
     if quant is not None and quant.enabled:
         from vllm_tpu.quant.loader import load_quantized_llama_params
         return load_quantized_llama_params(model_path, cfg, quant)
+    if cfg.architecture == "Qwen2VLForConditionalGeneration":
+        return _load_qwen2_vl_params(model_path, cfg)
     if cfg.vision is not None:
         return _load_llava_params(model_path, cfg)
     if cfg.kv_lora_rank:
@@ -438,6 +440,102 @@ def _load_llava_params(model_path: str, cfg: ModelConfig) -> dict:
                     mod = mod.replace("self_attn.", "").replace(
                         "mlp.", "")
                     put_dense(vlayer, mod, kind, w)
+        else:
+            logger.warning("unmapped weight %s", name)
+
+    for (li, leaf_name, kind), slots in pending.items():
+        n_slots = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n_slots)], axis=0)
+        leaf = layers[li].setdefault(leaf_name, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            cat.T if kind == "weight" else cat)
+    return params
+
+
+def _load_qwen2_vl_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Qwen2-VL mapping: ViT tower (Conv3d kernel flattened for the
+    matmul patch embed) + merger + Qwen2 language model (qkv bias).
+    Handles both flat (``visual.*`` / ``model.*``) and nested
+    (``model.visual.*`` / ``model.language_model.*``) HF layouts."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    vL = cfg.vision["depth"]
+    blocks: list[dict] = [dict() for _ in range(vL)]
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {
+        "layers": layers,
+        "visual": {"blocks": blocks, "merger": {}},
+    }
+    pending: dict[tuple[int, str, str], dict[int, np.ndarray]] = {}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    def put_dense(d, key, kind, w):
+        leaf = d.setdefault(key, {})
+        leaf["weight" if kind == "weight" else "bias"] = to_jax(
+            w.T if kind == "weight" else w)
+
+    def put_ln(d, key, kind, w):
+        leaf = d.setdefault(key, {})
+        leaf["scale" if kind == "weight" else "bias"] = to_jax(w)
+
+    vt = params["visual"]
+    for name, w in _iter_safetensors(model_path):
+        if name.startswith("model.visual."):
+            name = name[len("model."):]
+        elif name.startswith("model.language_model."):
+            name = "model." + name[len("model.language_model."):]
+        if name.startswith("visual."):
+            rest = name[len("visual."):]
+            if rest == "patch_embed.proj.weight":
+                # Conv3d [Ev, C, tp, ps, ps] -> [C*tp*ps*ps, Ev]
+                ev = w.shape[0]
+                vt["patch_embed"] = {"weight": to_jax(w.reshape(ev, -1).T)}
+            elif rest.startswith("merger.ln_q."):
+                put_ln(vt["merger"], "ln_q", rest.rsplit(".", 1)[1], w)
+            elif rest.startswith("merger.mlp."):
+                _, idx_s, kind = rest[len("merger."):].split(".")
+                put_dense(vt["merger"], f"mlp_{idx_s}", kind, w)
+            elif rest.startswith("blocks."):
+                idx_s, _, tail = rest[len("blocks."):].partition(".")
+                blk = blocks[int(idx_s)]
+                mod, _, kind = tail.rpartition(".")
+                if mod in ("norm1", "norm2"):
+                    put_ln(blk, mod, kind, w)
+                else:
+                    mod = mod.replace("attn.", "").replace("mlp.", "")
+                    put_dense(blk, mod, kind, w)
+            else:
+                logger.warning("unmapped weight %s", name)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name.startswith("model.layers."):
+            idx_s, _, tail = name[len("model.layers."):].partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in _DIRECT:
+                    put_dense(layer, _DIRECT[mod], kind, w)
+                elif mod in _FUSED:
+                    leaf_name, slot = _FUSED[mod]
+                    pending.setdefault((li, leaf_name, kind),
+                                       {})[slot] = w
+                else:
+                    logger.warning("unmapped weight %s", name)
+        elif name.startswith("model.rotary_emb"):
+            pass
         else:
             logger.warning("unmapped weight %s", name)
 

@@ -131,11 +131,13 @@ def forward(
     lora: dict | None = None,  # {leaf_name: stack} per layer list
     lora_idx=None,  # [T] adapter slot per token row
     input_embeds: jax.Array | None = None,  # VLM-merged embeddings
+    cos_sin: tuple[jax.Array, jax.Array] | None = None,  # rope override
 ) -> tuple[jax.Array, list[jax.Array]]:
     """Returns (hidden_states [T, E], updated kv_caches)."""
     x = (input_embeds if input_embeds is not None else
          params["embed_tokens"]["weight"][input_ids])
-    cos, sin = rope_cos_sin(positions, cfg)
+    cos, sin = (cos_sin if cos_sin is not None else
+                rope_cos_sin(positions, cfg))
     new_caches = []
     for i, layer in enumerate(params["layers"]):
         llora = lora[i] if lora is not None else None

@@ -23,6 +23,7 @@ _REGISTRY: dict[str, str] = {
     "LlavaForConditionalGeneration": "vllm_tpu.models.llava",  # VLM
     "Qwen2MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
     "Qwen3MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
+    "Qwen2VLForConditionalGeneration": "vllm_tpu.models.qwen2_vl",
 }
 
 

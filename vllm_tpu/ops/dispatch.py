@@ -31,8 +31,9 @@ def write_kv(kv_cache, k, v, slot_mapping):
 
 @functools.cache
 def attention_backend() -> str:
-    env = os.environ.get("VLLM_TPU_ATTN_BACKEND")
-    if env in ("pallas", "xla"):
+    from vllm_tpu import envs
+    env = envs.VLLM_TPU_ATTN_BACKEND
+    if env is not None:
         return env
     # axon is the tunneled TPU platform in this environment.
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"

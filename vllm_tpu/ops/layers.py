@@ -126,6 +126,31 @@ def rope_cos_sin(positions: jax.Array,
     return jnp.cos(freqs) * s, jnp.sin(freqs) * s
 
 
+def mrope_cos_sin(positions3: jax.Array,
+                  cfg: ModelConfig) -> tuple[jax.Array, jax.Array]:
+    """Multimodal 3D RoPE tables (Qwen2-VL mrope).
+
+    positions3: [3, T] (temporal / height / width position rows; text
+    tokens carry the same value in all three). rope_scaling's
+    ``mrope_section`` splits the head_dim/2 frequency channels among
+    the three axes (ref analog: apply_multimodal_rotary_pos_emb,
+    HF modeling_qwen2_vl + vllm rotary_embedding mrope). Equal rows
+    reduce exactly to 1-D RoPE, so text-only requests and decode
+    steps use rope_cos_sin at (position + mrope_delta) instead.
+    """
+    inv_freq = rope_inv_freq(cfg)
+    sections = tuple(cfg.rope_scaling["mrope_section"])
+    freqs = (positions3.astype(jnp.float32)[:, :, None] *
+             inv_freq[None, None, :])  # [3, T, d/2]
+    cos3, sin3 = jnp.cos(freqs), jnp.sin(freqs)
+    cs, sn, off = [], [], 0
+    for i, sec in enumerate(sections):
+        cs.append(cos3[i % 3, :, off:off + sec])
+        sn.append(sin3[i % 3, :, off:off + sec])
+        off += sec
+    return jnp.concatenate(cs, -1), jnp.concatenate(sn, -1)
+
+
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """NeoX-style (half-rotated) RoPE. x: [T, heads, head_dim].
 

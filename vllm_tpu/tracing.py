@@ -23,6 +23,12 @@ from typing import Any, Optional
 
 from vllm_tpu.utils import init_logger
 
+
+def _envs_get(name, default=None):
+    from vllm_tpu import envs
+    v = getattr(envs, name)
+    return v if v is not None else default
+
 logger = init_logger(__name__)
 
 
@@ -70,7 +76,7 @@ class Tracer:
     def __init__(self, trace_file: Optional[str] = None,
                  ring_size: int = 1024,
                  otlp_endpoint: Optional[str] = None) -> None:
-        self.trace_file = trace_file or os.environ.get(
+        self.trace_file = trace_file or _envs_get(
             "VLLM_TPU_TRACE_FILE")
         self.ring: deque[Span] = deque(maxlen=ring_size)
         self._lock = threading.Lock()
@@ -163,7 +169,7 @@ def start_profile(log_dir: Optional[str] = None) -> str:
     start_profile endpoints; on TPU the trace captures XLA + host)."""
     global _PROFILE_ACTIVE
     import jax
-    d = (log_dir or os.environ.get("VLLM_TPU_PROFILE_DIR")
+    d = (log_dir or _envs_get("VLLM_TPU_PROFILE_DIR")
          or "/tmp/vllm_tpu_profile")
     if not _PROFILE_ACTIVE:
         jax.profiler.start_trace(d)

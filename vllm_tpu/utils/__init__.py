@@ -21,7 +21,8 @@ def init_logger(name: str) -> logging.Logger:
         handler = logging.StreamHandler()
         handler.setFormatter(logging.Formatter(_LOG_FORMAT, "%H:%M:%S"))
         root.addHandler(handler)
-        root.setLevel(os.environ.get("VLLM_TPU_LOG_LEVEL", "INFO").upper())
+        from vllm_tpu import envs
+        root.setLevel(envs.VLLM_TPU_LOG_LEVEL.upper())
         root.propagate = False
     return logger
 

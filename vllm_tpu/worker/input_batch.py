@@ -63,6 +63,9 @@ class InputBatch:
         self.seeds = np.zeros((max_num_reqs, ), np.int32)
         self.sample_steps = np.zeros((max_num_reqs, ), np.int32)
         self.lora_slots = np.zeros((max_num_reqs, ), np.int32)
+        # mrope (Qwen2-VL): decode rope position = position + delta
+        # (ref analog: mrope_position_delta, HF get_rope_index).
+        self.mrope_delta = np.zeros((max_num_reqs, ), np.int32)
 
     @property
     def num_reqs(self) -> int:
@@ -105,6 +108,7 @@ class InputBatch:
             self.seeds[row] = np.int32(
                 (self.engine_seed ^ hash(req_id)) & 0x7FFFFFFF)
         self.sample_steps[row] = 0
+        self.mrope_delta[row] = 0
         return state
 
     def remove_request(self, req_id: str) -> None:
@@ -113,6 +117,7 @@ class InputBatch:
             return
         self.row_to_req[state.row] = None
         self.lora_slots[state.row] = 0
+        self.mrope_delta[state.row] = 0
         self._free_rows.append(state.row)
 
     def append_block_ids(self, req_id: str,

@@ -49,6 +49,9 @@ class DecodeLoopInputs(NamedTuple):
     active: jax.Array  # [R] bool
     sampling: SamplingMetadata
     lora_idx: Optional[jax.Array] = None  # [R] adapter slot per row
+    # mrope (Qwen2-VL): rope runs at position + delta per row (equal
+    # t/h/w rows reduce mrope to 1-D rope at the shifted position).
+    mrope_delta: Optional[jax.Array] = None  # [R]
 
 
 class StepInputs(NamedTuple):
@@ -78,6 +81,9 @@ class StepInputs(NamedTuple):
     # scheduled image tokens + per-token buffer row (-1 = text).
     mm_buffer: Optional[jax.Array] = None
     mm_rows: Optional[jax.Array] = None
+    # mrope (Qwen2-VL): [3, T] t/h/w position rows for this step's
+    # ragged token stream (None for non-mrope models).
+    positions3: Optional[jax.Array] = None
 
 
 class TPUModelRunner:
@@ -118,6 +124,10 @@ class TPUModelRunner:
 
         self.batch = InputBatch(self.max_num_reqs, self.max_blocks_per_req,
                                 config.seed)
+        # mrope (Qwen2-VL): prefill passes [3, T] positions, decode
+        # shifts positions by the per-request mrope delta.
+        self.is_mrope = bool(mc.rope_scaling
+                             and "mrope_section" in mc.rope_scaling)
 
         # Multi-LoRA runtime (set via set_lora_registry).
         self.lora_registry = None
@@ -139,11 +149,6 @@ class TPUModelRunner:
             from vllm_tpu.spec_decode.ngram import NgramProposer
             self.proposer = NgramProposer(sc)
         self.num_kv_blocks = num_kv_blocks
-
-        cache_dtype = kv_cache_jnp_dtype(config.cache.cache_dtype,
-                                         mc.dtype)
-        shape = kv_cache_shape(num_kv_blocks, self.block_size,
-                               mc.num_kv_heads, mc.head_dim)
         kv_sh = None
         if mesh is not None and self.pp_size > 1:
             from vllm_tpu.parallel.pipeline import shard_pipeline_params
@@ -156,28 +161,8 @@ class TPUModelRunner:
                                                  shard_params)
             self.params = params = shard_params(params, mc, mesh)
             kv_sh = kv_cache_sharding(mc, mesh)
-        if hasattr(self.model, "make_caches"):
-            # Model-defined cache layout (SSM state caches, hybrid
-            # attention+mamba lists — ref analog: the KV-cache spec
-            # hierarchy, vllm/v1/kv_cache_interface.py).
-            self.kv_caches = self.model.make_caches(
-                mc, num_kv_blocks, self.block_size, self.max_num_reqs,
-                config.cache, kv_sharding=kv_sh)
-        else:
-            self.kv_caches = [
-                make_kv_cache(num_kv_blocks, self.block_size,
-                              mc.num_kv_heads, mc.head_dim,
-                              config.cache.cache_dtype, mc.dtype,
-                              sharding=kv_sh)
-                for _ in range(mc.num_layers)
-            ]
-            logger.info(
-                "KV cache: %d layers x %s %s (%.1f MiB total)",
-                mc.num_layers, shape, cache_dtype,
-                mc.num_layers * kv_cache_bytes_per_block(
-                    self.block_size, mc.num_kv_heads, mc.head_dim,
-                    config.cache.cache_dtype, mc.dtype) * num_kv_blocks /
-                2**20)
+        self._kv_sharding = kv_sh
+        self._alloc_kv_caches()
 
         # EPLB: physical expert replicas + host load balancer
         # (parallel/eplb.py). Must precede jit-program creation only in
@@ -199,6 +184,49 @@ class TPUModelRunner:
             donate_argnums=(1, ),
             static_argnums=(3, ),  # horizon
         )
+
+    def _alloc_kv_caches(self) -> None:
+        mc = self.config.model
+        kv_sh = self._kv_sharding
+        num_kv_blocks = self.num_kv_blocks
+        if hasattr(self.model, "make_caches"):
+            # Model-defined cache layout (SSM state caches, hybrid
+            # attention+mamba lists — ref analog: the KV-cache spec
+            # hierarchy, vllm/v1/kv_cache_interface.py).
+            self.kv_caches = self.model.make_caches(
+                mc, num_kv_blocks, self.block_size, self.max_num_reqs,
+                self.config.cache, kv_sharding=kv_sh)
+        else:
+            self.kv_caches = [
+                make_kv_cache(num_kv_blocks, self.block_size,
+                              mc.num_kv_heads, mc.head_dim,
+                              self.config.cache.cache_dtype, mc.dtype,
+                              sharding=kv_sh)
+                for _ in range(mc.num_layers)
+            ]
+            shape = kv_cache_shape(num_kv_blocks, self.block_size,
+                                   mc.num_kv_heads, mc.head_dim)
+            logger.info(
+                "KV cache: %d layers x %s %s (%.1f MiB total)",
+                mc.num_layers, shape,
+                kv_cache_jnp_dtype(self.config.cache.cache_dtype,
+                                   mc.dtype),
+                mc.num_layers * kv_cache_bytes_per_block(
+                    self.block_size, mc.num_kv_heads, mc.head_dim,
+                    self.config.cache.cache_dtype, mc.dtype) *
+                num_kv_blocks / 2**20)
+
+    def reset_state(self) -> None:
+        """Fault-recovery device reset (ref analog: WorkerSentinel
+        cleanup + rejoin, sentinel/gpu_worker_sentinel.py): drop the
+        persistent batch and reallocate fresh KV caches, keeping
+        loaded weights and compiled programs."""
+        self.batch = InputBatch(self.max_num_reqs,
+                                self.max_blocks_per_req,
+                                self.config.seed)
+        self.kv_payloads.clear()
+        self.kv_caches = None  # release before reallocating
+        self._alloc_kv_caches()
 
     # -- EPLB ----------------------------------------------------------
     def _init_eplb(self) -> None:
@@ -446,6 +474,26 @@ class TPUModelRunner:
         qsl[prev_row + 2:] = t
         mm_buffer, mm_rows = self._build_mm(spans, T_pad)
 
+        positions3 = None
+        if self.is_mrope:
+            # Per-token t/h/w rows: in-prompt tokens read the request's
+            # precomputed mrope grid; generated tokens are 1-D at
+            # position + delta (ref analog: MRotaryEmbedding
+            # get_input_positions / get_next_input_positions).
+            positions3 = np.broadcast_to(positions, (3, T_pad)).copy()
+            for req_id, t0, start, n in spans:
+                state = self.batch.reqs[req_id]
+                pos3 = getattr(state, "mrope_pos3", None)
+                delta = getattr(state, "mrope_delta", 0)
+                ep = 0
+                if pos3 is not None:
+                    ep = min(n, max(0, pos3.shape[1] - start))
+                    if ep > 0:
+                        positions3[:, t0:t0 + ep] = pos3[:,
+                                                         start:start + ep]
+                if delta and ep < n:
+                    positions3[:, t0 + ep:t0 + n] += delta
+
         b = self.batch
         # Host copy for EAGLE's accepted-position arithmetic.
         self._np_logits_indices = logits_indices
@@ -474,6 +522,8 @@ class TPUModelRunner:
                       if lora_idx is not None else None),
             mm_buffer=mm_buffer,
             mm_rows=mm_rows,
+            positions3=(jnp.asarray(positions3)
+                        if positions3 is not None else None),
         )
         return inputs, req_ids, emits, q_blk
 
@@ -482,14 +532,28 @@ class TPUModelRunner:
         """Encode the request's images once (jitted vision tower) and
         precompute the prompt-position -> patch-row map."""
         import functools as _ft
-        from vllm_tpu.models import llava
         mc = self.config.model
-        if not hasattr(self, "_mm_encode"):
-            self._mm_encode = jax.jit(
-                _ft.partial(llava.encode_images, self.params, mc))
-        imgs = jnp.asarray(nr.mm_data["image"])
-        embeds = self._mm_encode(imgs)  # [N, P, E]
-        state.mm_embeds = embeds.reshape(-1, embeds.shape[-1])
+        if self.is_mrope:
+            # Qwen2-VL: grid-shaped patches + mrope position grid.
+            from vllm_tpu.models import qwen2_vl
+            grids = [tuple(int(x) for x in g)
+                     for g in nr.mm_data["image_grid_thw"]]
+            embeds = qwen2_vl.encode_images(
+                self.params, mc, jnp.asarray(nr.mm_data["image"]), grids)
+            state.mm_embeds = embeds
+            pos3, delta = qwen2_vl.mrope_positions(
+                nr.prompt_token_ids, grids, mc)
+            state.mrope_pos3 = pos3
+            state.mrope_delta = delta
+            self.batch.mrope_delta[state.row] = delta
+        else:
+            from vllm_tpu.models import llava
+            if not hasattr(self, "_mm_encode"):
+                self._mm_encode = jax.jit(
+                    _ft.partial(llava.encode_images, self.params, mc))
+            imgs = jnp.asarray(nr.mm_data["image"])
+            embeds = self._mm_encode(imgs)  # [N, P, E]
+            state.mm_embeds = embeds.reshape(-1, embeds.shape[-1])
         tok = mc.image_token_index
         idx = np.full(len(nr.prompt_token_ids), -1, np.int32)
         c = 0
@@ -870,6 +934,8 @@ class TPUModelRunner:
             ),
             lora_idx=(jnp.asarray(b.lora_slots)
                       if "lora" in self.params else None),
+            mrope_delta=(jnp.asarray(b.mrope_delta)
+                         if self.is_mrope else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
             self.params, self.kv_caches, dec, 1)
@@ -904,6 +970,8 @@ class TPUModelRunner:
             ),
             lora_idx=(jnp.asarray(b.lora_slots)
                       if "lora" in self.params else None),
+            mrope_delta=(jnp.asarray(b.mrope_delta)
+                         if self.is_mrope else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
             self.params, self.kv_caches, dec, h)
@@ -965,7 +1033,11 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
         lora_kw = {}
         if isinstance(params, dict) and "lora" in params:
             lora_kw = dict(lora=params["lora"], lora_idx=dec.lora_idx)
-        hidden, kv_caches = model.forward(params, mc, tokens, positions,
+        # mrope decode: rope at position + delta (slots/seq_lens keep
+        # the true position).
+        rope_pos = (positions + dec.mrope_delta
+                    if dec.mrope_delta is not None else positions)
+        hidden, kv_caches = model.forward(params, mc, tokens, rope_pos,
                                           kv_caches, meta, q_blk=1,
                                           **lora_kw)
         logits = model.compute_logits(params, mc, hidden)
@@ -1023,6 +1095,8 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     if inputs.mm_buffer is not None:
         lora_kw.update(mm_buffer=inputs.mm_buffer,
                        mm_rows=inputs.mm_rows)
+    if inputs.positions3 is not None:
+        lora_kw.update(positions3=inputs.positions3)
     hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
                                       inputs.positions, kv_caches, meta,
                                       q_blk=q_blk, **lora_kw)
