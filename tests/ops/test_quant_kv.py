@@ -40,7 +40,7 @@ def test_write_kv_xla_quant_contents():
     slots = jnp.asarray([5, 17, 33])  # blocks 0,1,2
     cache = write_kv_xla(cache, k, v, slots)
     deq = np.asarray(dequant_block_kv(cache))
-    kv = np.stack([np.asarray(k), np.asarray(v)], 2).reshape(3, 2 * KH, D)
+    kv = np.concatenate([np.asarray(k), np.asarray(v)], 1)  # split order
     for t, slot in enumerate([5, 17, 33]):
         got = deq[slot // bs, :, slot % bs, :]
         amax = np.abs(kv[t]).max(-1, keepdims=True)

@@ -36,7 +36,7 @@ def test_int4_write_dequant_roundtrip():
     cache = write_kv_xla(cache, k, v, slots)
     deq = np.asarray(dequant_block_kv(cache))  # [B, 2KH, bs, Dp]
 
-    kv = np.stack([np.asarray(k), np.asarray(v)], 2).reshape(T, 2 * KH, D)
+    kv = np.concatenate([np.asarray(k), np.asarray(v)], 1)  # split order
     got = np.concatenate([deq[1], deq[2, :, :T - bs]], axis=1)  # [2KH, T?]
     # reshape: blocks 1..2 rows 0..bs hold tokens
     rows = np.concatenate([deq[1].transpose(1, 0, 2),

@@ -64,7 +64,7 @@ def test_tq_cache_write_dequant(dtype):
     assert cache.codebook is not None
     cache = write_kv_xla(cache, k, v, slots)
     deq = np.asarray(dequant_block_kv(cache))
-    kv = np.stack([np.asarray(k), np.asarray(v)], 2).reshape(T, 2 * KH, D)
+    kv = np.concatenate([np.asarray(k), np.asarray(v)], 1)  # split order
     rows = np.concatenate([deq[1].transpose(1, 0, 2),
                            deq[2].transpose(1, 0, 2)], axis=0)[:T]
     rel = np.abs(rows - kv) / (np.abs(kv).max(-1, keepdims=True) + 1e-9)

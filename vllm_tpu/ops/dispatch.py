@@ -100,12 +100,13 @@ def fused_decode_attention(
                                          logit_softcap=logit_softcap)
     if attention_backend() == "pallas":
         from vllm_tpu.ops.pallas.decode_attention import (
-            decode_paged_attention)
-        return decode_paged_attention(q, new_k, new_v, kv_cache,
-                                      block_tables, seq_lens,
-                                      sm_scale=sm_scale,
-                                      sliding_window=sliding_window,
-                                      logit_softcap=logit_softcap)
+            decode_paged_attention, pallas_supports)
+        if pallas_supports(kv_cache):
+            return decode_paged_attention(q, new_k, new_v, kv_cache,
+                                          block_tables, seq_lens,
+                                          sm_scale=sm_scale,
+                                          sliding_window=sliding_window,
+                                          logit_softcap=logit_softcap)
     from vllm_tpu.ops.attention import ragged_paged_attention_xla
     from vllm_tpu.ops.kv_cache import QuantKV, write_kv_xla
     R = q.shape[0]

@@ -4,14 +4,24 @@ Layout (TPU-first): one fused array per attention layer
 
     kv_cache: [num_blocks, 2 * num_kv_heads, block_size, head_dim_pad]
 
-K at even head slots, V at odd (interleaved), *head-major*: the
-attention kernel's per-(block, head) DMA then only indexes untiled
-leading dims, and the tiled trailing dims (block_size, head_dim_pad)
-satisfy Mosaic's alignment rule — DMA slice shapes must be multiples of
-the (8/16, 128) tile, so ``head_dim_pad = round_up(head_dim, 128)``.
-The 2x pad waste for head_dim-64 models is a known cost (production
-models are head_dim 128); a packed dual-head layout can reclaim it
-later.
+**Split-plane order**: K planes occupy slots [0, KH), V planes
+[KH, 2KH) (plane h / plane KH + h for head h). A head group's K (or V)
+planes are then *contiguous*, so kernels fetch a whole group in one
+DMA and fold all heads into one MXU dot via a plain reshape — the
+layout that makes head-batched flash attention free. The trailing
+dims (block_size, head_dim_pad) satisfy Mosaic's alignment rule — DMA
+slice shapes must be multiples of the (8/16, 128) tile, so
+``head_dim_pad = round_up(head_dim, 128)``. The 2x pad waste for
+head_dim-64 models is a known cost (production models are head_dim
+128).
+
+Per-token-head scale planes (QuantKV.scales) are laid out
+[num_blocks, SUBLANE, round_up(KH * block_size, LANE)] f32 with row 0
+= K scales, row 1 = V scales, lane h * block_size + t = (head h,
+token t) — the (head-major, token-minor) lane order matches the
+column order of the head-batched score matrix, so kernels apply
+K-scales to score columns and V-scales to prob columns with lane
+slices only (zero relayouts).
 
 Ref analog: csrc reshape_and_cache (cache_kernels.cu) + the KV-cache
 shape contract of AttentionBackend (vllm/v1/attention/backend.py).
@@ -39,14 +49,18 @@ class QuantKV(NamedTuple):
     vllm/v1/attention/ops/int4_per_token_head.py int8/int4 modes +
     KVQuantMode, kv_cache_interface.py:33).
 
-    data:   [num_blocks, 2*KH, block_size, Dp] int8 / float8_e4m3fn
-            (or uint8 nibble-pairs for the packed 4-bit modes)
-    scales: [num_blocks, SP2, LANE] f32 — scale[b, hs, t] dequantizes
-            plane hs (k=2h, v=2h+1) of token t in block b. Tokens ride
-            the LANE dim so kernels apply K-scales to score columns and
-            V-scales to prob columns — no sublane/lane transposes.
-            SP2 = round_up(2*KH, SUBLANE) so per-head-group DMA slices
-            stay (8, 128)-tile aligned; block_size <= LANE assumed.
+    data:   [num_blocks, 2*KH, block_size, Dp] int8 / float8_e4m3fn in
+            split-plane order (K planes [0, KH), V planes [KH, 2KH)),
+            or [num_blocks, KH, block_size, Dp] uint8 K|V<<4 nibble
+            pairs for the packed 4-bit modes.
+    scales: [num_blocks, SUBLANE, SL] f32, SL = round_up(KH *
+            block_size, LANE). Row 0 = K scales, row 1 = V scales;
+            lane h * block_size + t dequantizes (head h, token t).
+            The (head-major, token-minor) lane order matches the
+            column order of head-batched score matrices, so kernels
+            apply K-scales to score columns and V-scales to prob
+            columns with lane slices only — no sublane/lane
+            transposes.
     codebook: None for the uniform modes; a small [L] f32 level table
             for TurboQuant codebook modes (tq3/tq4 — ref analog:
             vllm/v1/attention/backends/turboquant_attn.py +
@@ -104,6 +118,26 @@ def tq_codebook(cache_dtype: str) -> jax.Array:
                        jnp.float32)
 
 
+def codebook_select(idx: jax.Array, levels: tuple) -> jax.Array:
+    """Vector codebook gather as a static select chain (Mosaic has no
+    cheap vector gather). The Lloyd-Max tables are symmetric
+    (levels[j] == -levels[L-1-j] exactly, and f32 negation is exact),
+    so fold to sign x magnitude: L/2-1 selects instead of L-1."""
+    L = len(levels)
+    half = L // 2
+    if all(levels[j] == -levels[L - 1 - j] for j in range(half)):
+        mags = levels[half:]
+        m_idx = jnp.where(idx >= half, idx - half, half - 1 - idx)
+        x = jnp.full(idx.shape, mags[0], jnp.float32)
+        for j in range(1, half):
+            x = jnp.where(m_idx == j, mags[j], x)
+        return jnp.where(idx >= half, x, -x)
+    x = jnp.full(idx.shape, levels[0], jnp.float32)
+    for j in range(1, L):
+        x = jnp.where(idx == j, levels[j], x)
+    return x
+
+
 def is_packed_int4(data: jax.Array) -> bool:
     """int4 per-token-head caches store uint8 nibble pairs."""
     return data.dtype == jnp.uint8
@@ -114,8 +148,10 @@ def quant_max(dtype) -> float:
     return 127.0 if dtype == jnp.int8 else 448.0  # e4m3 max
 
 
-def scale_planes(num_kv_heads: int) -> int:
-    return max(round_up(2 * num_kv_heads, SUBLANE), SUBLANE)
+def scale_lanes(num_kv_heads: int, block_size: int) -> int:
+    """Lane width of the per-token-head scale planes: (head, token)
+    pairs, head-major, padded to a full lane tile."""
+    return max(round_up(num_kv_heads * block_size, LANE), LANE)
 
 
 def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
@@ -145,8 +181,9 @@ def make_kv_cache(num_blocks: int, block_size: int, num_kv_heads: int,
     if not is_per_token_head(cache_dtype):
         return data
     scales = put(
-        jnp.ones((num_blocks, scale_planes(num_kv_heads), LANE),
-                 jnp.float32), scale_sh)
+        jnp.ones((num_blocks, SUBLANE,
+                  scale_lanes(num_kv_heads, block_size)), jnp.float32),
+        scale_sh)
     if cache_dtype in ("tq4", "tq3"):
         return QuantKV(data, scales, tq_codebook(cache_dtype))
     return QuantKV(data, scales)
@@ -161,7 +198,7 @@ def kv_cache_bytes_per_block(block_size: int, num_kv_heads: int,
     if cache_dtype in ("int4", "tq4", "tq3"):
         n //= 2
     if is_per_token_head(cache_dtype):
-        n += scale_planes(num_kv_heads) * LANE * 4
+        n += SUBLANE * scale_lanes(num_kv_heads, block_size) * 4
     return n
 
 
@@ -176,8 +213,10 @@ def kv_cache_shape(num_blocks: int, block_size: int, num_kv_heads: int,
 
 
 def split_kv(kv_cache: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """View K and V planes: [num_blocks, KH, block_size, Dp] each."""
-    return kv_cache[:, 0::2], kv_cache[:, 1::2]
+    """View K and V planes: [num_blocks, KH, block_size, Dp] each
+    (split-plane order: K first, then V)."""
+    kh = kv_cache.shape[1] // 2
+    return kv_cache[:, :kh], kv_cache[:, kh:]
 
 
 def quantize_rows(kv: jax.Array, qdtype) -> tuple[jax.Array, jax.Array]:
@@ -240,7 +279,8 @@ def quantize_rows_int4(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
                     0.0)
     q = jnp.clip(jnp.floor(rot * inv[..., None] + 0.5), -7, 7)
     q = (q + 8.0).astype(jnp.uint8)  # 1..15 (0 unused)
-    packed = q[..., 0::2, :] | (q[..., 1::2, :] << 4)  # K | V<<4
+    kh = kv.shape[-2] // 2  # split-plane order: K rows then V rows
+    packed = q[..., :kh, :] | (q[..., kh:, :] << 4)  # K | V<<4
     return packed, scale
 
 
@@ -259,31 +299,34 @@ def quantize_rows_tq(kv: jax.Array,
     norm = rot * inv[..., None]
     mid = (codebook[1:] + codebook[:-1]) * 0.5
     idx = jnp.searchsorted(mid, norm).astype(jnp.uint8)  # [.., 2KH, dp]
-    packed = idx[..., 0::2, :] | (idx[..., 1::2, :] << 4)  # K | V<<4
+    kh = kv.shape[-2] // 2  # split-plane order: K rows then V rows
+    packed = idx[..., :kh, :] | (idx[..., kh:, :] << 4)  # K | V<<4
     return packed, scale
-
-
-def _interleave_planes(k: jax.Array, v: jax.Array) -> jax.Array:
-    """Re-interleave K/V planes along axis 1: two [N, KH, ...] arrays
-    -> [N, 2KH, ...] with K at even slots, V at odd (works for both
-    block caches [B, KH, bs, Dp] and row batches [T, KH, Dp])."""
-    stacked = jnp.stack([k, v], axis=2)  # [N, KH, 2, ...]
-    return stacked.reshape((k.shape[0], 2 * k.shape[1]) + k.shape[2:])
 
 
 def _unpack_tq(data: jax.Array, codebook: jax.Array) -> jax.Array:
     """[N, KH, ..., Dp] uint8 K|V<<4 nibble indices ->
-    [N, 2KH, ..., Dp] f32 levels (planes re-interleaved)."""
+    [N, 2KH, ..., Dp] f32 levels (split-plane order: K then V)."""
     k = codebook[(data & 0xF).astype(jnp.int32)]
     v = codebook[(data >> 4).astype(jnp.int32)]
-    return _interleave_planes(k, v)
+    return jnp.concatenate([k, v], axis=1)
 
 
 def _unpack_int4(data: jax.Array) -> jax.Array:
-    """[N, KH, ..., Dp] uint8 K|V<<4 -> [N, 2KH, ..., Dp] f32."""
+    """[N, KH, ..., Dp] uint8 K|V<<4 -> [N, 2KH, ..., Dp] f32
+    (split-plane order: K then V)."""
     k = (data & 0xF).astype(jnp.float32) - 8.0
     v = (data >> 4).astype(jnp.float32) - 8.0
-    return _interleave_planes(k, v)
+    return jnp.concatenate([k, v], axis=1)
+
+
+def _plane_scales(scales: jax.Array, kh: int, bs: int) -> jax.Array:
+    """[B, SUBLANE, SL] (row 0 = K, row 1 = V; lane h*bs+t) ->
+    [B, 2KH, bs] in split-plane order."""
+    B = scales.shape[0]
+    ks = scales[:, 0, :kh * bs].reshape(B, kh, bs)
+    vs = scales[:, 1, :kh * bs].reshape(B, kh, bs)
+    return jnp.concatenate([ks, vs], axis=1)
 
 
 def dequant_block_kv(qkv: QuantKV) -> jax.Array:
@@ -292,18 +335,16 @@ def dequant_block_kv(qkv: QuantKV) -> jax.Array:
     data, scales, codebook = qkv
     if codebook is not None:  # TurboQuant codebook modes
         vals = _unpack_tq(data, codebook)  # rotated basis
-        kh2, bs = vals.shape[1], vals.shape[2]
-        s = scales[:, :kh2, :bs]
+        s = _plane_scales(scales, vals.shape[1] // 2, vals.shape[2])
         rot = vals * s[..., None]
         return rot @ _rht_matrix(vals.shape[-1]).T
     if is_packed_int4(data):
         vals = _unpack_int4(data)  # rotated basis
-        kh2, bs = vals.shape[1], vals.shape[2]
-        s = scales[:, :kh2, :bs]
+        s = _plane_scales(scales, vals.shape[1] // 2, vals.shape[2])
         rot = vals * s[..., None]
         return rot @ _rht_matrix(vals.shape[-1]).T
     num_blocks, kh2, bs, dp = data.shape
-    s = scales[:, :kh2, :bs]  # [B, 2KH, bs]
+    s = _plane_scales(scales, kh2 // 2, bs)  # [B, 2KH, bs]
     return data.astype(jnp.float32) * s[..., None]
 
 
@@ -326,29 +367,34 @@ def write_kv_xla(
         pad = [(0, 0), (0, 0), (0, dp - D)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    kv = jnp.stack([k, v], axis=2).reshape(T, kh2, dp)
+    # Split-plane order: K rows then V rows.
+    kv = jnp.concatenate([k, v], axis=1)  # [T, 2KH, dp]
     block_idx = slot_mapping // block_size
     offset = slot_mapping % block_size
     mode = dict(mode=oob) if oob is not None else {}
+
+    def put_scales(scales, scale):
+        """scale [T, 2KH] (K rows then V) -> lane h*bs + offset of
+        rows 0 (K) / 1 (V)."""
+        lane = (jnp.arange(KH, dtype=offset.dtype)[None, :] * block_size
+                + offset[:, None])  # [T, KH]
+        bidx = block_idx[:, None]
+        scales = scales.at[bidx, 0, lane].set(scale[:, :KH], **mode)
+        return scales.at[bidx, 1, lane].set(scale[:, KH:], **mode)
+
     if isinstance(kv_cache, QuantKV) and kv_cache.codebook is not None:
         q, scale = quantize_rows_tq(kv, kv_cache.codebook)
         new_data = data.at[block_idx, :, offset, :].set(q, **mode)
-        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
-            scale, **mode)
-        return QuantKV(new_data, new_scales, kv_cache.codebook)
+        return QuantKV(new_data, put_scales(kv_cache.scales, scale),
+                       kv_cache.codebook)
     if isinstance(kv_cache, QuantKV) and is_packed_int4(data):
         q, scale = quantize_rows_int4(kv)
         new_data = data.at[block_idx, :, offset, :].set(q, **mode)
-        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
-            scale, **mode)
-        return QuantKV(new_data, new_scales)
+        return QuantKV(new_data, put_scales(kv_cache.scales, scale))
     if isinstance(kv_cache, QuantKV):
         q, scale = quantize_rows(kv, data.dtype)
         new_data = data.at[block_idx, :, offset, :].set(q, **mode)
-        # scales [B, SP2, LANE]: plane rows x token lanes.
-        new_scales = kv_cache.scales.at[block_idx, :kh2, offset].set(
-            scale, **mode)
-        return QuantKV(new_data, new_scales)
+        return QuantKV(new_data, put_scales(kv_cache.scales, scale))
     kv = kv.astype(data.dtype)
     # Advanced indexing: per token t, cache[block[t], :, offset[t], :] = kv[t]
     return data.at[block_idx, :, offset, :].set(kv, **mode)

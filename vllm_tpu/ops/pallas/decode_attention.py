@@ -46,10 +46,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.ops.kv_cache import (LANE, TQ3_LEVELS, TQ4_LEVELS,
-                                   QuantKV, _rht_matrix,
-                                   is_packed_int4, quant_max,
-                                   scale_planes)
+from vllm_tpu.ops.kv_cache import (TQ3_LEVELS, TQ4_LEVELS, QuantKV,
+                                   _rht_matrix, codebook_select,
+                                   is_packed_int4, quant_max)
+from vllm_tpu.ops.pallas.fp8 import e4m3_to_f32
 
 RING = 4  # in-flight superstep slots per program
 F_BLOCKS = 8  # KV blocks per superstep (bf16 kernel)
@@ -57,18 +57,28 @@ MAX_HG = 8  # max kv heads statically unrolled per program
 MAX_UNROLL = 32  # bound on RB * HG (Mosaic code size)
 
 
-def _pick_head_group(KH: int, aligned: bool = False) -> int:
-    """Largest divisor of KH that is <= MAX_HG.
-
-    aligned=True (quantized KV): when splitting into several head
-    groups, the per-group scale-plane DMA slice is 2*HG sublanes, which
-    Mosaic requires to be a multiple of 8 — so accept only HG % 4 == 0
-    (or the no-split HG == KH case, which DMAs the whole padded plane).
-    """
+def _pick_head_group(KH: int, block_size: int | None = None) -> int:
+    """Largest divisor of KH that is <= MAX_HG. Quant modes pass
+    ``block_size``: their scale-lane slices use *dynamic* offsets of
+    head0 * block_size, which Mosaic only accepts when provably
+    128-aligned, so HG * block_size must be a multiple of 128. Returns
+    0 when no divisor satisfies that (caller falls back to XLA —
+    tiny test shapes like KH=2, bs=16)."""
     for hg in range(min(KH, MAX_HG), 0, -1):
-        if KH % hg == 0 and (not aligned or hg == KH or hg % 4 == 0):
+        if KH % hg == 0 and (block_size is None
+                             or (hg * block_size) % 128 == 0):
             return hg
-    return 1
+    return 0 if block_size is not None else 1
+
+
+def pallas_supports(kv_cache) -> bool:
+    """True if the fused decode kernel can compile for this cache
+    (quant caches need a 128-lane-aligned head group)."""
+    if not isinstance(kv_cache, QuantKV):
+        return True
+    data = kv_cache.data
+    KH = data.shape[1] if is_packed_int4(data) else data.shape[1] // 2
+    return _pick_head_group(KH, data.shape[2]) > 0
 
 
 def _pick_row_batch(R: int, HG: int) -> int:
@@ -90,12 +100,14 @@ def _kernel(
     o_ref,  # [RB, HG*G, Dp] VMEM block
     kv_out,  # aliased kv_hbm
     # scratch
-    kv_buf,  # [RING, 2*HG, F*bs, Dp] VMEM
-    sems,  # DMA sems [RING, F]
-    wsem,  # write-back sem
+    k_buf,  # [RING, HG, F*bs, Dp] VMEM (K planes of this head group)
+    v_buf,  # [RING, HG, F*bs, Dp] VMEM
+    sems,  # DMA sems [RING, F, 2]
+    wsem,  # write-back sems [2]
     *,
     sm_scale: float,
     block_size: int,
+    KH: int,
     HG: int,
     G: int,
     RB: int,
@@ -106,7 +118,7 @@ def _kernel(
 ):
     t = pl.program_id(0)
     hg = pl.program_id(1)
-    head0 = hg * 2 * HG  # first kv-plane slot of this head group
+    head0 = hg * HG  # first K-plane slot of this group (V at KH +)
     row0 = t * RB
     FS = F * block_size
     seq_lens = [seq_lens_ref[row0 + r] for r in range(RB)]
@@ -126,7 +138,7 @@ def _kernel(
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
 
     def dmas(slot, p):
-        """F block copies for superstep p (= iter * RB + r), each
+        """K+V slab copies for superstep p (= iter * RB + r), each
         gated on the block actually existing for its row — a short row
         in a long batch otherwise streams up to F-1 garbage blocks per
         superstep (measured 60% KV overfetch at the bench shape)."""
@@ -138,10 +150,15 @@ def _kernel(
             blk = it * F + f
             bidx = jnp.minimum(blk, max_blocks - 1)
             bid = bt_ref[row0 + r, bidx]
+            sub = pl.ds(f * block_size, block_size)
             cps.append((pltpu.make_async_copy(
-                kv_hbm.at[bid, pl.ds(head0, 2 * HG)],
-                kv_buf.at[slot, :, pl.ds(f * block_size, block_size), :],
-                sems.at[slot, f]), blk < nblk_r))
+                kv_hbm.at[bid, pl.ds(head0, HG)],
+                k_buf.at[slot, :, sub, :], sems.at[slot, f, 0]),
+                blk < nblk_r))
+            cps.append((pltpu.make_async_copy(
+                kv_hbm.at[bid, pl.ds(KH + head0, HG)],
+                v_buf.at[slot, :, sub, :], sems.at[slot, f, 1]),
+                blk < nblk_r))
         return cps
 
     def start(slot, p):
@@ -165,7 +182,8 @@ def _kernel(
     # programs only ever see previously streamed (finite) KV.
     @pl.when((t == 0) & (hg == 0))
     def _():
-        kv_buf[...] = jnp.zeros_like(kv_buf)
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
 
     for k in range(RING):
         @pl.when(p0 + k < total)
@@ -184,24 +202,35 @@ def _kernel(
             @pl.when((it == last_blks[r] // F) & (seq_lens[r] > 0))
             def _(r=r, slot=slot_h):
                 sub = pl.ds((last_blks[r] % F) * block_size, block_size)
-                for hs in range(2 * HG):
-                    tile = kv_buf[slot, hs, sub, :]
-                    new_row = new_kv_ref[r, hs, :][None, :]
-                    kv_buf[slot, hs, sub, :] = jnp.where(
-                        row_iota == offs[r], new_row, tile)
-                wb = pltpu.make_async_copy(
-                    kv_buf.at[slot, :, sub, :],
-                    kv_out.at[bt_ref[row0 + r, last_blks[r]],
-                              pl.ds(head0, 2 * HG)], wsem)
-                wb.start()
-                wb.wait()
+                for h in range(HG):
+                    ktile = k_buf[slot, h, sub, :]
+                    k_buf[slot, h, sub, :] = jnp.where(
+                        row_iota == offs[r],
+                        new_kv_ref[r, h, :][None, :], ktile)
+                    vtile = v_buf[slot, h, sub, :]
+                    v_buf[slot, h, sub, :] = jnp.where(
+                        row_iota == offs[r],
+                        new_kv_ref[r, HG + h, :][None, :], vtile)
+                bid = bt_ref[row0 + r, last_blks[r]]
+                kb = pltpu.make_async_copy(
+                    k_buf.at[slot, :, sub, :],
+                    kv_out.at[bid, pl.ds(head0, HG)], wsem.at[0])
+                vb = pltpu.make_async_copy(
+                    v_buf.at[slot, :, sub, :],
+                    kv_out.at[bid, pl.ds(KH + head0, HG)], wsem.at[1])
+                kb.start()
+                vb.start()
+                kb.wait()
+                vb.wait()
 
             # All HG heads of this row in ONE pair of MXU dots:
             # scores [HG*G, HG*FS] = q_all @ K_all^T with a block-
             # diagonal head-match mask (off-diagonal cross-head blocks
             # are wasted MXU FLOPs — decode is DMA-bound, the MXU is
             # idle — in exchange for HG-fold fewer, fatter ops; the
-            # old per-head unroll was small-dot-overhead-bound).
+            # old per-head unroll was small-dot-overhead-bound). The
+            # split-plane cache layout makes K_all/V_all plain
+            # reshapes of the streamed slabs.
             col = jax.lax.broadcasted_iota(jnp.int32, (1, HG * FS), 1)
             col_head = col // FS
             kv_pos = it * FS + col % FS
@@ -211,12 +240,17 @@ def _kernel(
                 mask &= kv_pos > seq_lens[r] - 1 - sliding_window
             m, l, acc = nc[r]
             q_all = q_ref[r]  # [HG*G, Dp]
-            k_all = jnp.concatenate(
-                [kv_buf[slot_h, 2 * h] for h in range(HG)],
-                axis=0).astype(q_all.dtype)  # [HG*FS, Dp]
-            v_all = jnp.concatenate(
-                [kv_buf[slot_h, 2 * h + 1] for h in range(HG)],
-                axis=0).astype(q_all.dtype)
+            if k_buf.dtype == jnp.float8_e4m3fn:
+                # scale-less fp8 cache: manual bit decode (fp8.py).
+                k_all = e4m3_to_f32(k_buf[slot_h].reshape(
+                    HG * FS, D)).astype(q_all.dtype)
+                v_all = e4m3_to_f32(v_buf[slot_h].reshape(
+                    HG * FS, D)).astype(q_all.dtype)
+            else:
+                k_all = k_buf[slot_h].reshape(HG * FS,
+                                              D).astype(q_all.dtype)
+                v_all = v_buf[slot_h].reshape(HG * FS,
+                                              D).astype(q_all.dtype)
             s = jax.lax.dot_general(
                 q_all, k_all, (((1, ), (1, )), ((), ())),
                 preferred_element_type=jnp.float32) * sm_scale
@@ -257,84 +291,97 @@ def _qkernel(
     bt_ref,  # [R, max_blocks] SMEM
     # inputs
     q_ref,  # [RB, HG*G, Dp] VMEM block
-    new_kv_ref,  # [RB, 2*HG, Dp] VMEM block (float, unquantized)
-    kv_hbm,  # [num_blocks, 2*KH, bs, Dp] int8/fp8 (aliased)
-    sc_hbm,  # [num_blocks, SP2, LANE] f32 (aliased)
+    new_kv_ref,  # [RB, 2*HG, Dp] VMEM block (float; K rows then V rows)
+    kv_hbm,  # [num_blocks, 2*KH|KH, bs, Dp] int8/fp8/uint8 (aliased)
+    sc_hbm,  # [num_blocks, SUBLANE, SL] f32 (aliased)
     # outputs
     o_ref,  # [RB, HG*G, Dp] VMEM block
     kv_out,  # aliased kv_hbm
     sc_out,  # aliased sc_hbm
-    # scratch
-    kv_buf,  # [RING, 2*HG, bs, Dp] quant dtype
-    s_buf,  # [RING, SL, LANE] f32
-    sems,  # DMA sems [RING, 2]
-    wsem,  # write-back sems [2]
+    # scratch (packed: data_buf only; else data_buf=K, v_buf=V)
+    data_buf,  # [RING, F, HG, bs, Dp] quant dtype
+    v_buf,  # [RING, F, HG, bs, Dp] or None (packed)
+    s_buf,  # [RING, F, SUBLANE, SL] f32
+    sems,  # DMA sems [RING, F, 3]
+    wsem,  # write-back sems [3]
     *,
     sm_scale: float,
     block_size: int,
+    KH: int,
     HG: int,
     G: int,
     RB: int,
+    F: int,
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
     packed: bool = False,
     levels: tuple | None = None,
 ):
-    """Per-token-head quantized variant of _kernel (one block per ring
-    slot): K-scales multiply score columns, V-scales multiply prob
-    columns (both lane-resident — zero relayouts); the fused write
-    quantizes the new row in-kernel with the same round-half-up rule as
-    ops/kv_cache.quantize_rows. Ref analog: int4_per_token_head.py
-    store+attend pair.
+    """Per-token-head quantized variant of _kernel — same multi-block
+    supersteps and head-batched dots; dequantization stays exact by
+    applying lane-resident K-scales to score columns and V-scales to
+    prob columns (the split-plane scale layout's (head, token) lane
+    order matches the batched score-matrix columns, so the column
+    scale row is F lane-concats, zero transposes). The fused write
+    quantizes the new row in-kernel with the XLA path's round rules.
+    Ref analog: int4_per_token_head.py store+attend pair.
 
     packed=True: nibble modes (int4 per-token-head + RHT, or TurboQuant
     codebook when ``levels`` is given). The cache plane layout is
     [B, KH, bs, Dp] uint8 with K in the low nibble and V in the high
     nibble (kv_cache.py make_kv_cache); q/new_kv arrive RHT-rotated and
-    the caller un-rotates the output, so in-kernel math runs entirely in
-    the rotated basis (scores are exact: H is orthonormal)."""
+    the caller un-rotates the output, so in-kernel math runs entirely
+    in the rotated basis (scores are exact: H is orthonormal)."""
     t = pl.program_id(0)
     hg = pl.program_id(1)
-    HG2 = 2 * HG
-    HGP = HG if packed else HG2  # data planes per head group
-    SL = s_buf.shape[1]
-    head0 = hg * HGP
-    # Scale-plane slice start: when the group covers all heads the
-    # whole padded plane rides along (SL >= 2*KH); else SL == 2*HG.
-    s_head0 = hg * SL
+    SL = s_buf.shape[-1]
+    head0 = hg * HG
     row0 = t * RB
+    FS = F * block_size
+    N = F * HG * block_size  # batched column count per superstep
     seq_lens = [seq_lens_ref[row0 + r] for r in range(RB)]
-    nblks = [pl.cdiv(s, block_size) for s in seq_lens]
-    nblk_max = functools.reduce(jnp.maximum, nblks)
+    niters = [pl.cdiv(s, FS) for s in seq_lens]
+    nit_max = functools.reduce(jnp.maximum, niters)
     first = 0
     if sliding_window is not None:
-        firsts = [jnp.maximum(s - sliding_window, 0) // block_size
+        firsts = [jnp.maximum(s - sliding_window, 0) // FS
                   for s in seq_lens]
         first = functools.reduce(jnp.minimum, firsts)
-    last_blks = [jnp.maximum(nb - 1, 0) for nb in nblks]
+    last_blks = [jnp.maximum(pl.cdiv(s, block_size) - 1, 0)
+                 for s in seq_lens]
     offs = [(s - 1) % block_size for s in seq_lens]
     D = q_ref.shape[-1]
-    qdtype = kv_buf.dtype
+    qdtype = data_buf.dtype
     qmax = quant_max(qdtype)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_buf.shape[-1]),
-                                        1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1)
 
     def dmas(slot, p):
-        blk = p // RB
+        it = p // RB
         r = p % RB
-        # Gate on the block existing for this row (see _kernel.dmas).
-        cond = blk < pl.cdiv(seq_lens_ref[row0 + r], block_size)
-        bidx = jnp.minimum(blk, max_blocks - 1)
-        bid = bt_ref[row0 + r, bidx]
-        kv_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, pl.ds(head0, HGP)], kv_buf.at[slot],
-            sems.at[slot, 0])
-        s_cp = pltpu.make_async_copy(
-            sc_hbm.at[bid, pl.ds(s_head0, SL)], s_buf.at[slot],
-            sems.at[slot, 1])
-        return [(kv_cp, cond), (s_cp, cond)]
+        nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
+        cps = []
+        for f in range(F):
+            blk = it * F + f
+            cond = blk < nblk_r
+            bidx = jnp.minimum(blk, max_blocks - 1)
+            bid = bt_ref[row0 + r, bidx]
+            if packed:
+                cps.append((pltpu.make_async_copy(
+                    kv_hbm.at[bid, pl.ds(head0, HG)],
+                    data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
+            else:
+                cps.append((pltpu.make_async_copy(
+                    kv_hbm.at[bid, pl.ds(head0, HG)],
+                    data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
+                cps.append((pltpu.make_async_copy(
+                    kv_hbm.at[bid, pl.ds(KH + head0, HG)],
+                    v_buf.at[slot, f], sems.at[slot, f, 1]), cond))
+            cps.append((pltpu.make_async_copy(
+                sc_hbm.at[bid], s_buf.at[slot, f],
+                sems.at[slot, f, 2]), cond))
+        return cps
 
     def start(slot, p):
         for cp, cond in dmas(slot, p):
@@ -348,14 +395,15 @@ def _qkernel(
             def _(cp=cp):
                 cp.wait()
 
-    total = nblk_max * RB
+    total = nit_max * RB
     p0 = first * RB
 
-    # Finite-bits guarantee for skipped slots (see _kernel): fp8 data
-    # and f32 scales both admit NaN bit patterns.
+    # Finite-bits guarantee for skipped slots (see _kernel).
     @pl.when((t == 0) & (hg == 0))
     def _():
-        kv_buf[...] = jnp.zeros_like(kv_buf)
+        data_buf[...] = jnp.zeros_like(data_buf)
+        if not packed:
+            v_buf[...] = jnp.zeros_like(v_buf)
         s_buf[...] = jnp.zeros_like(s_buf)
 
     for k in range(RING):
@@ -391,140 +439,156 @@ def _qkernel(
                        7.0).astype(jnp.int32) + 8
         return idx, scale
 
-    def _lut(idx):
-        """Codebook gather as a static select chain (Mosaic has no
-        cheap vector gather; L <= 16)."""
-        x = jnp.full(idx.shape, levels[0], jnp.float32)
-        for j in range(1, len(levels)):
-            x = jnp.where(idx == j, levels[j], x)
-        return x
+    def _quant_row(rowf):
+        """int8/fp8 per-token-head quantization (unpacked modes) —
+        bit-identical to kv_cache.quantize_rows."""
+        amax = jnp.max(jnp.abs(rowf), axis=1, keepdims=True)
+        scale = amax / qmax
+        inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
+            scale > 0.0, scale, 1.0), 0.0)
+        scaled = rowf * inv
+        if qdtype == jnp.int8:
+            qrow = jnp.clip(jnp.floor(scaled + 0.5), -qmax,
+                            qmax).astype(jnp.int32).astype(jnp.int8)
+        else:
+            qrow = scaled.astype(qdtype)
+        return qrow, scale
 
-    def body(i, carry):
+    def _lut(idx):
+        return codebook_select(idx, levels)
+
+    def body(it, carry):
         nc = list(carry)
         for r in range(RB):
-            p = i * RB + r
+            p = it * RB + r
             slot_h = p % RING
             wait(slot_h, p)
 
             # Quantize + inject this row's new K/V into the current
-            # block's tiles (data + scale), write both back.
-            @pl.when((i == last_blks[r]) & (seq_lens[r] > 0))
+            # block's tiles (data + scale plane), write both back.
+            @pl.when((it == last_blks[r] // F) & (seq_lens[r] > 0))
             def _(r=r, slot=slot_h):
-                if packed:
-                    for h in range(HG):
-                        scales = []
-                        nibs = []
-                        for hs in (2 * h, 2 * h + 1):
-                            rowf = new_kv_ref[r, hs, :][None, :].astype(
-                                jnp.float32)
-                            idx, sc = _quant_plane(rowf)
-                            nibs.append(idx)
-                            scales.append(sc)
-                        byte = (nibs[0] | (nibs[1] << 4)).astype(
-                            jnp.uint8)
-                        tile = kv_buf[slot, h]  # [bs, Dp]
-                        kv_buf[slot, h] = jnp.where(
+                fl = last_blks[r] % F
+                k_srow = s_buf[slot, fl, 0:1, :]
+                v_srow = s_buf[slot, fl, 1:2, :]
+                for h in range(HG):
+                    lane = (head0 + h) * block_size + offs[r]
+                    kf = new_kv_ref[r, h, :][None, :].astype(jnp.float32)
+                    vf = new_kv_ref[r, HG + h, :][None, :].astype(
+                        jnp.float32)
+                    if packed:
+                        k_i, k_sc = _quant_plane(kf)
+                        v_i, v_sc = _quant_plane(vf)
+                        byte = (k_i | (v_i << 4)).astype(jnp.uint8)
+                        tile = data_buf[slot, fl, h]
+                        data_buf[slot, fl, h] = jnp.where(
                             row_iota == offs[r], byte, tile)
-                        for hs, sc in zip((2 * h, 2 * h + 1), scales):
-                            srow = s_buf[slot, hs:hs + 1, :]
-                            s_buf[slot, hs:hs + 1, :] = jnp.where(
-                                col_iota == offs[r], sc, srow)
-                else:
-                    for hs in range(HG2):
-                        rowf = new_kv_ref[r, hs, :][None, :].astype(
-                            jnp.float32)  # [1, Dp]
-                        amax = jnp.max(jnp.abs(rowf), axis=1,
-                                       keepdims=True)
-                        scale = amax / qmax  # [1, 1]
-                        inv = jnp.where(scale > 0.0, 1.0 / jnp.where(
-                            scale > 0.0, scale, 1.0), 0.0)
-                        scaled = rowf * inv
-                        if qdtype == jnp.int8:
-                            qrow = jnp.clip(jnp.floor(scaled + 0.5),
-                                            -qmax, qmax).astype(
-                                                jnp.int32).astype(
-                                                    jnp.int8)
-                        else:
-                            qrow = scaled.astype(qdtype)
-                        tile = kv_buf[slot, hs]  # [bs, Dp]
-                        kv_buf[slot, hs] = jnp.where(
-                            row_iota == offs[r], qrow, tile)
-                        srow = s_buf[slot, hs:hs + 1, :]  # [1, LANE]
-                        s_buf[slot, hs:hs + 1, :] = jnp.where(
-                            col_iota == offs[r], scale, srow)
+                    else:
+                        kq, k_sc = _quant_row(kf)
+                        vq, v_sc = _quant_row(vf)
+                        ktile = data_buf[slot, fl, h]
+                        data_buf[slot, fl, h] = jnp.where(
+                            row_iota == offs[r], kq, ktile)
+                        vtile = v_buf[slot, fl, h]
+                        v_buf[slot, fl, h] = jnp.where(
+                            row_iota == offs[r], vq, vtile)
+                    k_srow = jnp.where(lane_iota == lane, k_sc, k_srow)
+                    v_srow = jnp.where(lane_iota == lane, v_sc, v_srow)
+                s_buf[slot, fl, 0:1, :] = k_srow
+                s_buf[slot, fl, 1:2, :] = v_srow
                 bid = bt_ref[row0 + r, last_blks[r]]
-                wb = pltpu.make_async_copy(
-                    kv_buf.at[slot], kv_out.at[bid, pl.ds(head0, HGP)],
-                    wsem.at[0])
-                sb = pltpu.make_async_copy(
-                    s_buf.at[slot], sc_out.at[bid, pl.ds(s_head0, SL)],
-                    wsem.at[1])
-                wb.start()
-                sb.start()
-                wb.wait()
-                sb.wait()
+                cps = [pltpu.make_async_copy(
+                    data_buf.at[slot, fl],
+                    kv_out.at[bid, pl.ds(head0, HG)], wsem.at[0])]
+                if not packed:
+                    cps.append(pltpu.make_async_copy(
+                        v_buf.at[slot, fl],
+                        kv_out.at[bid, pl.ds(KH + head0, HG)],
+                        wsem.at[1]))
+                cps.append(pltpu.make_async_copy(
+                    s_buf.at[slot, fl], sc_out.at[bid], wsem.at[2]))
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
 
-            kv_pos = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_size), 1)
-            mask = kv_pos < seq_lens[r]
+            # Head-batched flash update over all F blocks (columns in
+            # (block, head, token) order — matching the scale lanes'
+            # (head, token) order within each block).
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+            f_idx = col // (HG * block_size)
+            rem = col % (HG * block_size)
+            col_head = rem // block_size
+            kv_pos = (it * F + f_idx) * block_size + rem % block_size
+            mask = (col_head == row_head) & (kv_pos < seq_lens[r])
             if sliding_window is not None:
                 mask &= kv_pos > seq_lens[r] - 1 - sliding_window
-            for h in range(HG):
-                m, l, acc = nc[r * HG + h]
-                q_h = q_ref[r, h * G:(h + 1) * G, :].astype(jnp.float32)
-                if packed:
-                    byte = kv_buf[slot_h, h].astype(jnp.int32)
-                    k_i = byte & 0xF
-                    v_i = byte >> 4
-                    if levels is not None:
-                        k = _lut(k_i)
-                        v = _lut(v_i)
-                    else:
-                        k = (k_i - 8).astype(jnp.float32)
-                        v = (v_i - 8).astype(jnp.float32)
-                elif qdtype == jnp.int8:
-                    k = kv_buf[slot_h, 2 * h].astype(jnp.int32).astype(
-                        jnp.float32)
-                    v = kv_buf[slot_h,
-                               2 * h + 1].astype(jnp.int32).astype(
-                                   jnp.float32)
+            m, l, acc = nc[r]
+            q_all = q_ref[r]  # [HG*G, Dp]
+            lane0 = head0 * block_size
+            s_k = jnp.concatenate(
+                [s_buf[slot_h, f, 0:1, pl.ds(lane0, HG * block_size)]
+                 for f in range(F)], axis=1)  # [1, N]
+            s_v = jnp.concatenate(
+                [s_buf[slot_h, f, 1:2, pl.ds(lane0, HG * block_size)]
+                 for f in range(F)], axis=1)
+            if packed:
+                byte = data_buf[slot_h].reshape(N, D).astype(jnp.int32)
+                k_i = byte & 0xF
+                v_i = byte >> 4
+                if levels is not None:
+                    k_all = _lut(k_i).astype(q_all.dtype)
+                    v_all = _lut(v_i).astype(q_all.dtype)
                 else:
-                    k = kv_buf[slot_h, 2 * h].astype(jnp.float32)
-                    v = kv_buf[slot_h, 2 * h + 1].astype(jnp.float32)
-                s_k = s_buf[slot_h, 2 * h:2 * h + 1, :block_size]
-                s_v = s_buf[slot_h, 2 * h + 1:2 * h + 2, :block_size]
-                s = jax.lax.dot_general(
-                    q_h, k, (((1, ), (1, )), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s = s * s_k * sm_scale  # dequant K on score columns
-                if logit_softcap is not None:
-                    s = logit_softcap * jnp.tanh(s / logit_softcap)
-                s = jnp.where(mask, s, -1e30)
-                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-                p_ = jnp.exp(s - m_new)
-                p_ = jnp.where(mask, p_, 0.0)
-                alpha = jnp.exp(m - m_new)
-                l_new = alpha * l + jnp.sum(p_, axis=1, keepdims=True)
-                acc_new = alpha * acc + jax.lax.dot_general(
-                    p_ * s_v, v, (((1, ), (0, )), ((), ())),
-                    preferred_element_type=jnp.float32)
-                nc[r * HG + h] = (m_new, l_new, acc_new)
+                    k_all = (k_i - 8).astype(jnp.float32).astype(
+                        q_all.dtype)
+                    v_all = (v_i - 8).astype(jnp.float32).astype(
+                        q_all.dtype)
+            elif qdtype == jnp.int8:
+                k_all = data_buf[slot_h].reshape(N, D).astype(
+                    jnp.int32).astype(jnp.float32).astype(q_all.dtype)
+                v_all = v_buf[slot_h].reshape(N, D).astype(
+                    jnp.int32).astype(jnp.float32).astype(q_all.dtype)
+            else:
+                # fp8: manual bit decode — Mosaic's bulk e4m3 vector
+                # convert is ~30x slower (ops/pallas/fp8.py).
+                k_all = e4m3_to_f32(
+                    data_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
+                v_all = e4m3_to_f32(
+                    v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
+            s = jax.lax.dot_general(
+                q_all, k_all, (((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * s_k * sm_scale  # dequant K on score columns
+            if logit_softcap is not None:
+                s = logit_softcap * jnp.tanh(s / logit_softcap)
+            s = jnp.where(mask, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p_ = jnp.exp(s - m_new)
+            p_ = jnp.where(mask, p_, 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = alpha * l + jnp.sum(p_, axis=1, keepdims=True)
+            acc_new = alpha * acc + jax.lax.dot_general(
+                (p_ * s_v).astype(q_all.dtype), v_all,
+                (((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            nc[r] = (m_new, l_new, acc_new)
 
             @pl.when(p + RING < total)
             def _(slot=slot_h, p=p):
                 start(slot, p + RING)
         return tuple(nc)
 
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (HG * G, 1), 0) // G
     init = tuple(
-        (jnp.full((G, 1), -1e30, jnp.float32),
-         jnp.zeros((G, 1), jnp.float32),
-         jnp.zeros((G, D), jnp.float32)) for _ in range(RB * HG))
-    final = jax.lax.fori_loop(first, nblk_max, body, init)
+        (jnp.full((HG * G, 1), -1e30, jnp.float32),
+         jnp.zeros((HG * G, 1), jnp.float32),
+         jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
+    final = jax.lax.fori_loop(first, nit_max, body, init)
     for r in range(RB):
-        for h in range(HG):
-            m, l, acc = final[r * HG + h]
-            out = acc / jnp.where(l == 0.0, 1.0, l)
-            o_ref[r, h * G:(h + 1) * G, :] = out.astype(o_ref.dtype)
+        m, l, acc = final[r]
+        out = acc / jnp.where(l == 0.0, 1.0, l)
+        o_ref[r, :, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -552,7 +616,10 @@ def decode_paged_attention(
     KH = planes if packed else planes // 2
     kh2 = 2 * KH
     G = H // KH
-    HG = _pick_head_group(KH, aligned=quant)
+    # interpret mode (CPU tests) has no Mosaic alignment constraint.
+    HG = _pick_head_group(
+        KH, block_size if quant and not interpret else None)
+    assert HG > 0, "unaligned quant cache — gate on pallas_supports()"
     n_hg = KH // HG
     RB = _pick_row_batch(R, HG)
     if D < Dp:
@@ -560,25 +627,29 @@ def decode_paged_attention(
         q = jnp.pad(q, pad)
         new_k = jnp.pad(new_k, pad)
         new_v = jnp.pad(new_v, pad)
-    # Interleave K/V rows on the head axis: [R, 2KH, Dp].
-    new_kv = jnp.stack([new_k, new_v], axis=2).reshape(R, kh2, Dp)
+    # Group K/V rows per head group: [R, n_hg * 2HG, Dp] with group
+    # g's K rows first, then its V rows (the kernel's BlockSpec slices
+    # one group per grid column).
+    new_kv = jnp.concatenate(
+        [new_k.reshape(R, n_hg, HG, Dp),
+         new_v.reshape(R, n_hg, HG, Dp)], axis=2).reshape(R, kh2, Dp)
     if quant:
         out_dtype = q.dtype
         if packed:
             # RHT modes: rotate q/new_kv into the cache's basis, run
             # the kernel entirely there (scores exact — H orthonormal),
-            # un-rotate the output. f32 carries keep the in-kernel
+            # un-rotate the output. f32 new_kv keeps the in-kernel
             # quantization bit-equal to kv_cache.quantize_rows_int4/tq.
             rot = _rht_matrix(Dp)
-            q = q.astype(jnp.float32) @ rot
+            q = (q.astype(jnp.float32) @ rot).astype(out_dtype)
             new_kv = new_kv.astype(jnp.float32) @ rot
         out, kv_cache = _decode_quant(
             q, new_kv, kv_cache, block_tables, seq_lens,
-            sm_scale=sm_scale, HG=HG, n_hg=n_hg, G=G, RB=RB,
+            sm_scale=sm_scale, KH=KH, HG=HG, n_hg=n_hg, G=G, RB=RB,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
             packed=packed, interpret=interpret)
         if packed:
-            out = (out @ rot.T).astype(out_dtype)
+            out = (out.astype(jnp.float32) @ rot.T).astype(out_dtype)
         return out[..., :D], kv_cache
     new_kv = new_kv.astype(kv_cache.dtype)
 
@@ -599,15 +670,16 @@ def decode_paged_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, 2 * HG, F * block_size, Dp),
-                       kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((RING, F)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((RING, F, 2)),
+            pltpu.SemaphoreType.DMA((2, )),
         ],
     )
     out, kv_cache = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale,
-                          block_size=block_size, HG=HG, G=G, RB=RB, F=F,
+                          block_size=block_size, KH=KH, HG=HG, G=G,
+                          RB=RB, F=F,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap),
@@ -639,6 +711,7 @@ def _decode_quant(
     seq_lens: jax.Array,
     *,
     sm_scale: float,
+    KH: int,
     HG: int,
     n_hg: int,
     G: int,
@@ -651,9 +724,8 @@ def _decode_quant(
     data, scales = kv_cache.data, kv_cache.scales
     R, H, Dp = q.shape
     block_size = data.shape[2]
-    SP2 = scales.shape[1]
-    SL = 2 * HG if n_hg > 1 else SP2
-    HGP = HG if packed else 2 * HG  # data planes per head group
+    SUB, SL = scales.shape[1], scales.shape[2]
+    F = F_BLOCKS
     # Static level table for the in-kernel select chain (the traced
     # codebook leaf can't be read at trace time; its *length* is static
     # and identifies the mode — kv_cache.tq_codebook).
@@ -661,6 +733,16 @@ def _decode_quant(
               TQ4_LEVELS if kv_cache.codebook.shape[0] == 16 else
               TQ3_LEVELS)
 
+    scratch = [
+        pltpu.VMEM((RING, F, HG, block_size, Dp), data.dtype),
+        # v_buf is unused for packed modes (K|V share a byte plane);
+        # a minimal dummy keeps the kernel signature uniform.
+        pltpu.VMEM((1, 1) if packed else
+                   (RING, F, HG, block_size, Dp), data.dtype),
+        pltpu.VMEM((RING, F, SUB, SL), jnp.float32),
+        pltpu.SemaphoreType.DMA((RING, F, 3)),
+        pltpu.SemaphoreType.DMA((3, )),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R // RB, n_hg),
@@ -678,16 +760,12 @@ def _decode_quant(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((RING, HGP, block_size, Dp), data.dtype),
-            pltpu.VMEM((RING, SL, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((RING, 2)),
-            pltpu.SemaphoreType.DMA((2, )),
-        ],
+        scratch_shapes=scratch,
     )
     out, data, scales = pl.pallas_call(
         functools.partial(_qkernel, sm_scale=sm_scale,
-                          block_size=block_size, HG=HG, G=G, RB=RB,
+                          block_size=block_size, KH=KH, HG=HG, G=G,
+                          RB=RB, F=F,
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap,

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_tpu.ops.kv_cache import LANE, QuantKV
+from vllm_tpu.ops.pallas.fp8 import e4m3_to_f32
 
 DEFAULT_QBLK = 128
 DEFAULT_F = 4  # KV blocks fetched per flash iteration
@@ -86,14 +87,15 @@ def _kernel(
         """K+V copies for block-table entry i*F+f, head h, into slot."""
         bidx = jnp.minimum(i * F + f, max_blocks - 1)
         bid = bt_ref[r, bidx]
-        # Head-major cache layout: only untiled leading dims are
-        # indexed; the copied tile [bs, Dp] is fully aligned.
+        # Split-plane cache layout (K plane h, V plane KH + h): only
+        # untiled leading dims are indexed; the copied tile [bs, Dp]
+        # is fully aligned.
         k_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, 2 * h],
+            kv_hbm.at[bid, h],
             k_buf.at[slot, pl.ds(f * block_size, block_size), :],
             kv_sems.at[slot, 0, f])
         v_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, 2 * h + 1],
+            kv_hbm.at[bid, KH + h],
             v_buf.at[slot, pl.ds(f * block_size, block_size), :],
             kv_sems.at[slot, 1, f])
         return k_cp, v_cp
@@ -150,9 +152,15 @@ def _kernel(
                     kv_wait(slot, i, h)
                     # Cast KV up to the query dtype (fp8/int8 quantized
                     # caches dequantize here, in VMEM — the analog of
-                    # the ref's in-kernel _cast_kv_tile).
-                    k = k_buf[slot].astype(q2.dtype)  # [FS, D]
-                    v = v_buf[slot].astype(q2.dtype)
+                    # the ref's in-kernel _cast_kv_tile). e4m3 decodes
+                    # manually (ops/pallas/fp8.py: Mosaic's bulk fp8
+                    # convert is pathologically slow).
+                    if k_buf.dtype == jnp.float8_e4m3fn:
+                        k = e4m3_to_f32(k_buf[slot]).astype(q2.dtype)
+                        v = e4m3_to_f32(v_buf[slot]).astype(q2.dtype)
+                    else:
+                        k = k_buf[slot].astype(q2.dtype)  # [FS, D]
+                        v = v_buf[slot].astype(q2.dtype)
                     s = jax.lax.dot_general(
                         q2, k, (((1, ), (1, )), ((), ())),
                         preferred_element_type=jnp.float32) * sm_scale
@@ -210,7 +218,7 @@ def _qkernel(
     q_buf,  # [QBLK, H, Dp] VMEM
     k_buf,  # [2, F*bs, D] VMEM (quant dtype)
     v_buf,  # [2, F*bs, D] VMEM (quant dtype)
-    s_buf,  # [2, F*SP2, LANE] VMEM f32
+    s_buf,  # [2, F, SUBLANE, SL] VMEM f32
     o_buf,  # [QBLK, H, D] VMEM
     q_sem,
     kv_sems,  # DMA sems [2, 3, F]
@@ -222,7 +230,6 @@ def _qkernel(
     F: int,
     KH: int,
     G: int,
-    SP2: int,
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
@@ -248,16 +255,14 @@ def _qkernel(
     int8 = k_buf.dtype == jnp.int8 and not packed
 
     def _lut(idx):
-        x = jnp.full(idx.shape, levels[0], jnp.float32)
-        for j in range(1, len(levels)):
-            x = jnp.where(idx == j, levels[j], x)
-        return x
+        from vllm_tpu.ops.kv_cache import codebook_select
+        return codebook_select(idx, levels)
 
     def kv_dma(slot, i, f, h):
         bidx = jnp.minimum(i * F + f, max_blocks - 1)
         bid = bt_ref[r, bidx]
         s_cp = pltpu.make_async_copy(
-            sc_hbm.at[bid], s_buf.at[slot, pl.ds(f * SP2, SP2), :],
+            sc_hbm.at[bid], s_buf.at[slot, f],
             kv_sems.at[slot, 2, f])
         if packed:
             kv_cp = pltpu.make_async_copy(
@@ -266,11 +271,11 @@ def _qkernel(
                 kv_sems.at[slot, 0, f])
             return kv_cp, s_cp
         k_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, 2 * h],
+            kv_hbm.at[bid, h],
             k_buf.at[slot, pl.ds(f * block_size, block_size), :],
             kv_sems.at[slot, 0, f])
         v_cp = pltpu.make_async_copy(
-            kv_hbm.at[bid, 2 * h + 1],
+            kv_hbm.at[bid, KH + h],
             v_buf.at[slot, pl.ds(f * block_size, block_size), :],
             kv_sems.at[slot, 1, f])
         return k_cp, v_cp, s_cp
@@ -343,12 +348,15 @@ def _qkernel(
                                 jnp.int32).astype(jnp.float32).astype(
                                     q2.dtype)
                         else:
-                            k = k_buf[slot, blk, :].astype(q2.dtype)
-                            v = v_buf[slot, blk, :].astype(q2.dtype)
-                        s_k = s_buf[slot, f * SP2 + 2 * h:
-                                    f * SP2 + 2 * h + 1, :block_size]
-                        s_v = s_buf[slot, f * SP2 + 2 * h + 1:
-                                    f * SP2 + 2 * h + 2, :block_size]
+                            k = e4m3_to_f32(
+                                k_buf[slot, blk, :]).astype(q2.dtype)
+                            v = e4m3_to_f32(
+                                v_buf[slot, blk, :]).astype(q2.dtype)
+                        lane0 = h * block_size
+                        s_k = s_buf[slot, f, 0:1,
+                                    lane0:lane0 + block_size]
+                        s_v = s_buf[slot, f, 1:2,
+                                    lane0:lane0 + block_size]
                         s = jax.lax.dot_general(
                             q2, k, (((1, ), (1, )), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -450,7 +458,7 @@ def ragged_paged_attention(
                           else TQ3_LEVELS)
             rot = _rht_matrix(Dp)
             q = q.astype(jnp.float32) @ rot
-        SP2 = kv_cache.scales.shape[1]
+        SUB, SL = kv_cache.scales.shape[1:3]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(R, ),
@@ -464,7 +472,7 @@ def ragged_paged_attention(
                 pltpu.VMEM((QBLK, H, Dp), q.dtype),
                 pltpu.VMEM((2, F * block_size, Dp), data.dtype),
                 pltpu.VMEM((2, F * block_size, Dp), data.dtype),
-                pltpu.VMEM((2, F * SP2, LANE), jnp.float32),
+                pltpu.VMEM((2, F, SUB, SL), jnp.float32),
                 pltpu.VMEM((QBLK, H, Dp), q.dtype),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2, 3, F)),
@@ -473,7 +481,7 @@ def ragged_paged_attention(
         )
         kernel = functools.partial(
             _qkernel, sm_scale=sm_scale, block_size=block_size,
-            QBLK=QBLK, F=F, KH=KH, G=G, SP2=SP2, max_blocks=max_blocks,
+            QBLK=QBLK, F=F, KH=KH, G=G, max_blocks=max_blocks,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
             packed=packed, levels=levels)
         out = pl.pallas_call(

@@ -114,21 +114,23 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
 
 def kv_cache_sharding(cfg: ModelConfig, mesh: Mesh):
     """(data, scales) shardings. data [num_blocks, 2*KH, block_size,
-    Dp]: shard the head axis (axis 1) over tp, matching the
-    head-sharded k/v from column-parallel QKV; the block axis (axis 0)
-    shards over cp (context parallelism — block placement is enforced
-    by the partitioned allocator, parallel/context.py). scales
-    [num_blocks, SP2, LANE] (per-token-head quant): shard the plane
-    axis the same way when the padded plane count divides."""
+    Dp]: shard the head axis (axis 1) over tp; the block axis
+    (axis 0) shards over cp (context parallelism — block placement is
+    enforced by the partitioned allocator, parallel/context.py).
+    scales [num_blocks, SUBLANE, KH*bs] shard the *lane* axis over tp:
+    the head-major lane order makes each rank's head range a
+    contiguous lane slice.
+
+    Note: with the split-plane order an even plane split can assign a
+    rank K-planes of some heads and V-planes of others, relative to
+    the column-parallel QKV head ownership; GSPMD inserts the
+    resulting (head-local) resharding on the write path —
+    numerically transparent."""
     tp = mesh.shape[AXIS_TP]
-    from vllm_tpu.ops.kv_cache import scale_planes
     from vllm_tpu.parallel.mesh import AXIS_CP
     if (2 * cfg.num_kv_heads) % tp == 0 and tp <= 2 * cfg.num_kv_heads:
         data = NamedSharding(mesh, P(AXIS_CP, AXIS_TP, None, None))
-        sp2 = scale_planes(cfg.num_kv_heads)
-        scales = (NamedSharding(mesh, P(AXIS_CP, AXIS_TP, None))
-                  if sp2 == 2 * cfg.num_kv_heads else
-                  NamedSharding(mesh, P(AXIS_CP, None, None)))
+        scales = NamedSharding(mesh, P(AXIS_CP, None, AXIS_TP))
         return (data, scales)
     return (NamedSharding(mesh, P(AXIS_CP, None, None, None)),
             NamedSharding(mesh, P(AXIS_CP, None, None)))
