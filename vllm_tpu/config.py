@@ -36,6 +36,9 @@ class ModelConfig:
 
     model: str = ""  # path or HF id (informational)
     architecture: str = "LlamaForCausalLM"
+    # Tokenizer backend (engine/tokenizer_registry.py): auto|hf|hf_slow
+    # |tiktoken|<OOT-registered> (ref: --tokenizer-mode).
+    tokenizer_mode: str = "auto"
     vocab_size: int = 32000
     hidden_size: int = 2048
     intermediate_size: int = 5632

@@ -54,6 +54,8 @@ class AsyncLLM:
 
     def shutdown(self) -> None:
         self._shutdown.set()
+        if getattr(self, "_wt_server", None) is not None:
+            self._wt_server.close()
         if self._started:
             self._thread.join(timeout=10)
 
@@ -127,6 +129,14 @@ class AsyncLLM:
                 logger.exception("add_lora(%r) failed", name)
         elif kind == "abort":
             self.engine.abort_request(payload)
+        elif kind == "weights":
+            flat, version, done, err = payload
+            try:
+                self.engine.apply_weight_update(flat, version)
+            except Exception as e:  # noqa: BLE001 — ack the pusher
+                err.append(e)
+            finally:
+                done.set()
 
     def _emit(self, out: RequestOutput) -> None:
         q = self._request_queues.get(out.request_id)
@@ -137,6 +147,26 @@ class AsyncLLM:
         q = self._request_queues.get(req_id)
         if q is not None and self._loop is not None:
             self._loop.call_soon_threadsafe(q.put_nowait, err)
+
+    def enable_weight_transfer(self, addr: str) -> None:
+        """Accept RL weight pushes on ``addr`` (ZMQ REP). Updates ride
+        the request queue so the engine thread installs them between
+        steps (no lock on the hot path). Ref analog: weight_transfer
+        engines, vllm/distributed/weight_transfer/."""
+        import threading as _threading
+        from vllm_tpu.engine.weight_transfer import WeightTransferServer
+
+        def apply_fn(flat, version):
+            done = _threading.Event()
+            err: list = []
+            self._new_requests.put(("weights", (flat, version, done,
+                                                err)))
+            if not done.wait(timeout=60):
+                raise TimeoutError("engine did not apply weights")
+            if err:
+                raise err[0]
+
+        self._wt_server = WeightTransferServer(addr, apply_fn)
 
     # -- asyncio side -------------------------------------------------
     def add_lora(self, name: str, path: Optional[str] = None,

@@ -42,7 +42,9 @@ class LLMEngine:
 
         if tokenizer is None and mc.model:
             try:
-                tokenizer = Tokenizer(mc.model)
+                from vllm_tpu.engine.tokenizer_registry import get_tokenizer
+                tokenizer = get_tokenizer(
+                    mc.model, mode=getattr(mc, "tokenizer_mode", "auto"))
             except Exception as e:  # tokenizer-free (token-id) mode
                 logger.warning("no tokenizer loaded: %s", e)
         self.tokenizer = tokenizer
@@ -120,6 +122,9 @@ class LLMEngine:
         self.stat_logger = LoggingStatLogger(self.metrics)
         from vllm_tpu.engine.state import SleepManager
         self._sleep = SleepManager(self)
+        # RL weight-sync version (engine/weight_transfer.py; ref:
+        # set_weight_version, vllm/v1/engine/core.py:958).
+        self.weight_version = 0
 
         # EOS propagation to the scheduler's stop check.
         if not getattr(mc, "eos_token_ids", None):
@@ -486,6 +491,12 @@ class LLMEngine:
 
     def wake_up(self) -> None:
         self._sleep.wake_up()
+
+    def apply_weight_update(self, flat, version: int) -> None:
+        """Install a (partial) weight update between steps (RL
+        weight-sync; engine/weight_transfer.py)."""
+        from vllm_tpu.engine.weight_transfer import apply_weight_update
+        apply_weight_update(self, flat, version)
 
     def save_state(self, path: str) -> None:
         from vllm_tpu.engine.state import save_state

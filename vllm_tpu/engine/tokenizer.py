@@ -11,9 +11,9 @@ from typing import Optional
 
 class Tokenizer:
 
-    def __init__(self, model_path: str) -> None:
+    def __init__(self, model_path: str, **kw) -> None:
         from transformers import AutoTokenizer
-        self._tok = AutoTokenizer.from_pretrained(model_path)
+        self._tok = AutoTokenizer.from_pretrained(model_path, **kw)
 
     @property
     def eos_token_id(self) -> Optional[int]:

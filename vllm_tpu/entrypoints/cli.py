@@ -33,6 +33,8 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--trace-file", default=None)
     # Speculative decoding: {"method": "ngram"|"eagle", ...} json
     p.add_argument("--speculative-config", default=None)
+    p.add_argument("--tokenizer-mode", default="auto",
+                   help="auto|hf|hf_slow|tiktoken|<registered>")
 
 
 def _engine_config(args):
@@ -44,10 +46,12 @@ def _engine_config(args):
     spec = SpeculativeConfig()
     if getattr(args, "speculative_config", None):
         spec = SpeculativeConfig(**json.loads(args.speculative_config))
+    model = model_config_from_hf(args.model,
+                                 max_model_len=args.max_model_len,
+                                 dtype=args.dtype)
+    model.tokenizer_mode = getattr(args, "tokenizer_mode", "auto")
     return EngineConfig(
-        model=model_config_from_hf(args.model,
-                                   max_model_len=args.max_model_len,
-                                   dtype=args.dtype),
+        model=model,
         cache=CacheConfig(
             block_size=args.block_size,
             num_gpu_blocks=args.num_kv_blocks,
@@ -90,13 +94,25 @@ def cmd_serve(args) -> None:
     if not args.no_warmup:
         async_llm.engine.warmup()
 
+    if args.weight_transfer_addr:
+        async_llm.enable_weight_transfer(args.weight_transfer_addr)
+
     async def main():
         async_llm.start()
+        grpc_server = None
+        if args.grpc_port:
+            from vllm_tpu.entrypoints.grpc_server import serve_grpc
+            grpc_server = await serve_grpc(async_llm, host=args.host,
+                                           port=args.grpc_port)
         await serve(async_llm, host=args.host, port=args.port,
                     model_name=args.served_model_name or args.model,
                     tool_parser=args.tool_call_parser,
                     reasoning_parser=args.reasoning_parser)
-        await asyncio.Event().wait()  # run forever
+        try:
+            await asyncio.Event().wait()  # run forever
+        finally:
+            if grpc_server is not None:
+                await grpc_server.stop(grace=None)
 
     try:
         asyncio.run(main())
@@ -186,6 +202,10 @@ def main(argv=None) -> None:
     serve_p.add_argument("--port", type=int, default=8000)
     serve_p.add_argument("--served-model-name", default=None)
     serve_p.add_argument("--no-warmup", action="store_true")
+    serve_p.add_argument("--grpc-port", type=int, default=0,
+                         help="also serve gRPC InferenceService here")
+    serve_p.add_argument("--weight-transfer-addr", default=None,
+                         help="ZMQ REP addr for RL weight pushes")
     serve_p.add_argument(
         "--tool-call-parser", default=None,
         help="tool-call output parser (hermes, llama3_json, mistral, "
