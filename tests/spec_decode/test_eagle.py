@@ -79,6 +79,56 @@ def test_eagle_greedy_matches_plain():
     assert got == ref
 
 
+def test_eagle3_greedy_matches_plain():
+    """EAGLE-3: aux-tap hidden states, 2E-input draft layer, reduced
+    draft vocab + d2t mapping — still output-invariant under greedy."""
+    from vllm_tpu.spec_decode.eagle import random_eagle3_params
+    cfg = make_cfg()
+    params = llama.random_params(cfg.model, seed=3)
+    ref, _ = run_generate(make_cfg(), params)
+
+    ecfg = make_cfg(method="eagle3", k=3)
+    dcfg = draft_config_from_target(ecfg.model, 1)
+    dparams = random_eagle3_params(dcfg, seed=11, draft_vocab=128)
+    got, spec_steps = run_generate(ecfg, params, draft_params=dparams)
+    assert spec_steps > 0, "eagle3 never proposed drafts"
+    assert got == ref
+
+
+def test_mtp_greedy_matches_plain():
+    """DeepSeek-style MTP module (enorm/hnorm/eh_proj) as drafter."""
+    from vllm_tpu.spec_decode.eagle import random_mtp_params
+    cfg = make_cfg()
+    params = llama.random_params(cfg.model, seed=3)
+    ref, _ = run_generate(make_cfg(), params)
+
+    ecfg = make_cfg(method="mtp", k=2)
+    dcfg = draft_config_from_target(ecfg.model, 1)
+    dparams = random_mtp_params(dcfg, seed=13)
+    got, spec_steps = run_generate(ecfg, params, draft_params=dparams)
+    assert spec_steps > 0, "mtp never proposed drafts"
+    assert got == ref
+
+
+def test_eagle3_d2t_mapping():
+    """Draft ids map to target ids through the d2t offset table."""
+    import jax
+    from vllm_tpu.spec_decode.eagle import (_draft_argmax,
+                                            random_eagle3_params)
+    cfg = make_cfg().model
+    dcfg = draft_config_from_target(cfg, 1)
+    dparams = random_eagle3_params(dcfg, seed=2, draft_vocab=64)
+    h = jnp.asarray(
+        np.random.default_rng(0).standard_normal((5, cfg.hidden_size)),
+        jnp.float32)
+    tok = np.asarray(jax.device_get(_draft_argmax(dparams, {}, dcfg, h)))
+    logits = h @ np.asarray(dparams["lm_head"]["weight"])
+    d = logits.argmax(-1)
+    expect = d + np.asarray(dparams["d2t"])[d]
+    assert (tok == expect).all()
+    assert (tok < cfg.vocab_size).all()
+
+
 def test_eagle_random_sampling_runs():
     """Stochastic verification path: drafts under temperature>0 go
     through rejection sampling; generation completes and emits the

@@ -274,13 +274,13 @@ class SpeculativeConfig:
     round 1 (drafts are only proposed for temperature==0 requests).
     """
 
-    method: Literal["ngram", "eagle", None] = None
+    method: Literal["ngram", "eagle", "eagle3", "mtp", None] = None
     num_speculative_tokens: int = 4
     # n-gram match window: longest suffix tried first.
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 2
-    # eagle: draft checkpoint path (fc + llama layers; see
-    # spec_decode/eagle.py) and draft depth.
+    # eagle/eagle3/mtp: draft checkpoint path (see spec_decode/eagle.py
+    # for the per-method param schemas) and draft depth.
     model: Optional[str] = None
     draft_num_layers: int = 1
 

@@ -96,14 +96,21 @@ class LLMEngine:
         self.scheduler = Scheduler(config, num_blocks=num_blocks)
         self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
         sc = config.speculative
-        if sc.method == "eagle":
+        if sc.method in ("eagle", "eagle3", "mtp"):
             if draft_params is None:
-                from vllm_tpu.spec_decode.eagle import (
-                    draft_config_from_target, load_eagle_params)
-                assert sc.model, "eagle needs speculative.model or draft_params"
-                dcfg = draft_config_from_target(mc, sc.draft_num_layers)
-                draft_params = load_eagle_params(sc.model, dcfg)
-            self.runner.set_eagle_proposer(draft_params)
+                from vllm_tpu.spec_decode import eagle as eagle_mod
+                assert sc.model, (
+                    f"{sc.method} needs speculative.model or draft_params")
+                dcfg = eagle_mod.draft_config_from_target(
+                    mc, sc.draft_num_layers)
+                loader = {
+                    "eagle": eagle_mod.load_eagle_params,
+                    "eagle3": eagle_mod.load_eagle3_params,
+                    "mtp": eagle_mod.load_mtp_params,
+                }[sc.method]
+                draft_params = loader(sc.model, dcfg)
+            self.runner.set_eagle_proposer(draft_params,
+                                           method=sc.method)
         # Host KV tier: scheduler owns the index, runner moves bytes.
         if self.scheduler.host_kv_pool is not None:
             self.runner.host_kv_pool = self.scheduler.host_kv_pool

@@ -132,14 +132,28 @@ def forward(
     lora_idx=None,  # [T] adapter slot per token row
     input_embeds: jax.Array | None = None,  # VLM-merged embeddings
     cos_sin: tuple[jax.Array, jax.Array] | None = None,  # rope override
+    aux_layers: tuple[int, ...] | None = None,  # EAGLE-3 aux taps
 ) -> tuple[jax.Array, list[jax.Array]]:
-    """Returns (hidden_states [T, E], updated kv_caches)."""
+    """Returns (hidden_states [T, E], updated kv_caches).
+
+    With ``aux_layers`` (static tuple of layer indices) also returns a
+    third element: the residual stream captured at the *entry* of each
+    listed layer, concatenated to [T, len(aux)*E] — the EAGLE-3 drafter
+    input (ref analog: aux_hidden_state_layers capture in
+    vllm/model_executor/models/llama.py + llama_eagle3.py).
+    """
     x = (input_embeds if input_embeds is not None else
          params["embed_tokens"]["weight"][input_ids])
     cos, sin = (cos_sin if cos_sin is not None else
                 rope_cos_sin(positions, cfg))
     new_caches = []
+    aux = []
     for i, layer in enumerate(params["layers"]):
+        if aux_layers is not None:
+            # One tap per listed index (duplicates — tiny models —
+            # capture the same stream twice); concat order follows the
+            # sorted tuple, i.e. layer order.
+            aux.extend(x for j in aux_layers if j == i)
         llora = lora[i] if lora is not None else None
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         attn_out, kvc = _attention(cfg, layer, h, cos, sin, kv_caches[i],
@@ -149,6 +163,8 @@ def forward(
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h, llora, lora_idx)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if aux_layers is not None:
+        return x, new_caches, jnp.concatenate(aux, axis=-1)
     return x, new_caches
 
 

@@ -50,13 +50,51 @@ def draft_forward(
     kv_caches: list[jax.Array],
     meta: AttentionMetadata,
     q_blk: int,
+    method: str = "eagle",
 ) -> tuple[jax.Array, list[jax.Array]]:
     """One pass of the draft layer stack. Returns (draft hidden [T, E],
-    updated draft caches)."""
-    x = linear(draft_params["fc"],
-               jnp.concatenate([tok_embeds, hidden], axis=-1))
+    updated draft caches).
+
+    Method variants (presence-dispatched leaves, static ``method``):
+
+    - ``eagle`` (EAGLE-1): x = fc([embed(t); h]) then llama layers.
+    - ``mtp`` (DeepSeek multi-token prediction modules, ref
+      vllm/model_executor/models/deepseek_mtp.py): both inputs are
+      RMS-normed first (enorm/hnorm) and fc is the eh_proj; the layer
+      stack itself is llama-form here.
+    - ``eagle3`` (ref llama_eagle3.py LlamaDecoderLayer): no input fc —
+      the single layer attends over concat(input_layernorm(embeds),
+      hidden_norm(h)) [T, 2E] with a [2E, ...] qkv projection, residual
+      stream stays E-wide.
+    """
     cos, sin = rope_cos_sin(positions, cfg)
     new_caches = []
+    if method == "eagle3":
+        x = hidden
+        for i, layer in enumerate(draft_params["layers"]):
+            h2 = jnp.concatenate([
+                rms_norm(tok_embeds, layer["input_layernorm"],
+                         cfg.rms_norm_eps),
+                rms_norm(x, layer["hidden_norm"], cfg.rms_norm_eps),
+            ], axis=-1)
+            attn_out, kvc = llama._attention(cfg, layer, h2, cos, sin,
+                                             kv_caches[i], meta, q_blk)
+            new_caches.append(kvc)
+            x = x + attn_out
+            h = rms_norm(x, layer["post_attention_layernorm"],
+                         cfg.rms_norm_eps)
+            x = x + llama._mlp(layer, h)
+        if "norm" in draft_params:
+            x = rms_norm(x, draft_params["norm"], cfg.rms_norm_eps)
+        return x, new_caches
+
+    if method == "mtp":
+        tok_embeds = rms_norm(tok_embeds, draft_params["enorm"],
+                              cfg.rms_norm_eps)
+        hidden = rms_norm(hidden, draft_params["hnorm"],
+                          cfg.rms_norm_eps)
+    x = linear(draft_params["fc"],
+               jnp.concatenate([tok_embeds, hidden], axis=-1))
     for i, layer in enumerate(draft_params["layers"]):
         h = (rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
              if "input_layernorm" in layer else x)
@@ -72,10 +110,26 @@ def draft_forward(
     return x, new_caches
 
 
+def _draft_argmax(draft_params: dict, target_params: dict,
+                  dcfg: ModelConfig, h: jax.Array) -> jax.Array:
+    """Greedy next-token from draft hidden states. EAGLE-3 drafts over
+    a reduced draft vocabulary through its own lm_head and maps ids
+    back with the d2t offset table (ref: llama_eagle3.py
+    Eagle3LlamaForCausalLM.compute_logits + draft_id_to_target_id);
+    other methods share the target's LM head."""
+    if "lm_head" in draft_params and "d2t" in draft_params:
+        logits = linear(draft_params["lm_head"], h)
+        d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return d + draft_params["d2t"][d].astype(jnp.int32)
+    logits = llama.compute_logits(target_params, dcfg, h)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 def _propose_impl(
     dcfg: ModelConfig,
     block_size: int,
     k: int,
+    method: str,
     q_blk: int,
     target_params: dict,
     draft_params: dict,
@@ -94,12 +148,19 @@ def _propose_impl(
     """Returns (drafts [R, k] int32, updated draft caches)."""
     T = input_ids.shape[0]
     R = next_tokens.shape[0]
-    embed = target_params["embed_tokens"]["weight"]
+    embed = (draft_params.get("embed_tokens")
+             or target_params["embed_tokens"])["weight"]
 
     # Shifted stream: position i consumes token t_{i+1}; each row's
     # last-accepted position consumes the freshly emitted token.
     shifted = jnp.concatenate([input_ids[1:], input_ids[:1] * 0])
     shifted = shifted.at[last_idx].set(next_tokens)
+
+    if method == "eagle3":
+        # hidden arrives as the concatenated aux stream [T, 3E];
+        # combine once per target step (ref: llama_eagle3.py
+        # combine_hidden_states — fc: 3E -> E).
+        hidden = linear(draft_params["fc"], hidden)
 
     meta = AttentionMetadata(slot_mapping=slot_mapping,
                              block_tables=block_tables,
@@ -107,11 +168,10 @@ def _propose_impl(
                              seq_lens=seq_lens)
     h_d, draft_caches = draft_forward(draft_params, dcfg, embed[shifted],
                                       hidden, positions, draft_caches,
-                                      meta, q_blk)
+                                      meta, q_blk, method=method)
 
     cur_h = h_d[last_idx]  # [R, E]
-    logits = llama.compute_logits(target_params, dcfg, cur_h)
-    cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    cur_tok = _draft_argmax(draft_params, target_params, dcfg, cur_h)
     drafts = [cur_tok]
     pos = positions[last_idx] + 1  # position of the emitted token
 
@@ -131,9 +191,9 @@ def _propose_impl(
         cur_h, draft_caches = draft_forward(draft_params, dcfg,
                                             embed[cur_tok], cur_h, pos,
                                             draft_caches, step_meta,
-                                            q_blk=1)
-        logits = llama.compute_logits(target_params, dcfg, cur_h)
-        cur_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                                            q_blk=1, method=method)
+        cur_tok = _draft_argmax(draft_params, target_params, dcfg,
+                                cur_h)
         drafts.append(cur_tok)
         pos = pos + 1
 
@@ -150,10 +210,12 @@ class EagleProposer:
 
     def __init__(self, draft_params: dict, dcfg: ModelConfig, k: int,
                  num_kv_blocks: int, block_size: int,
-                 cache_dtype: str = "auto") -> None:
+                 cache_dtype: str = "auto",
+                 method: str = "eagle") -> None:
         from vllm_tpu.ops.kv_cache import make_kv_cache
         self.k = k
         self.dcfg = dcfg
+        self.method = method
         self.block_size = block_size
         self.draft_params = draft_params
         self.draft_caches = [
@@ -162,7 +224,8 @@ class EagleProposer:
             for _ in range(len(draft_params["layers"]))
         ]
         self._fn = jax.jit(
-            functools.partial(_propose_impl, dcfg, block_size, k),
+            functools.partial(_propose_impl, dcfg, block_size, k,
+                              method),
             static_argnums=(0, ),  # q_blk
             donate_argnums=(3, ),  # draft caches
         )
@@ -211,6 +274,185 @@ def random_draft_params(dcfg: ModelConfig, seed: int = 0) -> dict:
         "layers": layers,
         "norm": jnp.ones((E, ), dtype),
     }
+
+
+def default_aux_layers(target: ModelConfig) -> tuple[int, int, int]:
+    """EAGLE-3 target taps: layers (2, N//2, N-3) — the reference's
+    default when the draft config carries no
+    eagle_aux_hidden_state_layer_ids (ref: llama.py
+    get_eagle3_aux_hidden_state_layers)."""
+    n = target.num_layers
+    taps = (min(2, n - 1), max(n // 2, 1) if n > 1 else 0, max(n - 3, 0))
+    return tuple(sorted(taps))
+
+
+def random_eagle3_params(dcfg: ModelConfig, seed: int = 0,
+                         draft_vocab: int | None = None) -> dict:
+    """Random EAGLE-3 draft weights: fc [3E, E] combiner, one 2E-input
+    decoder layer with hidden_norm, and a reduced-vocab draft head with
+    a d2t id-offset table."""
+    import numpy as np
+    dtype = jnp.dtype(dcfg.dtype)
+    E = dcfg.hidden_size
+    dv = draft_vocab or dcfg.vocab_size
+    rng = np.random.default_rng(seed)
+
+    def w(shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+    base = llama.random_params(dcfg, seed=seed + 1)
+    layers = base["layers"][:1]
+    for layer in layers:
+        H, KH, D = dcfg.num_heads, dcfg.num_kv_heads, dcfg.head_dim
+        layer["qkv_proj"] = {"weight": w((2 * E, (H + 2 * KH) * D))}
+        layer["hidden_norm"] = jnp.ones((E, ), dtype)
+    # d2t: sorted offsets keep target ids strictly increasing in the
+    # draft id (any non-negative offsets work for tests).
+    d2t = np.sort(rng.integers(0, dcfg.vocab_size - dv + 1, size=(dv, )))
+    return {
+        "fc": {"weight": w((3 * E, E))},
+        "layers": layers,
+        "norm": jnp.ones((E, ), dtype),
+        "lm_head": {"weight": w((E, dv))},
+        "d2t": jnp.asarray(d2t, jnp.int32),
+    }
+
+
+def random_mtp_params(dcfg: ModelConfig, seed: int = 0) -> dict:
+    """Random MTP-module weights (enorm/hnorm/eh_proj + llama-form
+    layer; shares embed/lm_head with the target)."""
+    dtype = jnp.dtype(dcfg.dtype)
+    E = dcfg.hidden_size
+    params = random_draft_params(dcfg, seed=seed)
+    params["enorm"] = jnp.ones((E, ), dtype)
+    params["hnorm"] = jnp.ones((E, ), dtype)
+    return params
+
+
+def load_eagle3_params(path: str, dcfg: ModelConfig) -> dict:
+    """Load an EAGLE-3 draft checkpoint (ref layout: yuhuili/EAGLE3-*
+    + vllm llama_eagle3.py — ``midlayer.*`` decoder weights incl.
+    hidden_norm, ``fc`` 3E->E combiner stored [E, 3E], reduced-vocab
+    ``lm_head`` and the ``d2t`` id-offset table)."""
+    import numpy as np
+    from vllm_tpu.loader.safetensors_loader import _iter_safetensors
+    dtype = jnp.dtype(dcfg.dtype)
+    layer: dict = {}
+    params: dict = {"layers": [layer]}
+    pending: dict[tuple[str, str], dict[int, np.ndarray]] = {}
+    fused = {
+        "self_attn.q_proj": ("qkv_proj", 0, 3),
+        "self_attn.k_proj": ("qkv_proj", 1, 3),
+        "self_attn.v_proj": ("qkv_proj", 2, 3),
+        "mlp.gate_proj": ("gate_up_proj", 0, 2),
+        "mlp.up_proj": ("gate_up_proj", 1, 2),
+    }
+    direct = {"self_attn.o_proj": "o_proj", "mlp.down_proj": "down_proj"}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(path):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if name == "d2t":
+            params["d2t"] = jnp.asarray(np.asarray(w), jnp.int32)
+        elif name == "t2d":
+            pass  # only needed for training-time target mapping
+        elif name == "fc.weight":
+            params["fc"] = {"weight": to_jax(w.T)}
+        elif name in ("norm.weight", "final_norm.weight"):
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name == "embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name.startswith(("midlayer.", "layers.0.")):
+            tail = name.split(".", 1)[1]
+            if tail.startswith("0."):
+                tail = tail[2:]
+            if tail in ("input_layernorm.weight", "hidden_norm.weight",
+                        "post_attention_layernorm.weight"):
+                layer[tail.rsplit(".", 1)[0]] = to_jax(w)
+            else:
+                mod, _, kind = tail.rpartition(".")
+                if mod in direct:
+                    leaf = layer.setdefault(direct[mod], {})
+                    leaf["weight" if kind == "weight" else "bias"] = (
+                        to_jax(w.T) if kind == "weight" else to_jax(w))
+                elif mod in fused:
+                    leaf_name, slot, _n = fused[mod]
+                    pending.setdefault((leaf_name, kind), {})[slot] = w
+    for (leaf_name, kind), slots in pending.items():
+        n = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n)], axis=0)
+        leaf = layer.setdefault(leaf_name, {})
+        if kind == "weight":
+            leaf["weight"] = to_jax(cat.T)
+        else:
+            leaf["bias"] = to_jax(cat)
+    return params
+
+
+def load_mtp_params(path: str, dcfg: ModelConfig) -> dict:
+    """Load a DeepSeek-style MTP module (ref:
+    vllm/model_executor/models/deepseek_mtp.py — enorm/hnorm/eh_proj +
+    one decoder layer under ``model.layers.<N>.`` where N is the
+    target's layer count; embed/lm_head shared with the target). The
+    MTP checkpoint's layer index is remapped to draft layer 0 and the
+    layer stack is loaded in llama form."""
+    import numpy as np
+    from vllm_tpu.loader.safetensors_loader import _iter_safetensors
+    dtype = jnp.dtype(dcfg.dtype)
+    layer: dict = {}
+    params: dict = {"layers": [layer]}
+    pending: dict[tuple[str, str], dict[int, np.ndarray]] = {}
+    fused = {
+        "self_attn.q_proj": ("qkv_proj", 0, 3),
+        "self_attn.k_proj": ("qkv_proj", 1, 3),
+        "self_attn.v_proj": ("qkv_proj", 2, 3),
+        "mlp.gate_proj": ("gate_up_proj", 0, 2),
+        "mlp.up_proj": ("gate_up_proj", 1, 2),
+    }
+    direct = {"self_attn.o_proj": "o_proj", "mlp.down_proj": "down_proj"}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(path):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if name.startswith("layers."):
+            name = name.split(".", 2)[2]  # drop the layer index
+        if name == "enorm.weight":
+            params["enorm"] = to_jax(w)
+        elif name == "hnorm.weight":
+            params["hnorm"] = to_jax(w)
+        elif name == "eh_proj.weight":
+            params["fc"] = {"weight": to_jax(w.T)}
+        elif name in ("shared_head.norm.weight", "norm.weight"):
+            params["norm"] = to_jax(w)
+        elif name in ("input_layernorm.weight",
+                      "post_attention_layernorm.weight"):
+            layer[name.rsplit(".", 1)[0]] = to_jax(w)
+        elif name.endswith((".weight", ".bias")):
+            mod, _, kind = name.rpartition(".")
+            if mod in direct:
+                leaf = layer.setdefault(direct[mod], {})
+                leaf["weight" if kind == "weight" else "bias"] = (
+                    to_jax(w.T) if kind == "weight" else to_jax(w))
+            elif mod in fused:
+                leaf_name, slot, _n = fused[mod]
+                pending.setdefault((leaf_name, kind), {})[slot] = w
+    for (leaf_name, kind), slots in pending.items():
+        n = 3 if leaf_name == "qkv_proj" else 2
+        cat = np.concatenate([slots[i] for i in range(n)], axis=0)
+        leaf = layer.setdefault(leaf_name, {})
+        if kind == "weight":
+            leaf["weight"] = to_jax(cat.T)
+        else:
+            leaf["bias"] = to_jax(cat)
+    return params
 
 
 def load_eagle_params(path: str, dcfg: ModelConfig) -> dict:

@@ -141,10 +141,14 @@ class TPUModelRunner:
         # draft model; install via set_eagle_proposer). Verification is
         # shared (greedy-match / stochastic rejection in _step_impl).
         sc = config.speculative
-        self.spec_k = (sc.num_speculative_tokens
-                       if sc.method in ("ngram", "eagle") else 0)
+        self.spec_k = (sc.num_speculative_tokens if sc.method
+                       in ("ngram", "eagle", "eagle3", "mtp") else 0)
         self.proposer = None
         self.eagle = None
+        # static want_hidden for _step_impl: True streams the final
+        # hidden states to the drafter; an aux-layer tuple streams the
+        # EAGLE-3 concatenated taps instead.
+        self._want_hidden: bool | tuple = False
         if sc.method == "ngram":
             from vllm_tpu.spec_decode.ngram import NgramProposer
             self.proposer = NgramProposer(sc)
@@ -325,11 +329,13 @@ class TPUModelRunner:
                 self._install_eplb_placement(i, p2l)
         self.eplb.rebalances += 1
 
-    def set_eagle_proposer(self, draft_params: dict,
-                           dcfg=None) -> None:
-        """Install the EAGLE drafter (ref analog: the drafter built in
-        GPUModelRunner.__init__ when speculative_config.use_eagle)."""
+    def set_eagle_proposer(self, draft_params: dict, dcfg=None,
+                           method: str = "eagle") -> None:
+        """Install the EAGLE/EAGLE-3/MTP drafter (ref analog: the
+        drafter built in GPUModelRunner.__init__ when
+        speculative_config.use_eagle)."""
         from vllm_tpu.spec_decode.eagle import (EagleProposer,
+                                                default_aux_layers,
                                                 draft_config_from_target)
         mc = self.config.model
         if dcfg is None:
@@ -337,7 +343,10 @@ class TPUModelRunner:
                 mc, self.config.speculative.draft_num_layers)
         self.eagle = EagleProposer(draft_params, dcfg, self.spec_k,
                                    self.num_kv_blocks, self.block_size,
-                                   self.config.cache.cache_dtype)
+                                   self.config.cache.cache_dtype,
+                                   method=method)
+        self._want_hidden = (default_aux_layers(mc)
+                             if method == "eagle3" else True)
 
     def set_lora_registry(self, registry) -> None:
         """Install/refresh the multi-LoRA stacks. The stacked adapter
@@ -770,7 +779,7 @@ class TPUModelRunner:
         (self.kv_caches, sampled, spec_mats, lp, hidden,
          pool) = self._step_fn(self.params, self.kv_caches, inputs,
                                q_blk, self.spec_k, n_lp,
-                               self.eagle is not None, want_pooling)
+                               self._want_hidden, want_pooling)
         pool_np = (tuple(map(np.asarray, jax.device_get(pool)))
                    if pool is not None else None)
         sampled_np = np.asarray(jax.device_get(sampled))
@@ -1077,12 +1086,15 @@ def _segment_pooling(hidden: jax.Array, qsl: jax.Array):
 
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0,
-               want_hidden: bool = False, want_pooling: bool = False):
+               want_hidden: bool | tuple = False,
+               want_pooling: bool = False):
     """One fused device step: forward + logits + sample (+ greedy
     verification matrix when speculative decoding is on). With
     ``want_hidden`` the full [T, E] hidden stream is also returned
-    (stays on device — feeds the EAGLE drafter); ``want_pooling`` adds
-    per-row (sum, first, last) pooled hidden states."""
+    (stays on device — feeds the EAGLE drafter); a tuple of layer
+    indices instead returns the concatenated EAGLE-3 aux taps
+    [T, 3E]; ``want_pooling`` adds per-row (sum, first, last) pooled
+    hidden states."""
     meta = AttentionMetadata(
         slot_mapping=inputs.slot_mapping,
         block_tables=inputs.block_tables,
@@ -1097,9 +1109,16 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                        mm_rows=inputs.mm_rows)
     if inputs.positions3 is not None:
         lora_kw.update(positions3=inputs.positions3)
-    hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
-                                      inputs.positions, kv_caches, meta,
-                                      q_blk=q_blk, **lora_kw)
+    if isinstance(want_hidden, tuple):
+        hidden, kv_caches, aux = model.forward(
+            params, mc, inputs.input_ids, inputs.positions, kv_caches,
+            meta, q_blk=q_blk, aux_layers=want_hidden, **lora_kw)
+        drafter_hidden = aux
+    else:
+        hidden, kv_caches = model.forward(params, mc, inputs.input_ids,
+                                          inputs.positions, kv_caches,
+                                          meta, q_blk=q_blk, **lora_kw)
+        drafter_hidden = hidden if want_hidden else None
     # Only sampled rows' logits matter: gather last-token hidden states
     # first so the LM head runs at [R*(K+1), E] not [T, E]
     # (ref analog: logits_indices gather in gpu_model_runner).
@@ -1119,7 +1138,7 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         pool = (_segment_pooling(hidden, inputs.query_start_loc)
                 if want_pooling else None)
         return (kv_caches, sampled, None, lp,
-                hidden if want_hidden else None, pool)
+                drafter_hidden, pool)
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
@@ -1157,4 +1176,4 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     pool = (_segment_pooling(hidden, inputs.query_start_loc)
             if want_pooling else None)
     return (kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp,
-            hidden if want_hidden else None, pool)
+            drafter_hidden, pool)
