@@ -12,8 +12,9 @@ design:
   every expert with zero host round trips.
 - Inner math is the deferred-scale epilogue of quant/pallas_w4a16.py
   (raw nibble levels -> MXU, group scales applied to the accumulator).
-- Weights are prepacked tile-major per expert [NE, n_n, n_k, HALF, bn]
-  (contiguous per-grid-step DMAs).
+- Weights are prepacked tile-major per expert [NE, n_n, G, BROWS, bn]
+  (K-pair bytes, magic-mantissa decode — see pallas_w4a16; contiguous
+  per-grid-step DMAs).
 
 Grid (n_tiles, n_n, n_k), K innermost with a persistent f32
 accumulator. A tile's full K-stripe of its expert's weights streams per
@@ -31,39 +32,41 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.quant.pallas_w4a16 import BK, HALF, pick_bn, prepack_tiled
+from vllm_tpu.quant.pallas_w4a16 import (BK, BROWS, _decode_group,
+                                          pick_bn, prepack_tiled)
 from vllm_tpu.utils import cdiv
+
+GSUP = 2  # quant groups (of 128 K rows) per grid step
 
 
 def prepack_tiled_experts(qweight: jax.Array, bn: int) -> jax.Array:
-    """[NE, K/2, N] uint8 -> [NE, n_n, n_k, HALF, bn]."""
+    """[NE, K/2, N] uint8 -> [NE, n_n, G, BROWS, bn] (K-pair bytes,
+    see pallas_w4a16.prepack_tiled)."""
     return jax.vmap(lambda w: prepack_tiled(w, bn))(qweight)
 
 
 def _kernel(emap_ref, x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
-            n_k: int):
+            n_k: int, interpret: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = qw_ref[0, 0, 0].astype(jnp.int32)  # [HALF, bn]
-    lo = (packed & 0xF).astype(x_ref.dtype)
-    hi = ((packed >> 4) & 0xF).astype(x_ref.dtype)
     x = x_ref[...]
-    x0 = x[:, :HALF]
-    x1 = x[:, HALF:]
-    y0 = jax.lax.dot_general(x0, lo, (((1, ), (0, )), ((), ())),
-                             preferred_element_type=jnp.float32)
-    y1 = jax.lax.dot_general(x1, hi, (((1, ), (0, )), ((), ())),
-                             preferred_element_type=jnp.float32)
-    xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
-    xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
-    s = s_ref[0, 0]  # [2, bn]
-    zb = zb_ref[0, 0]
-    acc_ref[...] += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
-                     xs1 * zb[1:2, :])
+    acc = jnp.zeros_like(acc_ref)
+    for j in range(GSUP):
+        # Magic-mantissa decode (pallas_w4a16): w = 128 + q, the +128
+        # folds into the zero-bias epilogue term.
+        w = _decode_group(qw_ref[0, 0, j], x.dtype, interpret)
+        xg = x[:, j * BK:(j + 1) * BK]
+        y = jax.lax.dot_general(xg, w, (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        s = s_ref[0, 0, j:j + 1]  # [1, bn] f32
+        zb = zb_ref[0, 0, j:j + 1]
+        acc += y * s + xs * (zb - 128.0 * s)
+    acc_ref[...] += acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -81,27 +84,28 @@ def moe_w4a16_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     A_pad, K = x.shape
-    NE, n_n, n_k, _, bn = qweight.shape
+    NE, n_n, G, _, bn = qweight.shape
     N = n_n * bn
+    n_k = G // GSUP
     assert A_pad % bt == 0 and A_pad // bt == emap.shape[0]
-    assert K % BK == 0 and K // BK == n_k
+    assert K % (GSUP * BK) == 0 and K // BK == G
 
-    s4 = scales.astype(jnp.float32).reshape(NE, n_k, 2, N)
-    zb4 = zbias.astype(jnp.float32).reshape(NE, n_k, 2, N)
+    s4 = scales.astype(jnp.float32).reshape(NE, n_k, GSUP, N)
+    zb4 = zbias.astype(jnp.float32).reshape(NE, n_k, GSUP, N)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(A_pad // bt, n_n, n_k),
         in_specs=[
-            pl.BlockSpec((bt, BK), lambda t, n, k, emap: (t, k),
+            pl.BlockSpec((bt, GSUP * BK), lambda t, n, k, emap: (t, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, HALF, bn),
+            pl.BlockSpec((1, 1, GSUP, BROWS, bn),
                          lambda t, n, k, emap: (emap[t], n, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, bn),
+            pl.BlockSpec((1, 1, GSUP, bn),
                          lambda t, n, k, emap: (emap[t], k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, bn),
+            pl.BlockSpec((1, 1, GSUP, bn),
                          lambda t, n, k, emap: (emap[t], k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
@@ -110,7 +114,7 @@ def moe_w4a16_matmul(
         scratch_shapes=[pltpu.VMEM((bt, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
+        functools.partial(_kernel, n_k=n_k, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A_pad, N), x.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -6,28 +6,41 @@ bytes of scale/zbias — vs 2 bytes for bf16. The decode regime is
 memory-bound, so the kernel is built around the weight stream:
 
 1. **Deferred-scale epilogue** (measured +35% over dequant-in-loop).
-   The inner loop converts nibbles to raw levels only (int -> bf16 is
-   the single VPU op per element) and feeds them straight to the MXU;
-   group scales/zero-biases apply to the *accumulator*:
+   The inner loop feeds raw levels straight to the MXU; group
+   scales/zero-biases apply to the *accumulator*:
 
        y  = sum_g (x_g @ q_g) * s_g  +  rowsum(x_g) * zb_g
 
    which is exact because s/zb are constant within a group: the fma
    moves from K x N elements to T x N, negligible at decode T.
    (Ref analog: marlin's dequant-in-epilogue, csrc/.../marlin/.)
-2. **Tile-major prepacked layout.** qweight is stored
-   [n_n, n_k, HALF, bn] so every grid step's weight tile is one
-   contiguous 256-512KB HBM read (vs 128 strided rows in the flat
-   [K/2, N] layout). Prepack happens once at engine init
-   (prepare_weights — the analog of process_weights_after_loading);
-   the flat layout remains the canonical checkpoint/leaf format.
-3. **Half-split nibble packing** (quant/ref.py): byte row r of a
-   K-tile holds q[k=r] (low nibble) and q[k=r+128] (high nibble);
-   with group_size=128 the halves are exactly groups 2k/2k+1, so the
-   epilogue needs two rank-1 terms per K step and no relayouts.
+2. **Magic-mantissa nibble decode** (measured: the dequant chain was
+   VPU-bound — Mosaic has no u8->bf16 vector cast, so the old
+   widen/mask/shift/2x-convert chain cost ~5 full-width VPU passes
+   per byte tile). Each packed byte becomes an i32 lane holding TWO
+   bf16 bit patterns: ``0x4300 | nibble`` is bf16 for ``128 + q``
+   exactly (exponent 2^7 puts the nibble in ULP=1 mantissa bits), so
 
-Grid (T_tiles, N_tiles, K_tiles), K innermost; fp32 accumulator scratch
-persists across K (sequential grid), output written on the last K step.
+       t = (p & 0xF) | ((p << 12) & 0xF0000) | 0x43004300
+       w = pltpu.bitcast(t, bf16)          # [2*rows, bn], w = 128 + q
+
+   — 6 half-width VPU ops (~3 full-width equivalents) and zero
+   convert instructions. The +128 offset folds into the epilogue's
+   zero-bias term in f32 (``zb' = zb - 128*s``), costing one fma on a
+   [1, bn] tile per group: exact, free.
+3. **K-pair tile-major prepacked layout.** Byte row r of a group tile
+   holds q[k=2r] (low nibble) and q[k=2r+1] (high nibble) — exactly
+   the row interleave ``pltpu.bitcast`` produces (bf16 row 2r = low 16
+   bits of i32 row r). qweight is stored [n_n, G, 64, bn] (one quant
+   group of 128 K-rows = 64 byte rows per leading index) so each grid
+   step's weight read is one contiguous 0.4-1.5MB HBM burst. Prepack
+   happens once at engine init (prepare_weights — the analog of
+   process_weights_after_loading); the flat half-split [K/2, N] layout
+   (quant/ref.py) remains the canonical checkpoint/leaf format.
+
+Grid (T_tiles, N_tiles, K_groups/gsup), K innermost; fp32 accumulator
+scratch persists across K (sequential grid), output written on the
+last K step.
 """
 
 from __future__ import annotations
@@ -39,11 +52,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vllm_tpu.quant.ref import PACK_TILE_K
 from vllm_tpu.utils import cdiv
 
-BK = PACK_TILE_K  # 256 input rows per K step (= 2 groups of 128)
-HALF = BK // 2
+BK = 128  # K rows per k-tile (= one quant group of group_size 128)
+BROWS = BK // 2  # packed byte rows per k-tile
+HALF = BROWS  # back-compat alias (old name for the byte-row count)
 
 
 def pick_bn(N: int, bt: int) -> int:
@@ -63,52 +76,80 @@ def pick_bt(T: int) -> int:
     return min(256, max(8, 1 << (T - 1).bit_length()))
 
 
+def pick_gsup(G: int, bn: int, bt: int) -> int:
+    """Groups per grid step: fatter weight DMAs / fewer grid steps,
+    bounded so the double-buffered weight+x blocks stay in VMEM
+    (bn=6144 decode -> 4 groups = one contiguous 1.5MB read)."""
+    for g in (4, 2, 1):
+        if G % g == 0 and g * (BROWS * bn + bt * BK * 2) <= (2 << 20):
+            return g
+    return 1
+
+
 def prepack_tiled(qweight: jax.Array, bn: int) -> jax.Array:
-    """[K/2, N] uint8 -> [n_n, n_k, HALF, bn] tile-major (contiguous
-    per-grid-step reads)."""
+    """Canonical half-split [K/2, N] uint8 -> K-pair tile-major
+    [n_n, G, BROWS, bn] (contiguous per-grid-step reads, byte row r of
+    a group holds q[2r] | q[2r+1] << 4 to match pltpu.bitcast's row
+    interleave)."""
     K2, N = qweight.shape
-    n_k, n_n = K2 // HALF, N // bn
-    return qweight.reshape(n_k, HALF, n_n, bn).transpose(2, 0, 1, 3)
+    # canonical (256-tile half-split) -> raw levels [K, N]
+    t = qweight.reshape(K2 // 128, 128, N)
+    q = jnp.stack([t & 0xF, t >> 4], axis=1).reshape(2 * K2, N)
+    # K-pair bytes
+    qp = q.reshape(K2, 2, N)
+    p = (qp[:, 0] | (qp[:, 1] << 4)).astype(jnp.uint8)  # [K/2, N]
+    G = (2 * K2) // BK
+    return (p.reshape(G, BROWS, N // bn, bn).transpose(2, 0, 1, 3))
 
 
 def unpack_tiled(tiled: jax.Array) -> jax.Array:
-    """Inverse of prepack_tiled -> [K/2, N]."""
-    n_n, n_k, half, bn = tiled.shape
-    return tiled.transpose(1, 2, 0, 3).reshape(n_k * half, n_n * bn)
+    """Inverse of prepack_tiled -> canonical half-split [K/2, N]."""
+    n_n, G, brows, bn = tiled.shape
+    p = tiled.transpose(1, 2, 0, 3).reshape(G * brows, n_n * bn)
+    lo = p & 0xF
+    hi = p >> 4
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * G * brows, n_n * bn)
+    K = q.shape[0]
+    qt = q.reshape(K // 256, 2, 128, n_n * bn)
+    return (qt[:, 0] | (qt[:, 1] << 4)).reshape(K // 2,
+                                                n_n * bn).astype(
+                                                    jnp.uint8)
+
+
+def _decode_group(packed_u8: jax.Array, dtype,
+                  interpret: bool) -> jax.Array:
+    """[BROWS, bn] packed bytes -> [BK, bn] weights valued 128 + q
+    (row 2r = low nibble of byte row r, row 2r+1 = high)."""
+    p = packed_u8.astype(jnp.int32)
+    if interpret:  # bitcast semantics differ off-TPU; same numerics
+        q = jnp.stack([p & 0xF, p >> 4],
+                      axis=1).reshape(2 * p.shape[0], p.shape[1])
+        return (q.astype(jnp.float32) + 128.0).astype(dtype)
+    t = (p & 0xF) | ((p << 12) & 0xF0000) | 0x43004300
+    w = pltpu.bitcast(t, jnp.bfloat16)
+    return w if dtype == jnp.bfloat16 else w.astype(dtype)
 
 
 def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
-            n_k: int, ksup: int):
+            n_k: int, gsup: int, interpret: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Mosaic legalizes bit ops/casts on i32 vectors, not i8: widen
-    # first. Raw levels go to the MXU; scales wait for the epilogue.
-    # ksup K-tiles per grid step (fatter HBM reads, fewer steps).
     x = x_ref[...]
     acc = jnp.zeros_like(acc_ref)
-    for j in range(ksup):
-        packed = qw_ref[0, j].astype(jnp.int32)  # [HALF, bn]
-        lo = (packed & 0xF).astype(x.dtype)
-        # Source bytes are u8: >>4 already clears the high bits, no
-        # second mask (the dequant chain is VPU-bound — every op on the
-        # [HALF, bn] tile costs ~4% of the kernel).
-        hi = (packed >> 4).astype(x.dtype)
-        x0 = x[:, j * BK:j * BK + HALF]
-        x1 = x[:, j * BK + HALF:(j + 1) * BK]
-        y0 = jax.lax.dot_general(x0, lo, (((1, ), (0, )), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        y1 = jax.lax.dot_general(x1, hi, (((1, ), (0, )), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        xs0 = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True)
-        xs1 = jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
-        s = s_ref[j].astype(jnp.float32)  # [2, bn]
-        zb = zb_ref[j].astype(jnp.float32)
-        acc += (y0 * s[0:1, :] + xs0 * zb[0:1, :] + y1 * s[1:2, :] +
-                xs1 * zb[1:2, :])
+    for j in range(gsup):
+        w = _decode_group(qw_ref[0, j], x.dtype, interpret)
+        xg = x[:, j * BK:(j + 1) * BK]
+        y = jax.lax.dot_general(xg, w, (((1, ), (0, )), ((), ())),
+                                preferred_element_type=jnp.float32)
+        xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        s = s_ref[0, j:j + 1].astype(jnp.float32)  # [1, bn]
+        zb = zb_ref[0, j:j + 1].astype(jnp.float32)
+        # w = 128 + q  =>  x@q = y - 128*xs: fold into the zero-bias.
+        acc += y * s + xs * (zb - 128.0 * s)
     acc_ref[...] += acc
 
     @pl.when(k == n_k - 1)
@@ -119,7 +160,7 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
 @functools.partial(jax.jit, static_argnames=("interpret", ))
 def w4a16_matmul(
     x: jax.Array,  # [T, K] bf16/f32
-    qweight: jax.Array,  # [n_n, n_k, HALF, bn] prepacked (or [K/2, N])
+    qweight: jax.Array,  # [n_n, G, BROWS, bn] prepacked (or [K/2, N])
     scales: jax.Array,  # [K//128, N]
     zbias: jax.Array,  # [K//128, N]
     interpret: bool = False,
@@ -132,35 +173,33 @@ def w4a16_matmul(
     bt = pick_bt(T)
     if qweight.ndim == 2:  # unpacked leaf: tile on the fly (slow path)
         qweight = prepack_tiled(qweight, pick_bn(qweight.shape[1], bt))
-    n_n, n_k, _, bn = qweight.shape
+    n_n, G2, _, bn = qweight.shape
+    assert G2 == G
     N = n_n * bn
     n_t = cdiv(T, bt)
-    # K-supersteps: process 2 K-tiles (512 rows) per grid step when
-    # they divide — halves grid-step count and doubles the per-step
-    # weight DMA. Decode shapes only: at prefill bt the doubled
-    # weight/scale blocks push past the 16M scoped-VMEM budget.
-    ksup = 2 if n_k % 2 == 0 and bt <= 64 else 1
-    n_kg = n_k // ksup
+    gsup = pick_gsup(G, bn, bt)
+    n_kg = G // gsup
 
     # Leading-indexed scale layout: pipeline indexes only the untiled
     # leading dim (Mosaic: sliced tiled dims must be tile-aligned).
     # dtype passes through: prepare_weights ships bf16 scales (halves
     # ~19% of the weight stream); the kernel upcasts in the epilogue.
-    s3 = scales.reshape(n_k, 2, N)
-    zb3 = zbias.reshape(n_k, 2, N)
+    s3 = scales.reshape(n_kg, gsup, N)
+    zb3 = zbias.reshape(n_kg, gsup, N)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_kg, ksup=ksup),
+        functools.partial(_kernel, n_k=n_kg, gsup=gsup,
+                          interpret=interpret),
         grid=(n_t, n_n, n_kg),
         in_specs=[
-            pl.BlockSpec((bt, ksup * BK), lambda t, n, k: (t, k),
+            pl.BlockSpec((bt, gsup * BK), lambda t, n, k: (t, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ksup, HALF, bn),
+            pl.BlockSpec((1, gsup, BROWS, bn),
                          lambda t, n, k: (n, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ksup, 2, bn), lambda t, n, k: (k, 0, n),
+            pl.BlockSpec((1, gsup, bn), lambda t, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ksup, 2, bn), lambda t, n, k: (k, 0, n),
+            pl.BlockSpec((1, gsup, bn), lambda t, n, k: (k, 0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n),
