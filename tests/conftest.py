@@ -34,6 +34,17 @@ if os.environ.get("VLLM_TPU_TEST_ON_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The full suite compiles thousands of XLA:CPU executables; the
+    accumulated compiler state eventually segfaults LLVM mid-compile
+    (observed in quant/test_online.py only when the whole suite runs
+    in one process). Dropping jit caches between modules keeps the
+    compiler healthy at a small recompile cost."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _reset_ambient_mesh():
     """The runner installs its mesh globally (parallel/mesh); make sure

@@ -283,6 +283,12 @@ class SpeculativeConfig:
     # for the per-method param schemas) and draft depth.
     model: Optional[str] = None
     draft_num_layers: int = 1
+    # eagle3: which target layers feed the 3E aux stream. None = read
+    # eagle_aux_hidden_state_layer_ids from the draft checkpoint's
+    # config.json, falling back to the (2, N//2, N-3) default (ref:
+    # gpu_model_runner.py:5545 honors the draft config before the
+    # default).
+    eagle_aux_layers: Optional[tuple] = None
 
 
 # ---------------------------------------------------------------------------

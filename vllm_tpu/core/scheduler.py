@@ -327,9 +327,9 @@ class Scheduler:
         Eligible when nothing is waiting, no new/resumed requests, no
         spec drafts, and every scheduled request runs exactly 1 token."""
         horizon = self.config.scheduler.multi_step_decode_horizon
-        # EAGLE proposes from the single-step program's hidden states;
-        # multi-step would starve it of drafts forever.
-        if self.config.speculative.method == "eagle":
+        # EAGLE-family drafters propose from the single-step program's
+        # hidden states; multi-step would starve them of drafts forever.
+        if self.config.speculative.method in ("eagle", "eagle3", "mtp"):
             return
         if (horizon <= 1 or self.waiting or out.scheduled_new_reqs
                 or out.scheduled_spec_decode_tokens

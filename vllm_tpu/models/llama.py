@@ -194,7 +194,12 @@ def compute_logits(params: dict, cfg: ModelConfig,
     else:
         lm_head = params["lm_head"]
         if "qweight" in lm_head:
-            logits = linear(lm_head, hidden).astype(jnp.float32)
+            # [..., :V]: prepare_weights pads vocab-width quantized
+            # heads to a tile-friendly N (quant/kernels.py); the padded
+            # columns decode to logit 0 and must not reach the sampler.
+            logits = linear(lm_head,
+                            hidden).astype(jnp.float32)[...,
+                                                        :cfg.vocab_size]
         else:
             logits = _lm_head_matmul(hidden, lm_head["weight"])
     if cfg.logit_softcap is not None:

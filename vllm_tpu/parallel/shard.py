@@ -53,7 +53,7 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     moe_col = NamedSharding(mesh, P(e_ax, None, AXIS_TP))
     moe_row = NamedSharding(mesh, P(e_ax, AXIS_TP, None))
 
-    # Tile-major prepacked W4A16 qweight [n_n, n_k, HALF, bn]
+    # Tile-major prepacked W4A16 qweight [n_n, G, BROWS, bn]
     # (quant/pallas_w4a16.prepack_tiled): the output dim is axis 0,
     # the input dim axis 1.
     col4 = NamedSharding(mesh, P(AXIS_TP, None, None, None))

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from vllm_tpu.quant.ref import PACK_TILE_K
+from vllm_tpu.utils import cdiv
 
 
 def unpack_w4_halfsplit_jnp(packed: jax.Array,
@@ -109,7 +110,7 @@ def prepare_weights(params):
         return params
     from vllm_tpu.quant.pallas_w4a16 import pick_bn, prepack_tiled
 
-    def visit(node):
+    def visit(node, key=None):
         if isinstance(node, dict):
             qw = node.get("qweight")
             if (qw is not None and getattr(qw, "dtype", None) == jnp.uint8
@@ -117,6 +118,20 @@ def prepare_weights(params):
                     and "mx_scale" not in node and "scales" in node
                     and qw.shape[0] % 128 == 0
                     and node["scales"].shape[0] * 64 == qw.shape[0]):
+                if key == "lm_head" and pick_bn(qw.shape[1], 32) < 1024:
+                    # Vocab widths (e.g. 32000) tile terribly (bn=256
+                    # -> 125 tiny grid steps, measured 3x the stream
+                    # floor). Pad N to a 2048 multiple; the padded
+                    # columns decode to logit 0 (scales/zbias 0) and
+                    # compute_logits slices back to vocab_size.
+                    n = qw.shape[1]
+                    n_pad = cdiv(n, 2048) * 2048 - n
+                    node = dict(node)
+                    node["qweight"] = jnp.pad(qw, ((0, 0), (0, n_pad)))
+                    for k2 in ("scales", "zbias"):
+                        node[k2] = jnp.pad(node[k2],
+                                           ((0, 0), (0, n_pad)))
+                    qw = node["qweight"]
                 bn = pick_bn(qw.shape[1], 32)
                 if qw.shape[1] % bn == 0:
                     node = dict(node)
@@ -143,10 +158,10 @@ def prepare_weights(params):
                     node = dict(node)
                     node["qweight"] = jax.jit(
                         prepack_tiled_experts, static_argnums=1)(qw, bn)
-            return {k: visit(v) if isinstance(v, (dict, list)) else v
+            return {k: visit(v, k) if isinstance(v, (dict, list)) else v
                     for k, v in node.items()}
         if isinstance(node, list):
-            return [visit(v) if isinstance(v, (dict, list)) else v
+            return [visit(v, key) if isinstance(v, (dict, list)) else v
                     for v in node]
         return node
 

@@ -77,7 +77,7 @@ def _kernel(emap_ref, x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
 def moe_w4a16_matmul(
     x: jax.Array,  # [A_pad, K] expert-sorted, tile-aligned padded
     emap: jax.Array,  # [n_tiles] i32 expert id per BT-row tile
-    qweight: jax.Array,  # [NE, n_n, n_k, HALF, bn] prepacked
+    qweight: jax.Array,  # [NE, n_n, G, BROWS, bn] prepacked
     scales: jax.Array,  # [NE, K//128, N] f32
     zbias: jax.Array,  # [NE, K//128, N] f32
     bt: int,

@@ -15,25 +15,29 @@ memory-bound, so the kernel is built around the weight stream:
    moves from K x N elements to T x N, negligible at decode T.
    (Ref analog: marlin's dequant-in-epilogue, csrc/.../marlin/.)
 2. **Magic-mantissa nibble decode** (measured: the dequant chain was
-   VPU-bound — Mosaic has no u8->bf16 vector cast, so the old
-   widen/mask/shift/2x-convert chain cost ~5 full-width VPU passes
-   per byte tile). Each packed byte becomes an i32 lane holding TWO
-   bf16 bit patterns: ``0x4300 | nibble`` is bf16 for ``128 + q``
-   exactly (exponent 2^7 puts the nibble in ULP=1 mantissa bits), so
+   VPU-bound — Mosaic has no u8->bf16 vector cast). ``0x4300 |
+   nibble`` is the bf16 bit pattern for ``128 + q`` exactly (exponent
+   2^7 puts the nibble in ULP=1 mantissa bits). The +128 offset folds
+   into the epilogue's zero-bias term in f32 (``zb' = zb - 128*s``),
+   costing one fma on a [1, bn] tile per group: exact, free.
+3. **Quad-row interleaved layout + 0xF000F double-insert** (r3; the
+   r2 K-pair layout cost 6 VPU ops per 2 weights on full-width i32
+   lanes). The packed bytes are viewed as i32 WITHOUT widening
+   (pltpu.bitcast u8->i32: VMEM stores u8 in (·,128)(4,1) tiles, so
+   4 consecutive byte rows already live in one 32-bit register row,
+   little-endian — verified on v5e). Each i32 lane holds 4 bytes = 8
+   nibbles; one AND against 0xF000F selects TWO nibbles straight into
+   the two bf16 mantissa slots:
 
-       t = (p & 0xF) | ((p << 12) & 0xF0000) | 0x43004300
-       w = pltpu.bitcast(t, bf16)          # [2*rows, bn], w = 128 + q
+       t  = bitcast_u8_to_i32(packed)              # [16, bn] per group
+       oS = ((t >> S) & 0xF000F) | 0x43004300      # S in (0, 4, 8, 12)
+       w  = bitcast(concat([o0 o1 o2 o3]), bf16)   # [128, bn] = 128+q
 
-   — 6 half-width VPU ops (~3 full-width equivalents) and zero
-   convert instructions. The +128 offset folds into the epilogue's
-   zero-bias term in f32 (``zb' = zb - 128*s``), costing one fma on a
-   [1, bn] tile per group: exact, free.
-3. **K-pair tile-major prepacked layout.** Byte row r of a group tile
-   holds q[k=2r] (low nibble) and q[k=2r+1] (high nibble) — exactly
-   the row interleave ``pltpu.bitcast`` produces (bf16 row 2r = low 16
-   bits of i32 row r). qweight is stored [n_n, G, 64, bn] (one quant
-   group of 128 K-rows = 64 byte rows per leading index) so each grid
-   step's weight read is one contiguous 0.4-1.5MB HBM burst. Prepack
+   11 VPU ops on quarter-height [16, bn] tiles per 128-row group
+   (~0.7 lane-ops/weight vs 3.0 before). Prepack places each weight k
+   at exactly the (byte-row, nibble) the chain reads it from (see
+   _LO/_HI below); qweight stays [n_n, G, 64, bn] so each grid step's
+   weight read remains one contiguous 0.4-1.5MB HBM burst. Prepack
    happens once at engine init (prepare_weights — the analog of
    process_weights_after_loading); the flat half-split [K/2, N] layout
    (quant/ref.py) remains the canonical checkpoint/leaf format.
@@ -49,6 +53,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as _onp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,7 +61,28 @@ from vllm_tpu.utils import cdiv
 
 BK = 128  # K rows per k-tile (= one quant group of group_size 128)
 BROWS = BK // 2  # packed byte rows per k-tile
-HALF = BROWS  # back-compat alias (old name for the byte-row count)
+
+# Quad-row interleave: byte row r of a group tile (r = 4j + m) holds
+# weights (_LO[r], _HI[r]) in its (low, high) nibble. Derived from the
+# decode chain: i32 row j = byte rows (4j..4j+3) little-endian; output
+# oS (S = 0,4,8,12) contributes bf16 rows [8*S + 2j, 8*S + 2j + 1]
+# from bytes (4j, 4j+2) at nibble position S — so the decoded k order
+# comes out 0..127 after the concat.
+_J2 = 2 * _onp.arange(16)
+_LO = _onp.empty(BROWS, _onp.int32)
+_LO[0::4] = _J2          # o0 even rows: byte 4j low nibble
+_LO[1::4] = 64 + _J2     # o2 even rows: byte 4j+1 low nibble
+_LO[2::4] = _J2 + 1      # o0 odd rows:  byte 4j+2 low nibble
+_LO[3::4] = 64 + _J2 + 1  # o2 odd rows: byte 4j+3 low nibble
+_HI = _LO + 32           # o1/o3: same bytes, high nibble
+# Inverse (interpret-mode decode + unpack): weight k lives at byte row
+# _ROW[k], shifted by _SHIFT[k].
+_ROW = _onp.empty(BK, _onp.int32)
+_SHIFT = _onp.empty(BK, _onp.int32)
+_ROW[_LO] = _onp.arange(BROWS)
+_SHIFT[_LO] = 0
+_ROW[_HI] = _onp.arange(BROWS)
+_SHIFT[_HI] = 4
 
 
 def pick_bn(N: int, bt: int) -> int:
@@ -87,29 +113,27 @@ def pick_gsup(G: int, bn: int, bt: int) -> int:
 
 
 def prepack_tiled(qweight: jax.Array, bn: int) -> jax.Array:
-    """Canonical half-split [K/2, N] uint8 -> K-pair tile-major
-    [n_n, G, BROWS, bn] (contiguous per-grid-step reads, byte row r of
-    a group holds q[2r] | q[2r+1] << 4 to match pltpu.bitcast's row
-    interleave)."""
+    """Canonical half-split [K/2, N] uint8 -> quad-row-interleaved
+    tile-major [n_n, G, BROWS, bn] (contiguous per-grid-step reads;
+    byte row r of a group holds q[_LO[r]] | q[_HI[r]] << 4 so the
+    in-kernel 0xF000F double-insert emits weights in k order)."""
     K2, N = qweight.shape
     # canonical (256-tile half-split) -> raw levels [K, N]
     t = qweight.reshape(K2 // 128, 128, N)
     q = jnp.stack([t & 0xF, t >> 4], axis=1).reshape(2 * K2, N)
-    # K-pair bytes
-    qp = q.reshape(K2, 2, N)
-    p = (qp[:, 0] | (qp[:, 1] << 4)).astype(jnp.uint8)  # [K/2, N]
     G = (2 * K2) // BK
-    return (p.reshape(G, BROWS, N // bn, bn).transpose(2, 0, 1, 3))
+    q3 = q.reshape(G, BK, N)
+    p = (q3[:, _LO] | (q3[:, _HI] << 4)).astype(jnp.uint8)  # [G,BROWS,N]
+    return p.reshape(G, BROWS, N // bn, bn).transpose(2, 0, 1, 3)
 
 
 def unpack_tiled(tiled: jax.Array) -> jax.Array:
     """Inverse of prepack_tiled -> canonical half-split [K/2, N]."""
     n_n, G, brows, bn = tiled.shape
-    p = tiled.transpose(1, 2, 0, 3).reshape(G * brows, n_n * bn)
-    lo = p & 0xF
-    hi = p >> 4
-    q = jnp.stack([lo, hi], axis=1).reshape(2 * G * brows, n_n * bn)
-    K = q.shape[0]
+    p = tiled.transpose(1, 2, 0, 3)  # [G, BROWS, N]
+    q = (p[:, _ROW] >> _SHIFT[None, :, None]) & 0xF  # [G, BK, N]
+    K = G * BK
+    q = q.reshape(K, n_n * bn)
     qt = q.reshape(K // 256, 2, 128, n_n * bn)
     return (qt[:, 0] | (qt[:, 1] << 4)).reshape(K // 2,
                                                 n_n * bn).astype(
@@ -119,14 +143,27 @@ def unpack_tiled(tiled: jax.Array) -> jax.Array:
 def _decode_group(packed_u8: jax.Array, dtype,
                   interpret: bool) -> jax.Array:
     """[BROWS, bn] packed bytes -> [BK, bn] weights valued 128 + q
-    (row 2r = low nibble of byte row r, row 2r+1 = high)."""
-    p = packed_u8.astype(jnp.int32)
+    (quad-row interleave; see module docstring trick #3)."""
     if interpret:  # bitcast semantics differ off-TPU; same numerics
-        q = jnp.stack([p & 0xF, p >> 4],
-                      axis=1).reshape(2 * p.shape[0], p.shape[1])
+        # _ROW/_SHIFT recomputed from iota: pallas kernels cannot
+        # capture host constants.
+        p = packed_u8.astype(jnp.int32)
+        k = jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0)
+        sec, r_in = k >> 5, k & 31
+        row = 4 * (r_in >> 1) + 2 * (r_in & 1) + (sec >> 1)
+        shift = (sec & 1) * 4
+        q = (jnp.take(p, row[:, 0], axis=0) >> shift) & 0xF
         return (q.astype(jnp.float32) + 128.0).astype(dtype)
-    t = (p & 0xF) | ((p << 12) & 0xF0000) | 0x43004300
-    w = pltpu.bitcast(t, jnp.bfloat16)
+    t = pltpu.bitcast(packed_u8, jnp.int32)  # [BROWS // 4, bn]
+    m = jnp.int32(0x000F000F)
+    c = jnp.int32(0x43004300)
+    w = pltpu.bitcast(
+        jnp.concatenate([
+            (t & m) | c,
+            ((t >> 4) & m) | c,
+            ((t >> 8) & m) | c,
+            ((t >> 12) & m) | c,
+        ], axis=0), jnp.bfloat16)
     return w if dtype == jnp.bfloat16 else w.astype(dtype)
 
 

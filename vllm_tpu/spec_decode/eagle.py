@@ -51,9 +51,14 @@ def draft_forward(
     meta: AttentionMetadata,
     q_blk: int,
     method: str = "eagle",
-) -> tuple[jax.Array, list[jax.Array]]:
-    """One pass of the draft layer stack. Returns (draft hidden [T, E],
-    updated draft caches).
+) -> tuple[jax.Array, jax.Array, list[jax.Array]]:
+    """One pass of the draft layer stack. Returns (head hidden [T, E],
+    feedback hidden [T, E], updated draft caches). For EAGLE-3 the two
+    differ: the LM head reads the post-final-norm output while the next
+    chained step consumes the PRE-norm residual (ref: llama_eagle3.py
+    LlamaModel.forward returns hidden_prenorm as the aux output with
+    norm_output=False); feeding the post-norm state back shifts the
+    draft input distribution and erodes acceptance.
 
     Method variants (presence-dispatched leaves, static ``method``):
 
@@ -84,9 +89,10 @@ def draft_forward(
             h = rms_norm(x, layer["post_attention_layernorm"],
                          cfg.rms_norm_eps)
             x = x + llama._mlp(layer, h)
+        pre = x
         if "norm" in draft_params:
             x = rms_norm(x, draft_params["norm"], cfg.rms_norm_eps)
-        return x, new_caches
+        return x, pre, new_caches
 
     if method == "mtp":
         tok_embeds = rms_norm(tok_embeds, draft_params["enorm"],
@@ -107,7 +113,7 @@ def draft_forward(
         x = x + llama._mlp(layer, h)
     if "norm" in draft_params:
         x = rms_norm(x, draft_params["norm"], cfg.rms_norm_eps)
-    return x, new_caches
+    return x, x, new_caches
 
 
 def _draft_argmax(draft_params: dict, target_params: dict,
@@ -166,12 +172,14 @@ def _propose_impl(
                              block_tables=block_tables,
                              query_start_loc=query_start_loc,
                              seq_lens=seq_lens)
-    h_d, draft_caches = draft_forward(draft_params, dcfg, embed[shifted],
-                                      hidden, positions, draft_caches,
-                                      meta, q_blk, method=method)
+    h_d, h_fb, draft_caches = draft_forward(draft_params, dcfg,
+                                            embed[shifted], hidden,
+                                            positions, draft_caches,
+                                            meta, q_blk, method=method)
 
-    cur_h = h_d[last_idx]  # [R, E]
-    cur_tok = _draft_argmax(draft_params, target_params, dcfg, cur_h)
+    cur_h = h_fb[last_idx]  # [R, E] feedback (pre-norm for eagle3)
+    cur_tok = _draft_argmax(draft_params, target_params, dcfg,
+                            h_d[last_idx])
     drafts = [cur_tok]
     pos = positions[last_idx] + 1  # position of the emitted token
 
@@ -188,12 +196,11 @@ def _propose_impl(
             query_start_loc=jnp.arange(R + 1, dtype=jnp.int32),
             seq_lens=jnp.where(active, pos + 1, 0),
         )
-        cur_h, draft_caches = draft_forward(draft_params, dcfg,
-                                            embed[cur_tok], cur_h, pos,
-                                            draft_caches, step_meta,
-                                            q_blk=1, method=method)
+        h_head, cur_h, draft_caches = draft_forward(
+            draft_params, dcfg, embed[cur_tok], cur_h, pos,
+            draft_caches, step_meta, q_blk=1, method=method)
         cur_tok = _draft_argmax(draft_params, target_params, dcfg,
-                                cur_h)
+                                h_head)
         drafts.append(cur_tok)
         pos = pos + 1
 
@@ -333,12 +340,27 @@ def load_eagle3_params(path: str, dcfg: ModelConfig) -> dict:
     """Load an EAGLE-3 draft checkpoint (ref layout: yuhuili/EAGLE3-*
     + vllm llama_eagle3.py — ``midlayer.*`` decoder weights incl.
     hidden_norm, ``fc`` 3E->E combiner stored [E, 3E], reduced-vocab
-    ``lm_head`` and the ``d2t`` id-offset table)."""
+    ``lm_head`` and the ``d2t`` id-offset table). If the checkpoint
+    directory carries a config.json with
+    ``eagle_aux_hidden_state_layer_ids``, the tap layers are returned
+    under the host-side ``_aux_layers`` key (popped before the params
+    enter the jitted pytree)."""
+    import json
+    import os
+
     import numpy as np
     from vllm_tpu.loader.safetensors_loader import _iter_safetensors
     dtype = jnp.dtype(dcfg.dtype)
     layer: dict = {}
     params: dict = {"layers": [layer]}
+    cfg_path = os.path.join(path if os.path.isdir(path)
+                            else os.path.dirname(path), "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        taps = raw.get("eagle_aux_hidden_state_layer_ids")
+        if taps:
+            params["_aux_layers"] = tuple(int(i) for i in taps)
     pending: dict[tuple[str, str], dict[int, np.ndarray]] = {}
     fused = {
         "self_attn.q_proj": ("qkv_proj", 0, 3),
@@ -400,12 +422,16 @@ def load_mtp_params(path: str, dcfg: ModelConfig) -> dict:
     one decoder layer under ``model.layers.<N>.`` where N is the
     target's layer count; embed/lm_head shared with the target). The
     MTP checkpoint's layer index is remapped to draft layer 0 and the
-    layer stack is loaded in llama form."""
+    layer stack is loaded in llama form. Unrecognized weight names are
+    collected and reported if the loaded layer is incomplete, instead
+    of surfacing later as an opaque KeyError inside the jitted
+    forward."""
     import numpy as np
     from vllm_tpu.loader.safetensors_loader import _iter_safetensors
     dtype = jnp.dtype(dcfg.dtype)
     layer: dict = {}
     params: dict = {"layers": [layer]}
+    unmatched: list[str] = []
     pending: dict[tuple[str, str], dict[int, np.ndarray]] = {}
     fused = {
         "self_attn.q_proj": ("qkv_proj", 0, 3),
@@ -444,6 +470,10 @@ def load_mtp_params(path: str, dcfg: ModelConfig) -> dict:
             elif mod in fused:
                 leaf_name, slot, _n = fused[mod]
                 pending.setdefault((leaf_name, kind), {})[slot] = w
+            else:
+                unmatched.append(name)
+        else:
+            unmatched.append(name)
     for (leaf_name, kind), slots in pending.items():
         n = 3 if leaf_name == "qkv_proj" else 2
         cat = np.concatenate([slots[i] for i in range(n)], axis=0)
@@ -452,6 +482,15 @@ def load_mtp_params(path: str, dcfg: ModelConfig) -> dict:
             leaf["weight"] = to_jax(cat.T)
         else:
             leaf["bias"] = to_jax(cat)
+    required = {"qkv_proj", "o_proj", "gate_up_proj", "down_proj"}
+    missing = sorted(required - set(layer)) + sorted(
+        k for k in ("enorm", "hnorm", "fc") if k not in params)
+    if missing:
+        raise ValueError(
+            f"MTP checkpoint {path!r} left the draft layer incomplete: "
+            f"missing {missing}. This loader handles llama-form MTP "
+            f"modules (q/k/v/o + gate/up/down + enorm/hnorm/eh_proj); "
+            f"unmatched checkpoint keys: {sorted(set(unmatched))[:20]}")
     return params
 
 

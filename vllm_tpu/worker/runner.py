@@ -338,15 +338,23 @@ class TPUModelRunner:
                                                 default_aux_layers,
                                                 draft_config_from_target)
         mc = self.config.model
+        sc = self.config.speculative
+        # Aux-tap priority: explicit config override > checkpoint
+        # config.json (stashed by load_eagle3_params) > (2, N//2, N-3)
+        # default (ref: gpu_model_runner.py:5545).
+        ckpt_aux = draft_params.pop("_aux_layers", None)
         if dcfg is None:
-            dcfg = draft_config_from_target(
-                mc, self.config.speculative.draft_num_layers)
+            dcfg = draft_config_from_target(mc, sc.draft_num_layers)
         self.eagle = EagleProposer(draft_params, dcfg, self.spec_k,
                                    self.num_kv_blocks, self.block_size,
                                    self.config.cache.cache_dtype,
                                    method=method)
-        self._want_hidden = (default_aux_layers(mc)
-                             if method == "eagle3" else True)
+        if method == "eagle3":
+            aux = (tuple(sc.eagle_aux_layers) if sc.eagle_aux_layers
+                   else ckpt_aux or default_aux_layers(mc))
+            self._want_hidden = tuple(sorted(aux))
+        else:
+            self._want_hidden = True
 
     def set_lora_registry(self, registry) -> None:
         """Install/refresh the multi-LoRA stacks. The stacked adapter
