@@ -96,7 +96,10 @@ def main() -> None:
     )
     lowered = fn.lower(params, kv_caches, dec, 64)
     print("lowered; compiling...", file=sys.stderr)
-    compiled = lowered.compile()
+    import json as _json
+    import os
+    opts = _json.loads(os.environ.get("VLLM_TPU_XLA_OPTS", "{}"))
+    compiled = lowered.compile(compiler_options=opts or None)
     txt = compiled.as_text()
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decode_hlo.txt"
     with open(out_path, "w") as f:

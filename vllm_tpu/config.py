@@ -174,6 +174,14 @@ class SchedulerConfig:
     # (discarded). Ref analog: the multi-step/async-scheduling family
     # (vllm step_with_batch_queue, async_scheduling config).
     multi_step_decode_horizon: int = 8
+    # Overlap scheduling: schedule (and host-prepare) step N+1 while
+    # step N runs on device. The scheduler books one in-flight output
+    # placeholder per emitting request; the runner feeds the unknown
+    # token from the previous step's on-device samples (no host round
+    # trip). Steps that need host token data (multi-step horizons,
+    # penalties, spec drafts) drain the pipeline first. Ref analog:
+    # vllm/v1/core/sched/async_scheduler.py (num_output_placeholders).
+    async_scheduling: bool = False
 
 
 # ---------------------------------------------------------------------------

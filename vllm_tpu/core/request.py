@@ -72,6 +72,12 @@ class Request:
         self.num_computed_tokens = 0
         # Speculative draft tokens proposed for the next step.
         self.spec_token_ids: list[int] = []
+        # Async scheduling (ref: async_scheduler.py
+        # num_output_placeholders): tokens scheduled by in-flight steps
+        # whose update_from_output hasn't run yet, and how many output
+        # tokens those steps will emit. Both zero in sync mode.
+        self.num_async_scheduled = 0
+        self.num_async_emits = 0
         # Bookkeeping for preemption: on preempt we reset
         # num_computed_tokens to 0 but keep outputs.
         self.num_preemptions = 0

@@ -56,6 +56,16 @@ class Scheduler:
         self.num_lookahead_tokens = (sc.num_speculative_tokens +
                                      1 if sc.method == "eagle" else 0)
 
+        # Overlap scheduling (ref: async_scheduler.py): schedule step
+        # N+1 before step N's outputs apply, booking one output
+        # placeholder per emitting request. Spec decode needs host
+        # verification between steps, so the two are exclusive.
+        self.async_scheduling = config.scheduler.async_scheduling
+        if self.async_scheduling and sc.method is not None:
+            raise ValueError(
+                "async_scheduling is incompatible with speculative "
+                "decoding (drafts need host verification per step)")
+
         # Host KV tier (core/kv_offload.py): evicted cached blocks are
         # copied to CPU RAM and re-admitted on content-hash hits.
         self.host_kv_pool = None
@@ -135,16 +145,21 @@ class Scheduler:
         req_index = 0
         while req_index < len(self.running) and token_budget > 0:
             request = self.running[req_index]
-            num_new_tokens = (request.num_tokens_with_spec -
-                              request.num_computed_tokens)
+            # Async mode: the base advances past in-flight scheduled
+            # tokens, and each in-flight emit adds one not-yet-known
+            # token (the runner feeds it from the previous step's
+            # on-device samples). Sync mode: both counters are 0.
+            base_computed = (request.num_computed_tokens +
+                             request.num_async_scheduled)
+            num_new_tokens = (request.num_tokens_with_spec +
+                              request.num_async_emits - base_computed)
             if (self.long_prefill_token_threshold > 0
                     and num_new_tokens > self.long_prefill_token_threshold):
                 num_new_tokens = self.long_prefill_token_threshold
             num_new_tokens = min(num_new_tokens, token_budget)
             # Clamp to model length (leave room for sampled token slot).
-            num_new_tokens = min(
-                num_new_tokens,
-                self.max_model_len - request.num_computed_tokens)
+            num_new_tokens = min(num_new_tokens,
+                                 self.max_model_len - base_computed)
             if num_new_tokens <= 0:
                 req_index += 1
                 continue
@@ -157,9 +172,13 @@ class Scheduler:
             # Allocate, preempting not-yet-scheduled requests if needed.
             # Victims always come from self.running[req_index:]: requests
             # already scheduled this step must not be rolled back.
+            # allocate_slots sizes from request.num_computed_tokens, so
+            # in-flight scheduled tokens inflate the demand (their
+            # blocks are already owned; the cdiv math needs them).
             while True:
                 new_blocks = self.kv_cache_manager.allocate_slots(
-                    request, num_new_tokens,
+                    request,
+                    num_new_tokens + request.num_async_scheduled,
                     num_lookahead_tokens=self.num_lookahead_tokens)
                 if new_blocks is not None:
                     break
@@ -176,16 +195,23 @@ class Scheduler:
                 CachedRequestData(
                     req_id=request.request_id,
                     new_block_ids=new_blocks.get_block_ids(),
-                    num_computed_tokens=request.num_computed_tokens,
+                    num_computed_tokens=base_computed,
+                    # Positions past num_tokens are in-flight outputs:
+                    # the slice comes up short and the runner installs
+                    # -1 placeholders fed from device-side samples.
                     new_token_ids=request.all_token_ids[
-                        request.num_computed_tokens:
-                        request.num_computed_tokens + num_new_tokens],
+                        base_computed:base_computed + num_new_tokens],
                 ))
             out.num_scheduled_tokens[request.request_id] = num_new_tokens
             token_budget -= num_new_tokens
             if num_spec_scheduled > 0:
                 out.scheduled_spec_decode_tokens[request.request_id] = (
                     request.spec_token_ids[:num_spec_scheduled])
+            if self.async_scheduling:
+                request.num_async_scheduled += num_new_tokens
+                if (base_computed + num_new_tokens ==
+                        request.num_tokens + request.num_async_emits):
+                    request.num_async_emits += 1
             req_index += 1
 
         # Phase 2: waiting queue (new + resumed requests). Skipped if we
@@ -311,6 +337,11 @@ class Scheduler:
                         ))
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens
+                if self.async_scheduling:
+                    request.num_async_scheduled += num_new_tokens
+                    if (request.num_computed_tokens + num_new_tokens ==
+                            request.num_tokens):
+                        request.num_async_emits += 1
 
         if self._pending_offload:
             out.offload_blocks = self._pending_offload
@@ -341,6 +372,13 @@ class Scheduler:
         for r in reqs:
             sp = r.sampling_params
             if r.pooling_params is not None:
+                return
+            # Async pipeline in flight: the latest token is only on
+            # device, and _execute_multi_step reads host token lists.
+            # (num_async_scheduled counts THIS step too — in-flight
+            # means more than the one token just scheduled.)
+            if r.num_async_scheduled > out.num_scheduled_tokens[
+                    r.request_id]:
                 return
             if (sp.logprobs or sp.guided
                     or sp.repetition_penalty != 1.0
@@ -386,6 +424,10 @@ class Scheduler:
         request.status = RequestStatus.PREEMPTED
         request.num_computed_tokens = 0
         request.spec_token_ids = []
+        # In-flight async steps for this request are now void; their
+        # late outputs are dropped in update_from_output (status guard).
+        request.num_async_scheduled = 0
+        request.num_async_emits = 0
         request.num_preemptions += 1
         self.num_preemptions += 1
         preempted_this_step.add(request.request_id)
@@ -409,6 +451,14 @@ class Scheduler:
             sched_tokens = num_scheduled.get(req_id)
             if sched_tokens is None:
                 continue
+            if request.status != RequestStatus.RUNNING:
+                continue  # preempted after this step launched (async)
+            if self.async_scheduling:
+                request.num_async_scheduled = max(
+                    0, request.num_async_scheduled - sched_tokens)
+                if runner_output.sampled_token_ids[i]:
+                    request.num_async_emits = max(
+                        0, request.num_async_emits - 1)
 
             if request.pooling_params is not None:
                 request.num_computed_tokens += sched_tokens

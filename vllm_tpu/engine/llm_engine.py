@@ -116,6 +116,9 @@ class LLMEngine:
             self.runner.host_kv_pool = self.scheduler.host_kv_pool
         self.output_processor = OutputProcessor(self.tokenizer)
         self._req_counter = Counter()
+        # Async scheduling: the one in-flight (sched_out, StepHandle,
+        # t0) while the next step is being scheduled/prepared.
+        self._inflight = None
         from vllm_tpu.metrics import EngineMetrics, LoggingStatLogger
         oc = config.observability
         self.tracer = None
@@ -385,6 +388,7 @@ class LLMEngine:
         (fresh KV caches + persistent batch) while keeping loaded
         weights and compiled programs."""
         self.abort_request(list(self.scheduler.requests))
+        self._inflight = None  # stale device step references old state
         self.scheduler = Scheduler(self.config,
                                    num_blocks=self._num_kv_blocks)
         if self.scheduler.host_kv_pool is not None:
@@ -395,9 +399,67 @@ class LLMEngine:
 
     def step(self) -> list[RequestOutput]:
         import time as _time
+        if self.config.scheduler.async_scheduling:
+            return self._step_async()
         t0 = _time.monotonic()
         sched_out = self.scheduler.schedule()
         runner_out = self.runner.execute_model(sched_out)
+        core_outputs = self.scheduler.update_from_output(
+            sched_out, runner_out)
+        if self.runner.eplb is not None:
+            self.runner.maybe_rebalance_eplb()
+        results, to_abort = self.output_processor.process_outputs(
+            core_outputs)
+        if to_abort:
+            self.scheduler.finish_requests(to_abort,
+                                           RequestStatus.FINISHED_STOPPED)
+        self.metrics.on_step(core_outputs, self.scheduler.make_stats(),
+                             _time.monotonic() - t0)
+        self.stat_logger.maybe_log()
+        return results
+
+    def _step_async(self) -> list[RequestOutput]:
+        """Overlapped step (SchedulerConfig.async_scheduling): schedule
+        and launch step N+1, then apply step N's (already executing)
+        results — host prepare overlaps device execution (ref analog:
+        async_scheduler.py + step_with_batch_queue, core.py:621).
+
+        Steps whose host bookkeeping needs this step's tokens (multi-
+        step horizons read host token lists; penalty/grammar/logprob
+        requests build host-side stats) drain the pipeline right away —
+        identical semantics, no overlap."""
+        import time as _time
+        t0 = _time.monotonic()
+        sched_out = self.scheduler.schedule()
+        handle = self.runner.launch_step(sched_out)
+        results: list[RequestOutput] = []
+        if self._inflight is not None:
+            results += self._finish_inflight()
+        self._inflight = (sched_out, handle, t0)
+        if sched_out.decode_horizon > 1 or self._needs_host_data(
+                sched_out):
+            results += self._finish_inflight()
+        return results
+
+    def _needs_host_data(self, sched_out) -> bool:
+        for req_id in sched_out.num_scheduled_tokens:
+            r = self.scheduler.requests.get(req_id)
+            if r is None:
+                return True
+            sp = r.sampling_params
+            if (r.pooling_params is not None or sp.logprobs or sp.guided
+                    or getattr(sp, "_grammar", None) is not None
+                    or sp.repetition_penalty != 1.0
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0):
+                return True
+        return False
+
+    def _finish_inflight(self) -> list[RequestOutput]:
+        import time as _time
+        sched_out, handle, t0 = self._inflight
+        self._inflight = None
+        runner_out = self.runner.finish_step(handle)
         core_outputs = self.scheduler.update_from_output(
             sched_out, runner_out)
         if self.runner.eplb is not None:

@@ -46,6 +46,10 @@ _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     "VLLM_TPU_BENCH_PROFILE": (str, None),
     # Multi-step decode horizon override (engine).
     "VLLM_TPU_DECODE_HORIZON": (int, None),
+    # JSON dict of XLA compiler options applied to the runner's jitted
+    # programs (e.g. '{"xla_tpu_scoped_vmem_limit_kib":"65536"}') —
+    # the TPU analog of the reference's compilation-config knobs.
+    "VLLM_TPU_XLA_OPTS": (__import__("json").loads, None),
 }
 
 

@@ -84,6 +84,30 @@ class StepInputs(NamedTuple):
     # mrope (Qwen2-VL): [3, T] t/h/w position rows for this step's
     # ragged token stream (None for non-mrope models).
     positions3: Optional[jax.Array] = None
+    # Async scheduling: [T] request-row index for tokens whose value is
+    # only known on device (the previous step's sample; -1 = known),
+    # plus that previous step's [R] samples. None in sync mode.
+    feedback_src: Optional[jax.Array] = None
+    prev_sampled: Optional[jax.Array] = None
+
+
+class StepHandle(NamedTuple):
+    """In-flight device step (launch_step -> finish_step). ``result``
+    short-circuits finish for host-computed steps (empty / multi-step
+    horizons)."""
+    out: SchedulerOutput
+    result: Optional[ModelRunnerOutput] = None
+    req_ids: list = None
+    emits: list = None
+    q_blk: int = 0
+    inputs: Optional[StepInputs] = None
+    sampled: Optional[jax.Array] = None
+    spec_mats: Optional[tuple] = None
+    lp: Optional[tuple] = None
+    hidden: Optional[jax.Array] = None
+    pool: Optional[tuple] = None
+    want_pooling: bool = False
+    np_logits_indices: Optional[np.ndarray] = None
 
 
 class TPUModelRunner:
@@ -176,17 +200,29 @@ class TPUModelRunner:
         if config.parallel.enable_eplb:
             self._init_eplb()
 
+        from vllm_tpu import envs
+        xla_opts = envs.VLLM_TPU_XLA_OPTS
+        if xla_opts is None and jax.default_backend() not in ("cpu", ):
+            # Measured on v5e (bench.py 8B INT4 bs32): raising Mosaic's
+            # scoped-VMEM share keeps XLA's memory-space assignment from
+            # staging whole weight tensors into VMEM ahead of the Pallas
+            # calls — the kernels stream HBM themselves, and the staging
+            # copies serialized with kernel starts (3,723 -> 3,879
+            # tok/s at 112MB vs the 64MB default).
+            xla_opts = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
             # q_blk, spec_k, n_logprobs, want_hidden, want_pooling
             static_argnums=(3, 4, 5, 6, 7),
+            compiler_options=xla_opts,
         )
         self._decode_loop_fn = jax.jit(
             functools.partial(_decode_loop_impl, self.model, mc,
                               self.block_size),
             donate_argnums=(1, ),
             static_argnums=(3, ),  # horizon
+            compiler_options=xla_opts,
         )
 
     def _alloc_kv_caches(self) -> None:
@@ -410,6 +446,20 @@ class TPUModelRunner:
             if need > known:
                 state.token_ids.extend(cr.new_token_ids[known -
                                                         cr.num_computed_tokens:])
+            # Async scheduling: positions scheduled past the known
+            # tokens get -1 placeholders; prepare_inputs routes them to
+            # device-side feedback and finish() backfills the value.
+            # (Sync spec steps also schedule past num_tokens, but their
+            # drafts ride scheduled_spec_decode_tokens, not this list.)
+            short = 0
+            if self.config.scheduler.async_scheduling:
+                short = (cr.num_computed_tokens +
+                         out.num_scheduled_tokens[cr.req_id] -
+                         len(state.token_ids))
+            if short > 0:
+                state.token_ids.extend([-1] * short)
+                state.num_placeholders = (getattr(
+                    state, "num_placeholders", 0) + short)
 
     # -- input prep ---------------------------------------------------
     def prepare_inputs(
@@ -449,6 +499,7 @@ class TPUModelRunner:
         req_ids: list[str] = []
         emits: list[bool] = []
         spans: list[tuple[str, int, int, int]] = []  # (id, t0, start, n)
+        feedback_src = None  # async: rows feeding tokens from device
         t = 0
         prev_row = -1
         for req_id, n in sched:
@@ -464,6 +515,14 @@ class TPUModelRunner:
                 f"{req_id}: host tokens {len(state.token_ids)} < "
                 f"{start + real_n}")
             input_ids[t:t + n] = toks
+            if -1 in toks:
+                # Async placeholder: value = prev step's sample for
+                # this row, substituted on device (_step_impl).
+                if feedback_src is None:
+                    feedback_src = np.full((T_pad, ), -1, np.int32)
+                for i_, tk in enumerate(toks):
+                    if tk < 0:
+                        feedback_src[t + i_] = row
             if lora_idx is not None:
                 lora_idx[t:t + n] = state.lora_slot
             positions[t:t + n] = np.arange(start, start + n)
@@ -541,7 +600,14 @@ class TPUModelRunner:
             mm_rows=mm_rows,
             positions3=(jnp.asarray(positions3)
                         if positions3 is not None else None),
+            feedback_src=(jnp.asarray(feedback_src)
+                          if feedback_src is not None else None),
+            prev_sampled=(self._last_sampled
+                          if feedback_src is not None else None),
         )
+        if feedback_src is not None and self._last_sampled is None:
+            raise RuntimeError(
+                "async placeholder scheduled with no in-flight samples")
         return inputs, req_ids, emits, q_blk
 
     # -- multimodal ----------------------------------------------------
@@ -756,15 +822,24 @@ class TPUModelRunner:
             pres[st.row] = sp.presence_penalty
             freq[st.row] = sp.frequency_penalty
             toks = np.asarray(st.token_ids)
+            # Exclude async -1 placeholders along with >=V specials.
+            otoks = toks[st.prompt_len:]
             np.add.at(out_counts[st.row],
-                      toks[st.prompt_len:][toks[st.prompt_len:] < V], 1)
-            all_presence[st.row][toks[toks < V]] = True
+                      otoks[(otoks >= 0) & (otoks < V)], 1)
+            all_presence[st.row][toks[(toks >= 0) & (toks < V)]] = True
         return PenaltyInputs(jnp.asarray(rep), jnp.asarray(pres),
                              jnp.asarray(freq), jnp.asarray(out_counts),
                              jnp.asarray(all_presence))
 
     # -- execution ----------------------------------------------------
     def execute_model(self, out: SchedulerOutput) -> ModelRunnerOutput:
+        return self.finish_step(self.launch_step(out))
+
+    def launch_step(self, out: SchedulerOutput) -> "StepHandle":
+        """Apply scheduler diffs and dispatch the device step WITHOUT
+        waiting for results (async scheduling overlaps the next
+        schedule/prepare with this step's execution — ref analog:
+        execute_model(non_block=True) + sample_tokens in core.py)."""
         # Re-install this runner's mesh: several engines (DP ranks) can
         # coexist in-process, and the EP compute path resolves the
         # ambient mesh at trace time.
@@ -774,9 +849,10 @@ class TPUModelRunner:
         if out.offload_blocks or out.swap_in_blocks or out.kv_inject_reqs:
             self._process_kv_transfers(out)
         if out.total_num_scheduled_tokens == 0:
-            return ModelRunnerOutput()
+            return StepHandle(out=out, result=ModelRunnerOutput())
         if out.decode_horizon > 1:
-            return self._execute_multi_step(out)
+            return StepHandle(out=out,
+                              result=self._execute_multi_step(out))
         inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
@@ -788,6 +864,22 @@ class TPUModelRunner:
          pool) = self._step_fn(self.params, self.kv_caches, inputs,
                                q_blk, self.spec_k, n_lp,
                                self._want_hidden, want_pooling)
+        self._last_sampled = sampled  # device-side feedback source
+        return StepHandle(out=out, req_ids=req_ids, emits=emits,
+                          q_blk=q_blk, inputs=inputs, sampled=sampled,
+                          spec_mats=spec_mats, lp=lp, hidden=hidden,
+                          pool=pool, want_pooling=want_pooling,
+                          np_logits_indices=self._np_logits_indices)
+
+    def finish_step(self, h: "StepHandle") -> ModelRunnerOutput:
+        """Block on the device step and run host bookkeeping."""
+        if h.result is not None:
+            return h.result
+        out, req_ids, emits = h.out, h.req_ids, h.emits
+        inputs, sampled, q_blk = h.inputs, h.sampled, h.q_blk
+        spec_mats, lp, hidden, pool = (h.spec_mats, h.lp, h.hidden,
+                                       h.pool)
+        want_pooling = h.want_pooling
         pool_np = (tuple(map(np.asarray, jax.device_get(pool)))
                    if pool is not None else None)
         sampled_np = np.asarray(jax.device_get(sampled))
@@ -807,7 +899,17 @@ class TPUModelRunner:
         if want_pooling:
             result.pooler_outputs = []
         for req_id, emit in zip(req_ids, emits):
-            state = self.batch.reqs[req_id]
+            state = self.batch.reqs.get(req_id)
+            if state is None:
+                # Finished/aborted while this step was in flight
+                # (async): a later launch already purged the row.
+                result.sampled_token_ids.append([])
+                spec_out.append([])
+                if lp_np is not None:
+                    result.logprobs.append([])
+                if want_pooling:
+                    result.pooler_outputs.append(None)
+                continue
             row = state.row
             drafts = out.scheduled_spec_decode_tokens.get(req_id, [])
             if getattr(state, "pooling", None) is not None:
@@ -870,7 +972,19 @@ class TPUModelRunner:
             else:
                 new_toks = [int(sampled_np[row])]
             result.sampled_token_ids.append(new_toks)
-            state.token_ids.extend(new_toks)
+            # Async scheduling: a later launch may have reserved this
+            # token's position with a -1 placeholder — fill it in
+            # emission order instead of appending.
+            ph = getattr(state, "num_placeholders", 0)
+            if ph:
+                base_i = len(state.token_ids) - ph
+                fill = min(ph, len(new_toks))
+                for j in range(fill):
+                    state.token_ids[base_i + j] = new_toks[j]
+                state.num_placeholders = ph - fill
+                state.token_ids.extend(new_toks[fill:])
+            else:
+                state.token_ids.extend(new_toks)
             self.batch.bump_sample_step(req_id)
             g = getattr(state, "grammar", None)
             if g is not None:
@@ -908,7 +1022,7 @@ class TPUModelRunner:
             next_tok = np.zeros((R, ), np.int32)
             last_idx = np.zeros((R, ), np.int32)
             active = np.zeros((R, ), bool)
-            li = self._np_logits_indices
+            li = h.np_logits_indices
             row_to_slot: dict[int, int] = {}
             for slot, row, n_drafts, n_new in eagle_rows:
                 st = self.batch.reqs[req_ids[slot]]
@@ -1103,6 +1217,13 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     indices instead returns the concatenated EAGLE-3 aux taps
     [T, 3E]; ``want_pooling`` adds per-row (sum, first, last) pooled
     hidden states."""
+    if inputs.feedback_src is not None:
+        # Async scheduling: tokens the host never saw (the previous
+        # step's emission) resolve from that step's on-device samples.
+        fb = inputs.feedback_src
+        fed = inputs.prev_sampled[jnp.clip(fb, 0, None)]
+        inputs = inputs._replace(
+            input_ids=jnp.where(fb >= 0, fed, inputs.input_ids))
     meta = AttentionMetadata(
         slot_mapping=inputs.slot_mapping,
         block_tables=inputs.block_tables,
