@@ -28,9 +28,17 @@ logger = init_logger(__name__)
 class AsyncLLM:
 
     def __init__(self, config: EngineConfig, params=None, tokenizer=None,
-                 mesh=None) -> None:
-        self.engine = LLMEngine(config, params=params, tokenizer=tokenizer,
-                                mesh=mesh)
+                 mesh=None, worker_addrs=None) -> None:
+        if worker_addrs:
+            # Multi-host head: broadcast each step to the worker nodes
+            # before executing it locally (engine/multihost.py).
+            from vllm_tpu.engine.multihost import MultiHostEngine
+            self.engine = MultiHostEngine(config, params=params,
+                                          tokenizer=tokenizer, mesh=mesh,
+                                          worker_addrs=worker_addrs)
+        else:
+            self.engine = LLMEngine(config, params=params,
+                                    tokenizer=tokenizer, mesh=mesh)
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._new_requests: queue.Queue = queue.Queue()
         self._request_queues: dict[str, asyncio.Queue] = {}

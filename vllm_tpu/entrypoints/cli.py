@@ -80,10 +80,28 @@ def cmd_serve(args) -> None:
     from vllm_tpu.parallel.mesh import make_mesh
 
     config = _engine_config(args)
+    if args.num_nodes > 1:
+        # Multi-host: join the cross-host JAX runtime first so the
+        # mesh below spans every node's chips (engine/multihost.py).
+        from vllm_tpu.engine.multihost import init_multihost
+        if not args.dp_master_addr:
+            raise SystemExit("--num-nodes > 1 requires --dp-master-addr")
+        init_multihost(args.node_rank, args.num_nodes,
+                       args.dp_master_addr)
+        if args.node_rank > 0:
+            # Headless worker: replay the head's step stream forever.
+            from vllm_tpu.engine.multihost import run_worker
+            if not args.worker_bind_addr:
+                raise SystemExit("worker nodes need --worker-bind-addr")
+            mesh = make_mesh(config.parallel)
+            run_worker(config, None, config.cache.num_gpu_blocks, mesh,
+                       args.worker_bind_addr)
+            return
     mesh = None
     if config.parallel.world_size > 1:
         mesh = make_mesh(config.parallel)
-    async_llm = AsyncLLM(config, mesh=mesh)
+    async_llm = AsyncLLM(config, mesh=mesh,
+                         worker_addrs=args.worker_addrs)
     # Register static adapters before warmup so the warmed programs
     # already carry the LoRA stacks (adding one later recompiles).
     for spec in args.lora_modules or []:
@@ -217,6 +235,27 @@ def main(argv=None) -> None:
         "--lora-modules", nargs="+", default=None, metavar="NAME=PATH",
         help="static LoRA adapters to serve (PEFT checkpoint dirs); "
         "select per-request via the OpenAI 'model' field")
+    # Multi-host (engine/multihost.py; ref analog: parallel.py:141
+    # data_parallel_master_ip + headless serve, cli/serve.py:177).
+    serve_p.add_argument(
+        "--node-rank", type=int, default=0,
+        help="this host's rank in the multi-host group (0 = head: "
+        "runs the API server + scheduler; >0 = headless worker)")
+    serve_p.add_argument(
+        "--num-nodes", type=int, default=1,
+        help="number of hosts in the jax.distributed group")
+    serve_p.add_argument(
+        "--dp-master-addr", default=None, metavar="HOST:PORT",
+        help="jax.distributed coordinator address (required when "
+        "--num-nodes > 1)")
+    serve_p.add_argument(
+        "--worker-addrs", nargs="+", default=None, metavar="tcp://H:P",
+        help="head only: one ZMQ PULL address per worker node, in "
+        "node-rank order, where SchedulerOutputs are pushed")
+    serve_p.add_argument(
+        "--worker-bind-addr", default=None, metavar="tcp://H:P",
+        help="worker only: address this node binds for the head's "
+        "step stream")
     serve_p.set_defaults(fn=cmd_serve)
 
     bench_p = sub.add_parser("bench", help="run benchmarks")
