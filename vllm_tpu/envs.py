@@ -46,6 +46,10 @@ _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     "VLLM_TPU_BENCH_PROFILE": (str, None),
     # Multi-step decode horizon override (engine).
     "VLLM_TPU_DECODE_HORIZON": (int, None),
+    # Fused MLP megakernel (quant/pallas_mlp.py): gate_up + SiLU*mul +
+    # down in one pallas_call. Opt-in; the split path measured faster
+    # at the bench shape (see NOTES.md r3).
+    "VLLM_TPU_FUSED_MLP": (_bool, False),
     # JSON dict of XLA compiler options applied to the runner's jitted
     # programs (e.g. '{"xla_tpu_scoped_vmem_limit_kib":"65536"}') —
     # the TPU analog of the reference's compilation-config knobs.

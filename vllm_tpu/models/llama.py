@@ -115,6 +115,12 @@ def _attention(
 
 def _mlp(layer: dict, x: jax.Array, lora: dict | None = None,
          lora_idx=None) -> jax.Array:
+    if lora is None or not (set(lora) & {"gate_up_proj", "down_proj"}):
+        from vllm_tpu.quant.kernels import fused_mlp_matmul
+        y = fused_mlp_matmul(x, layer["gate_up_proj"],
+                             layer["down_proj"])
+        if y is not None:
+            return y
     h = silu_and_mul(_lora_linear(layer, "gate_up_proj", x, lora,
                                   lora_idx))
     return _lora_linear(layer, "down_proj", h, lora, lora_idx)
