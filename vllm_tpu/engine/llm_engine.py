@@ -228,8 +228,7 @@ class LLMEngine:
         else:
             prompt_token_ids = list(prompt)
             prompt_text = None
-        if (params.guided_choice or params.guided_regex
-                or params.guided_json is not None):
+        if params.guided:
             params._grammar = self._get_grammar(params)  # type: ignore[attr-defined]
         if lora_name is not None:
             reg = self.runner.lora_registry
@@ -315,6 +314,8 @@ class LLMEngine:
             key = ("choice", tuple(params.guided_choice))
         elif params.guided_regex:
             key = ("regex", params.guided_regex)
+        elif params.guided_grammar:
+            key = ("ebnf", params.guided_grammar)
         else:
             schema = params.guided_json
             key = ("json", schema if isinstance(schema, str) else
@@ -328,7 +329,7 @@ class LLMEngine:
             g = build_choice_grammar(params.guided_choice, self.tokenizer,
                                      eos)
         else:
-            from vllm_tpu.structured_output import token_fsm
+            from vllm_tpu.structured_output import cfg, token_fsm
             bt = getattr(self, "_token_byte_table", None)
             if bt is None:
                 bt = self._token_byte_table = \
@@ -337,6 +338,15 @@ class LLMEngine:
                 g = token_fsm.build_regex_grammar(params.guided_regex,
                                                   self.tokenizer, V, eos,
                                                   bt)
+            elif key[0] == "ebnf":
+                g = cfg.build_ebnf_grammar(params.guided_grammar,
+                                           self.tokenizer, V, eos, bt)
+            elif cfg.schema_needs_cfg(params.guided_json):
+                # Recursive / open schemas are beyond a regular
+                # language — pushdown backend (ref: xgrammar's
+                # from_json_schema, backend_xgrammar.py:168).
+                g = cfg.build_json_cfg_grammar(params.guided_json,
+                                               self.tokenizer, V, eos, bt)
             else:
                 g = token_fsm.build_json_grammar(params.guided_json,
                                                  self.tokenizer, V, eos,

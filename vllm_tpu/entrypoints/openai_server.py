@@ -52,6 +52,7 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
                        or rf.get("choices")),
         guided_regex=body.get("guided_regex"),
         guided_json=guided_json,
+        guided_grammar=body.get("guided_grammar"),
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),

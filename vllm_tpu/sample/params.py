@@ -35,10 +35,15 @@ class SamplingParams:
     # - guided_choice: one of N strings (token-trie backend)
     # - guided_regex: output matches the pattern (regex->DFA backend)
     # - guided_json: output is JSON valid under the schema
-    #   (schema->regex->DFA, see structured_output/json_schema.py)
+    #   (schema->regex->DFA for flat schemas, schema->EBNF->pushdown
+    #   for recursive/open ones, see structured_output/cfg.py)
+    # - guided_grammar: output matches a GBNF-style EBNF grammar
+    #   (pushdown backend; ref: xgrammar EBNF grammars,
+    #   backend_xgrammar.py:1-363)
     guided_choice: Optional[list[str]] = None
     guided_regex: Optional[str] = None
     guided_json: Union[dict, str, None] = None
+    guided_grammar: Optional[str] = None
 
     def __post_init__(self) -> None:
         if isinstance(self.stop, str):
@@ -55,10 +60,10 @@ class SamplingParams:
             raise ValueError("max_tokens must be >= 1")
         n_guided = sum(x is not None and x != []
                        for x in (self.guided_choice, self.guided_regex,
-                                 self.guided_json))
+                                 self.guided_json, self.guided_grammar))
         if n_guided > 1:
             raise ValueError("at most one of guided_choice/guided_regex/"
-                             "guided_json may be set")
+                             "guided_json/guided_grammar may be set")
 
     @property
     def greedy(self) -> bool:
@@ -68,7 +73,7 @@ class SamplingParams:
     def guided(self) -> bool:
         """Any structured-output constraint set."""
         return bool(self.guided_choice) or bool(self.guided_regex) or \
-            self.guided_json is not None
+            self.guided_json is not None or bool(self.guided_grammar)
 
 
 @dataclass
