@@ -317,6 +317,28 @@ class ObservabilityConfig:
 
 
 @dataclass
+class KVTransferConfig:
+    """Disaggregated prefill/decode transfer (ref analog:
+    vllm/config/kv_transfer.py KVTransferConfig — kv_role
+    kv_producer/kv_consumer + connector selection; transport here is
+    the ZMQ connector, engine/kv_connector.py)."""
+
+    # "prefill": this engine serves KV to decode engines on ``addr``.
+    # "decode": this engine fetches prompt KV from ``addr``.
+    role: Optional[str] = None
+    addr: Optional[str] = None
+    # Decode-side fetch timeout; on expiry the engine prefills locally.
+    fetch_timeout_ms: int = 30000
+
+    def __post_init__(self) -> None:
+        if self.role not in (None, "prefill", "decode"):
+            raise ValueError(f"kv_transfer.role {self.role!r} must be "
+                             "'prefill' or 'decode'")
+        if self.role is not None and not self.addr:
+            raise ValueError("kv_transfer.role set but no addr")
+
+
+@dataclass
 class EngineConfig:
     """Everything the engine needs; analog of the reference VllmConfig
     (ref: vllm/config/vllm.py)."""
@@ -330,6 +352,8 @@ class EngineConfig:
         default_factory=SpeculativeConfig)
     observability: ObservabilityConfig = field(
         default_factory=ObservabilityConfig)
+    kv_transfer: KVTransferConfig = field(
+        default_factory=KVTransferConfig)
     seed: int = 0
 
     def __post_init__(self) -> None:

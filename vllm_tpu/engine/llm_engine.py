@@ -115,6 +115,15 @@ class LLMEngine:
         if self.scheduler.host_kv_pool is not None:
             self.runner.host_kv_pool = self.scheduler.host_kv_pool
         self.output_processor = OutputProcessor(self.tokenizer)
+        # Disagg P/D decode role: fetch prompt KV from the prefill
+        # engine at admission (engine/kv_connector.py; ref analog:
+        # KVConnectorBase_V1 consumer role, kv_connector/v1/base.py:171).
+        self.kv_client = None
+        kt = config.kv_transfer
+        if kt.role == "decode":
+            from vllm_tpu.engine.kv_connector import KVConnectorClient
+            self.kv_client = KVConnectorClient(
+                kt.addr, timeout_ms=kt.fetch_timeout_ms)
         self._req_counter = Counter()
         # Async scheduling: the one in-flight (sched_out, StepHandle,
         # t0) while the next step is being scheduled/prepared.
@@ -283,6 +292,11 @@ class LLMEngine:
                           priority=priority, lora_name=lora_name,
                           pooling_params=pooling_params,
                           mm_data=multi_modal_data, mm_hash=mm_hash)
+        if (kv_transfer is None and self.kv_client is not None
+                and pooling_params is None
+                and len(prompt_token_ids) >= self.config.cache.block_size):
+            kv_transfer = self.kv_client.fetch(prompt_token_ids,
+                                               request_id)
         if kv_transfer is not None:
             # Disagg P/D decode side (ref analog: KVConnector inject,
             # vllm/distributed/kv_transfer/): the payload region skips

@@ -39,8 +39,9 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
 
 def _engine_config(args):
     from vllm_tpu.config import (CacheConfig, EngineConfig,
-                                 ObservabilityConfig, ParallelConfig,
-                                 SchedulerConfig, SpeculativeConfig)
+                                 KVTransferConfig, ObservabilityConfig,
+                                 ParallelConfig, SchedulerConfig,
+                                 SpeculativeConfig)
     from vllm_tpu.loader.hf_config import model_config_from_hf
     from vllm_tpu.quant.config import detect_quant_config
     spec = SpeculativeConfig()
@@ -70,6 +71,9 @@ def _engine_config(args):
         observability=ObservabilityConfig(
             otlp_traces_endpoint=args.otlp_traces_endpoint,
             trace_file=args.trace_file),
+        kv_transfer=KVTransferConfig(
+            role=getattr(args, "kv_role", None),
+            addr=getattr(args, "kv_addr", None)),
         seed=args.seed,
     )
 
@@ -97,6 +101,22 @@ def cmd_serve(args) -> None:
             run_worker(config, None, config.cache.num_gpu_blocks, mesh,
                        args.worker_bind_addr)
             return
+    if getattr(args, "kv_role", None) == "prefill":
+        # Dedicated prefill node: compute prompt KV on demand and ship
+        # it to decode engines (ref analog: kv_producer instance,
+        # vllm/config/kv_transfer.py). No HTTP API on this role.
+        from vllm_tpu.engine.kv_connector import KVPrefillServer
+        from vllm_tpu.engine.llm_engine import LLMEngine
+        mesh = (make_mesh(config.parallel)
+                if config.parallel.world_size > 1 else None)
+        engine = LLMEngine(config, mesh=mesh)
+        if not args.no_warmup:
+            engine.warmup()
+        server = KVPrefillServer(engine, args.kv_addr)
+        print(f"KV prefill server on {args.kv_addr}")
+        while True:
+            server.serve_once(timeout_ms=1000)
+        return
     mesh = None
     if config.parallel.world_size > 1:
         mesh = make_mesh(config.parallel)
@@ -256,6 +276,15 @@ def main(argv=None) -> None:
         "--worker-bind-addr", default=None, metavar="tcp://H:P",
         help="worker only: address this node binds for the head's "
         "step stream")
+    serve_p.add_argument(
+        "--kv-role", default=None, choices=["prefill", "decode"],
+        help="disaggregated P/D role: 'prefill' serves prompt KV on "
+        "--kv-addr (no HTTP API); 'decode' fetches prompt KV from "
+        "--kv-addr before prefilling locally")
+    serve_p.add_argument(
+        "--kv-addr", default=None, metavar="tcp://H:P",
+        help="ZMQ endpoint for the KV connector (bind for prefill "
+        "role, connect for decode role)")
     serve_p.set_defaults(fn=cmd_serve)
 
     bench_p = sub.add_parser("bench", help="run benchmarks")
