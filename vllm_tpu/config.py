@@ -182,6 +182,12 @@ class SchedulerConfig:
     # penalties, spec drafts) drain the pipeline first. Ref analog:
     # vllm/v1/core/sched/async_scheduler.py (num_output_placeholders).
     async_scheduling: bool = False
+    # Encoder cache budget (tokens of cached vision embeddings):
+    # multimodal items are encoded once per content hash and reused
+    # across requests; admission defers when a request's new items
+    # exceed the free budget. Ref analog: encoder_cache_manager.py +
+    # max_num_encoder_input_tokens (vllm/config/scheduler.py).
+    encoder_cache_budget: int = 16384
 
 
 # ---------------------------------------------------------------------------

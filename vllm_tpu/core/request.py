@@ -48,6 +48,8 @@ class Request:
         pooling_params=None,  # PoolingParams => embedding request
         mm_data=None,  # {"image": np [N,3,H,W]} (prompt pre-expanded)
         mm_hash: Optional[str] = None,
+        mm_item_hashes: Optional[list[str]] = None,  # per-image hash
+        mm_item_tokens: Optional[list[int]] = None,  # per-image tokens
     ) -> None:
         self.request_id = request_id
         self.prompt_token_ids = list(prompt_token_ids)
@@ -59,6 +61,8 @@ class Request:
         self.pooling_params = pooling_params
         self.mm_data = mm_data
         self.mm_hash = mm_hash
+        self.mm_item_hashes = mm_item_hashes
+        self.mm_item_tokens = mm_item_tokens
 
         self.status = RequestStatus.WAITING
         self.stop_reason: Optional[int | str] = None

@@ -28,6 +28,11 @@ class NewRequestData:
     lora_name: "str | None" = None
     pooling_params: "object | None" = None  # PoolingParams
     mm_data: "object | None" = None  # multimodal inputs (VLM)
+    # Encoder cache (core/encoder_cache.py): per-image content hashes,
+    # and the subset the runner must encode this step (None => no
+    # encoder-cache accounting; runner encodes everything).
+    mm_item_hashes: "list[str] | None" = None
+    mm_encode_hashes: "list[str] | None" = None
 
 
 @dataclass
@@ -70,6 +75,9 @@ class SchedulerOutput:
     # Disagg P/D: new requests whose KV payload the runner must inject
     # into their allocated blocks before the forward.
     kv_inject_reqs: list[str] = field(default_factory=list)
+    # Encoder cache: embedding-store entries (by image hash) the runner
+    # must drop (evicted by the scheduler's encoder budget).
+    encoder_evict: list[str] = field(default_factory=list)
 
     @property
     def num_reqs(self) -> int:

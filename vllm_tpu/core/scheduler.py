@@ -66,6 +66,13 @@ class Scheduler:
                 "async_scheduling is incompatible with speculative "
                 "decoding (drafts need host verification per step)")
 
+        # Encoder cache (core/encoder_cache.py; ref analog:
+        # encoder_cache_manager.py): vision embeddings cached by image
+        # hash under a token budget; shared images encode once.
+        from vllm_tpu.core.encoder_cache import EncoderCacheManager
+        self.encoder_cache = EncoderCacheManager(
+            config.scheduler.encoder_cache_budget)
+
         # Host KV tier (core/kv_offload.py): evicted cached blocks are
         # copied to CPU RAM and re-admitted on content-hash hits.
         self.host_kv_pool = None
@@ -128,6 +135,7 @@ class Scheduler:
     def _free_request(self, request: Request) -> None:
         self.kv_cache_manager.free(request)
         self.kv_cache_manager.free_block_hashes(request)
+        self.encoder_cache.free_request(request.request_id)
         self.finished_req_ids.add(request.request_id)
         del self.requests[request.request_id]
 
@@ -274,6 +282,23 @@ class Scheduler:
                     num_new_tokens = token_budget
                 assert num_new_tokens > 0
 
+                # Encoder budget (ref: scheduler-side encoder_budget,
+                # encoder_cache_manager.py): reserve embedding-cache
+                # space for the request's images; cache hits skip the
+                # vision tower entirely. Over budget => keep waiting.
+                if (request.mm_item_hashes
+                        and not self.encoder_cache.has_request(
+                            request.request_id)):
+                    enc_alloc = self.encoder_cache.try_allocate(
+                        request.request_id, request.mm_item_hashes,
+                        request.mm_item_tokens)
+                    if enc_alloc is None:
+                        break  # encoder budget exhausted
+                    # Evictions apply even if block allocation below
+                    # defers the request to a later step.
+                    out.encoder_evict.extend(enc_alloc.evict_hashes)
+                    request._enc_miss = enc_alloc.miss_hashes
+
                 # Swap-in regions need device blocks but no compute:
                 # inflate the allocation, not the token budget.
                 alloc_tokens = num_new_tokens + host_hits * self.block_size
@@ -307,6 +332,8 @@ class Scheduler:
                     request.scheduled_time = time.monotonic()
                 self.running.append(request)
 
+                enc_miss = getattr(request, "_enc_miss", None)
+                request._enc_miss = None
                 if resumed:
                     # Runner rebuilt state is included in NewRequestData
                     # with all tokens produced so far.
@@ -321,6 +348,8 @@ class Scheduler:
                             lora_name=request.lora_name,
                             pooling_params=request.pooling_params,
                             mm_data=request.mm_data,
+                            mm_item_hashes=request.mm_item_hashes,
+                            mm_encode_hashes=enc_miss or [],
                         ))
                 else:
                     out.scheduled_new_reqs.append(
@@ -334,6 +363,8 @@ class Scheduler:
                             lora_name=request.lora_name,
                             pooling_params=request.pooling_params,
                             mm_data=request.mm_data,
+                            mm_item_hashes=request.mm_item_hashes,
+                            mm_encode_hashes=enc_miss or [],
                         ))
                 out.num_scheduled_tokens[request.request_id] = num_new_tokens
                 token_budget -= num_new_tokens

@@ -248,6 +248,7 @@ class LLMEngine:
             except KeyError as e:
                 raise ValueError(str(e)) from e
         mm_hash = None
+        mm_item_hashes = mm_item_tokens = None
         if multi_modal_data is not None:
             # Expand each image placeholder to one token per patch
             # (the processor's replacement step, ref: llava input
@@ -275,6 +276,18 @@ class LLMEngine:
                 assert gi == len(counts), (
                     f"{gi} image tokens but {len(counts)} grids")
                 imgs = multi_modal_data["image"]
+                # Per-image content hashes over each grid's patch span
+                # (encoder cache keys; ref: MultiModalHasher).
+                mm_item_tokens = counts
+                mm_item_hashes = []
+                off = 0
+                for (t, h, w) in grids:
+                    s = int(t * h * w)
+                    span = np.ascontiguousarray(imgs[off:off + s])
+                    mm_item_hashes.append(_hashlib.sha256(
+                        span.tobytes() + repr((t, h, w)).encode()
+                    ).hexdigest())
+                    off += s
             else:
                 from vllm_tpu.models.llava import num_patches
                 P = num_patches(mc)
@@ -285,13 +298,27 @@ class LLMEngine:
                 imgs = multi_modal_data["image"]
                 assert imgs.shape[0] == n_imgs, (
                     f"{n_imgs} image tokens but {imgs.shape[0]} images")
+                mm_item_tokens = [P] * n_imgs
+                mm_item_hashes = [
+                    _hashlib.sha256(
+                        np.ascontiguousarray(imgs[i]).tobytes()
+                    ).hexdigest() for i in range(n_imgs)
+                ]
             prompt_token_ids = expanded
             mm_hash = _hashlib.sha256(
                 np.ascontiguousarray(imgs).tobytes()).hexdigest()
+            budget = self.config.scheduler.encoder_cache_budget
+            if mm_item_tokens and sum(mm_item_tokens) > budget:
+                raise ValueError(
+                    f"request needs {sum(mm_item_tokens)} encoder-cache "
+                    f"tokens but the budget is {budget} "
+                    "(scheduler.encoder_cache_budget)")
         request = Request(request_id, prompt_token_ids, params,
                           priority=priority, lora_name=lora_name,
                           pooling_params=pooling_params,
-                          mm_data=multi_modal_data, mm_hash=mm_hash)
+                          mm_data=multi_modal_data, mm_hash=mm_hash,
+                          mm_item_hashes=mm_item_hashes,
+                          mm_item_tokens=mm_item_tokens)
         if (kv_transfer is None and self.kv_client is not None
                 and pooling_params is None
                 and len(prompt_token_ids) >= self.config.cache.block_size):

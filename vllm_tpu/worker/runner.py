@@ -161,6 +161,13 @@ class TPUModelRunner:
         self.host_kv_pool = None
         self.kv_payloads: dict[str, object] = {}
 
+        # Encoder cache store (scheduler does the budget bookkeeping,
+        # core/encoder_cache.py): image hash -> embedding rows [P, E].
+        # vision_tower_calls counts actual encoder invocations (tests
+        # assert shared images encode once).
+        self.encoder_store: dict[str, np.ndarray] = {}
+        self.vision_tower_calls = 0
+
         # Speculative decoding: ngram (host drafter) or EAGLE (device
         # draft model; install via set_eagle_proposer). Verification is
         # shared (greedy-match / stochastic rejection in _step_impl).
@@ -265,6 +272,7 @@ class TPUModelRunner:
                                 self.max_blocks_per_req,
                                 self.config.seed)
         self.kv_payloads.clear()
+        self.encoder_store.clear()
         self.kv_caches = None  # release before reallocating
         self._alloc_kv_caches()
 
@@ -411,6 +419,8 @@ class TPUModelRunner:
     def update_states(self, out: SchedulerOutput) -> None:
         """Apply the scheduler's diffs to the persistent batch
         (ref analog: gpu_model_runner._update_states:1233)."""
+        for h in out.encoder_evict:
+            self.encoder_store.pop(h, None)
         for req_id in out.finished_req_ids:
             self.batch.remove_request(req_id)
             self.kv_payloads.pop(req_id, None)
@@ -612,18 +622,40 @@ class TPUModelRunner:
 
     # -- multimodal ----------------------------------------------------
     def _install_mm(self, state, nr) -> None:
-        """Encode the request's images once (jitted vision tower) and
-        precompute the prompt-position -> patch-row map."""
+        """Assemble the request's patch embeddings, running the vision
+        tower only for encoder-cache misses (ref analog: scheduled
+        encoder inputs vs cached, encoder_cache_manager.py). Hashed
+        entries live in ``self.encoder_store``; the scheduler's budget
+        bookkeeping decides lifetime (mm_encode_hashes/encoder_evict).
+        Also precomputes the prompt-position -> patch-row map."""
         import functools as _ft
         mc = self.config.model
+        hashes = getattr(nr, "mm_item_hashes", None)
         if self.is_mrope:
             # Qwen2-VL: grid-shaped patches + mrope position grid.
             from vllm_tpu.models import qwen2_vl
             grids = [tuple(int(x) for x in g)
                      for g in nr.mm_data["image_grid_thw"]]
-            embeds = qwen2_vl.encode_images(
-                self.params, mc, jnp.asarray(nr.mm_data["image"]), grids)
-            state.mm_embeds = embeds
+            if hashes is None:  # no cache accounting: encode all
+                self.vision_tower_calls += 1
+                state.mm_embeds = qwen2_vl.encode_images(
+                    self.params, mc, jnp.asarray(nr.mm_data["image"]),
+                    grids)
+            else:
+                fn = qwen2_vl._encode_one(mc)
+                pixels = nr.mm_data["image"]
+                per_item, off = [], 0
+                for h, g in zip(hashes, grids):
+                    s = g[0] * g[1] * g[2]
+                    if h not in self.encoder_store:
+                        self.vision_tower_calls += 1
+                        self.encoder_store[h] = np.asarray(
+                            fn(self.params,
+                               jnp.asarray(pixels[off:off + s]), g))
+                    per_item.append(self.encoder_store[h])
+                    off += s
+                state.mm_embeds = jnp.asarray(
+                    np.concatenate(per_item, axis=0))
             pos3, delta = qwen2_vl.mrope_positions(
                 nr.prompt_token_ids, grids, mc)
             state.mrope_pos3 = pos3
@@ -634,9 +666,22 @@ class TPUModelRunner:
             if not hasattr(self, "_mm_encode"):
                 self._mm_encode = jax.jit(
                     _ft.partial(llava.encode_images, self.params, mc))
-            imgs = jnp.asarray(nr.mm_data["image"])
-            embeds = self._mm_encode(imgs)  # [N, P, E]
-            state.mm_embeds = embeds.reshape(-1, embeds.shape[-1])
+            imgs = np.asarray(nr.mm_data["image"])
+            if hashes is None:
+                self.vision_tower_calls += 1
+                embeds = self._mm_encode(jnp.asarray(imgs))  # [N, P, E]
+                state.mm_embeds = embeds.reshape(-1, embeds.shape[-1])
+            else:
+                miss = [i for i, h in enumerate(hashes)
+                        if h not in self.encoder_store]
+                if miss:
+                    self.vision_tower_calls += 1
+                    got = np.asarray(
+                        self._mm_encode(jnp.asarray(imgs[miss])))
+                    for j, i in enumerate(miss):
+                        self.encoder_store[hashes[i]] = got[j]
+                state.mm_embeds = jnp.asarray(np.concatenate(
+                    [self.encoder_store[h] for h in hashes], axis=0))
         tok = mc.image_token_index
         idx = np.full(len(nr.prompt_token_ids), -1, np.int32)
         c = 0
