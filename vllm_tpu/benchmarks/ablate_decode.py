@@ -29,13 +29,67 @@ def _time(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def ablate_kv_modes(modes=None, iters=20) -> dict[str, float]:
+    """Decode-attention chain (32 fused calls) per KV-cache mode;
+    VERDICT r2 item 4's measurement. Returns {mode: ms}."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_tpu.config import ModelConfig
+    from vllm_tpu.ops.dispatch import fused_decode_attention
+    from vllm_tpu.ops.kv_cache import make_kv_cache
+
+    mc = ModelConfig(vocab_size=32000, hidden_size=4096,
+                     intermediate_size=14336, num_layers=32,
+                     num_heads=32, num_kv_heads=8, max_model_len=1024,
+                     dtype="bfloat16")
+    R = 32
+    rng = np.random.default_rng(0)
+    H, KH, D = mc.num_heads, mc.num_kv_heads, mc.head_dim
+    num_blocks = 257
+    bt = None
+    results: dict[str, float] = {}
+    modes = modes or ["auto", "int8", "fp8", "fp8_pth", "int4", "tq4",
+                      "tq3"]
+    for mode in modes:
+        import jax.numpy as jnp
+        cache = make_kv_cache(num_blocks, 32, KH, D, mode, "bfloat16")
+        bt = jnp.asarray(
+            rng.integers(1, num_blocks, (R, 32), dtype=np.int32))
+        sl = jnp.full((R, ), 160, jnp.int32)
+        q = jnp.asarray(rng.standard_normal((R, H, D)), jnp.bfloat16)
+        kv = jnp.asarray(rng.standard_normal((R, KH, D)), jnp.bfloat16)
+
+        @jax.jit
+        def attn_chain(q, kv, cache):
+            out = q
+            for _ in range(mc.num_layers):
+                out, cache = fused_decode_attention(
+                    out, kv, kv, cache, bt, sl, sm_scale=0.088)
+            return out, cache
+
+        ms = _time(attn_chain, q, kv, cache, iters=iters)
+        results[mode] = ms
+        print(f"attention chain [{mode:8s}]: {ms:6.2f} ms", flush=True)
+    return results
+
+
 def main() -> None:
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     from vllm_tpu.config import ModelConfig
     from vllm_tpu.quant.kernels import prepare_weights
     from vllm_tpu.quant.loader import make_device_leaf
+
+    if "--kv-modes" in sys.argv:
+        i = sys.argv.index("--kv-modes")
+        modes = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 \
+            else None
+        ablate_kv_modes(modes)
+        return
 
     mc = ModelConfig(vocab_size=32000, hidden_size=4096,
                      intermediate_size=14336, num_layers=32,

@@ -52,6 +52,7 @@ def ragged_paged_attention_xla(
     chunk_stride: int = 1,
     chunk_offset: jax.Array | int = 0,
     return_lse: bool = False,
+    sinks: jax.Array | None = None,  # [H] learned sink logits
 ) -> jax.Array:
     """Reference implementation. Materializes each row's full KV
     (gather over the block table) — memory-hungry but simple; the
@@ -75,9 +76,14 @@ def ragged_paged_attention_xla(
     max_kv = max_blocks * block_size
 
     k_cache, v_cache = split_kv(kv_cache)  # [B, KH, bs, Dp]
-    # Quantized caches (fp8) dequantize on gather.
+    # Quantized caches (fp8) dequantize on gather — flush-to-zero, the
+    # same decode the Pallas kernels use (fp8.py e4m3ftz_to_f32).
+    ftz = kv_cache.dtype == jnp.float8_e4m3fn
     k_cache = k_cache[..., :D].astype(q.dtype)
     v_cache = v_cache[..., :D].astype(q.dtype)
+    if ftz:
+        k_cache = jnp.where(jnp.abs(k_cache) < 0.015625, 0.0, k_cache)
+        v_cache = jnp.where(jnp.abs(v_cache) < 0.015625, 0.0, v_cache)
     # Per-row gathered KV: [R, max_kv, KH, D].
     k = k_cache[block_tables].transpose(0, 1, 3, 2, 4).reshape(
         R, max_kv, KH, D)
@@ -121,8 +127,18 @@ def ragged_paged_attention_xla(
     # lse = -inf, dropped by merge_attn_states).
     m = jnp.max(scores, axis=-1, keepdims=True)  # [T, KH, G, 1]
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    if sinks is not None:
+        # Attention sinks (gpt-oss): one extra per-head virtual column
+        # whose probability mass is dropped from the numerator but
+        # kept in the denominator (ref: modeling_gpt_oss
+        # eager_attention_forward s_aux concat + drop).
+        assert not return_lse, "sinks + LSE merge unsupported"
+        sink4 = sinks.astype(jnp.float32).reshape(1, KH, G, 1)
+        m_safe = jnp.maximum(m_safe, sink4)
     p = jnp.where(mask4, jnp.exp(scores - m_safe), 0.0)
     denom = jnp.sum(p, axis=-1, keepdims=True)
+    if sinks is not None:
+        denom = denom + jnp.exp(sink4 - m_safe)
     out = jnp.einsum("thgs,tshd->thgd", p, v_t.astype(jnp.float32))
     out = out / jnp.where(denom > 0, denom, 1.0)
     out = out.reshape(T, H, D).astype(q.dtype)

@@ -50,7 +50,19 @@ def ragged_paged_attention(
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
     q_blk: int = 128,
+    sinks: jax.Array | None = None,  # [H] learned sink logits
 ) -> jax.Array:
+    if sinks is not None:
+        # Attention sinks (gpt-oss): extra per-head softmax-denominator
+        # term (ref: eager_attention_forward s_aux, modeling_gpt_oss).
+        # XLA path only for now; a sink-aware Pallas epilogue is the
+        # optimization path.
+        assert _cp_size() == 1, "sinks unsupported under CP"
+        from vllm_tpu.ops.attention import ragged_paged_attention_xla
+        return ragged_paged_attention_xla(
+            q, kv_cache, block_tables, query_start_loc, seq_lens,
+            sm_scale=sm_scale, sliding_window=sliding_window,
+            logit_softcap=logit_softcap, sinks=sinks)
     if _cp_size() > 1:
         # KV sharded over the cp mesh axis: per-rank partials + merge
         # (the XLA path runs per shard; a Pallas lse-emitting variant
@@ -87,10 +99,13 @@ def fused_decode_attention(
     sm_scale: float,
     sliding_window: int | None = None,
     logit_softcap: float | None = None,
+    sinks: jax.Array | None = None,  # [H] learned sink logits
 ) -> tuple[jax.Array, jax.Array]:
     """Decode fast path: KV write fused into the attention kernel
     (in-place cache via input_output_aliases). XLA fallback: scatter
     write then gather attention. Returns (out, updated cache)."""
+    if sinks is not None:
+        assert _cp_size() == 1, "sinks unsupported under CP"
     if _cp_size() > 1:
         from vllm_tpu.parallel.context import cp_fused_decode_attention
         return cp_fused_decode_attention(q, new_k, new_v, kv_cache,
@@ -98,7 +113,7 @@ def fused_decode_attention(
                                          sm_scale=sm_scale,
                                          sliding_window=sliding_window,
                                          logit_softcap=logit_softcap)
-    if attention_backend() == "pallas":
+    if attention_backend() == "pallas" and sinks is None:
         from vllm_tpu.ops.pallas.decode_attention import (
             decode_paged_attention, pallas_supports)
         if pallas_supports(kv_cache):
@@ -122,5 +137,6 @@ def fused_decode_attention(
     out = ragged_paged_attention_xla(q, kv_cache, block_tables, qsl,
                                      seq_lens, sm_scale=sm_scale,
                                      sliding_window=sliding_window,
-                                     logit_softcap=logit_softcap)
+                                     logit_softcap=logit_softcap,
+                                     sinks=sinks)
     return out, kv_cache

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_tpu.ops.kv_cache import (TQ3_LEVELS, TQ4_LEVELS, QuantKV,
                                    _rht_matrix, codebook_select,
                                    is_packed_int4, quant_max)
-from vllm_tpu.ops.pallas.fp8 import e4m3_to_f32
+from vllm_tpu.ops.pallas.fp8 import (e4m3ftz_to_f32,
+                                     int8_to_f32)
 
 RING = 4  # in-flight superstep slots per program
 F_BLOCKS = 8  # KV blocks per superstep (bf16 kernel)
@@ -242,9 +243,9 @@ def _kernel(
             q_all = q_ref[r]  # [HG*G, Dp]
             if k_buf.dtype == jnp.float8_e4m3fn:
                 # scale-less fp8 cache: manual bit decode (fp8.py).
-                k_all = e4m3_to_f32(k_buf[slot_h].reshape(
+                k_all = e4m3ftz_to_f32(k_buf[slot_h].reshape(
                     HG * FS, D)).astype(q_all.dtype)
-                v_all = e4m3_to_f32(v_buf[slot_h].reshape(
+                v_all = e4m3ftz_to_f32(v_buf[slot_h].reshape(
                     HG * FS, D)).astype(q_all.dtype)
             else:
                 k_all = k_buf[slot_h].reshape(HG * FS,
@@ -451,6 +452,10 @@ def _qkernel(
             qrow = jnp.clip(jnp.floor(scaled + 0.5), -qmax,
                             qmax).astype(jnp.int32).astype(jnp.int8)
         else:
+            # Flush sub-2^-6 magnitudes to zero so the stored codes
+            # round-trip the FTZ hot-path decode exactly (fp8.py
+            # e4m3ftz_to_f32; same formula in kv_cache.quantize_rows).
+            scaled = jnp.where(jnp.abs(scaled) < 0.015625, 0.0, scaled)
             qrow = scaled.astype(qdtype)
         return qrow, scale
 
@@ -540,21 +545,23 @@ def _qkernel(
                     k_all = _lut(k_i).astype(q_all.dtype)
                     v_all = _lut(v_i).astype(q_all.dtype)
                 else:
-                    k_all = (k_i - 8).astype(jnp.float32).astype(
-                        q_all.dtype)
-                    v_all = (v_i - 8).astype(jnp.float32).astype(
-                        q_all.dtype)
+                    # i32 -> f32 via exponent-bias (fp8.py int8_to_f32
+                    # rationale): OR into 2^23, subtract 2^23 + 8.
+                    k_all = (pltpu.bitcast(k_i | 0x4B000000, jnp.float32)
+                             - (8388608.0 + 8.0)).astype(q_all.dtype)
+                    v_all = (pltpu.bitcast(v_i | 0x4B000000, jnp.float32)
+                             - (8388608.0 + 8.0)).astype(q_all.dtype)
             elif qdtype == jnp.int8:
-                k_all = data_buf[slot_h].reshape(N, D).astype(
-                    jnp.int32).astype(jnp.float32).astype(q_all.dtype)
-                v_all = v_buf[slot_h].reshape(N, D).astype(
-                    jnp.int32).astype(jnp.float32).astype(q_all.dtype)
+                k_all = int8_to_f32(
+                    data_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
+                v_all = int8_to_f32(
+                    v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
             else:
                 # fp8: manual bit decode — Mosaic's bulk e4m3 vector
                 # convert is ~30x slower (ops/pallas/fp8.py).
-                k_all = e4m3_to_f32(
+                k_all = e4m3ftz_to_f32(
                     data_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
-                v_all = e4m3_to_f32(
+                v_all = e4m3ftz_to_f32(
                     v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
             s = jax.lax.dot_general(
                 q_all, k_all, (((1, ), (1, )), ((), ())),
@@ -651,6 +658,11 @@ def decode_paged_attention(
         if packed:
             out = (out.astype(jnp.float32) @ rot.T).astype(out_dtype)
         return out[..., :D], kv_cache
+    if kv_cache.dtype == jnp.float8_e4m3fn:
+        # FTZ encode, matching e4m3ftz_to_f32 / write_kv_xla.
+        new_kv = jnp.where(
+            jnp.abs(new_kv.astype(jnp.float32)) < 0.015625, 0.0,
+            new_kv.astype(jnp.float32))
     new_kv = new_kv.astype(kv_cache.dtype)
 
     F = F_BLOCKS

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_tpu.ops.kv_cache import LANE, QuantKV
-from vllm_tpu.ops.pallas.fp8 import e4m3_to_f32
+from vllm_tpu.ops.pallas.fp8 import (e4m3ftz_to_f32,
+                                     int8_to_f32)
 
 DEFAULT_QBLK = 128
 DEFAULT_F = 4  # KV blocks fetched per flash iteration
@@ -156,8 +157,8 @@ def _kernel(
                     # manually (ops/pallas/fp8.py: Mosaic's bulk fp8
                     # convert is pathologically slow).
                     if k_buf.dtype == jnp.float8_e4m3fn:
-                        k = e4m3_to_f32(k_buf[slot]).astype(q2.dtype)
-                        v = e4m3_to_f32(v_buf[slot]).astype(q2.dtype)
+                        k = e4m3ftz_to_f32(k_buf[slot]).astype(q2.dtype)
+                        v = e4m3ftz_to_f32(v_buf[slot]).astype(q2.dtype)
                     else:
                         k = k_buf[slot].astype(q2.dtype)  # [FS, D]
                         v = v_buf[slot].astype(q2.dtype)
@@ -341,16 +342,14 @@ def _qkernel(
                                 v = (v_i - 8).astype(jnp.float32).astype(
                                     q2.dtype)
                         elif int8:
-                            k = k_buf[slot, blk, :].astype(
-                                jnp.int32).astype(jnp.float32).astype(
-                                    q2.dtype)
-                            v = v_buf[slot, blk, :].astype(
-                                jnp.int32).astype(jnp.float32).astype(
-                                    q2.dtype)
-                        else:
-                            k = e4m3_to_f32(
+                            k = int8_to_f32(
                                 k_buf[slot, blk, :]).astype(q2.dtype)
-                            v = e4m3_to_f32(
+                            v = int8_to_f32(
+                                v_buf[slot, blk, :]).astype(q2.dtype)
+                        else:
+                            k = e4m3ftz_to_f32(
+                                k_buf[slot, blk, :]).astype(q2.dtype)
+                            v = e4m3ftz_to_f32(
                                 v_buf[slot, blk, :]).astype(q2.dtype)
                         lane0 = h * block_size
                         s_k = s_buf[slot, f, 0:1,
