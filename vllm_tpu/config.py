@@ -93,6 +93,22 @@ class ModelConfig:
     video_token_index: int = -1
     # logit softcap (gemma2-style); None == disabled
     logit_softcap: float | None = None
+    # Gemma-family knobs (ref: vllm gemma.py / gemma2.py / gemma3.py):
+    # attention-score softcap, attention-scale override
+    # (query_pre_attn_scalar**-0.5), GeGLU activation, RMSNorm with
+    # (1 + weight), sqrt(E)-scaled embeddings, and per-layer
+    # interleaved sliding windows (layer_types marks
+    # sliding_attention/full_attention; the window below applies to
+    # sliding layers only — the KV manager keeps all blocks because
+    # full-attention layers still need them).
+    attn_logit_softcap: float | None = None
+    query_pre_attn_scalar: float | None = None
+    hidden_activation: str = "silu"  # silu | gelu_tanh
+    rmsnorm_unit_offset: bool = False
+    scale_embeddings: bool = False
+    interleaved_sliding_window: int | None = None
+    # Gemma3: sliding layers use a different rope base.
+    rope_local_base_freq: float | None = None
     hf_config: dict[str, Any] = field(default_factory=dict, repr=False)
 
     def __post_init__(self) -> None:

@@ -27,6 +27,10 @@ SUPPORTED_ARCHS = {
     "Qwen2MoeForCausalLM": "qwen2_moe",  # MoE + shared expert
     "Qwen3MoeForCausalLM": "qwen2_moe",
     "Qwen2VLForConditionalGeneration": "qwen2_vl",  # VLM + mrope
+    "GemmaForCausalLM": "gemma",  # GeGLU + (1+w) norms + tied embeds
+    "Gemma2ForCausalLM": "gemma",  # + sandwich norms, softcaps, SWA
+    "Gemma3ForCausalLM": "gemma",  # + qk-norm, dual rope
+    "GptOssForCausalLM": "gpt_oss",  # MoE + sinks + interleaved SWA
 }
 
 # Fallback when config.json lacks "architectures" (model_type -> arch).
@@ -40,6 +44,10 @@ _MODEL_TYPE_ARCHS = {
     "bamba": "BambaForCausalLM",
     "deepseek_v2": "DeepseekV2ForCausalLM",
     "deepseek_v3": "DeepseekV3ForCausalLM",
+    "gemma": "GemmaForCausalLM",
+    "gemma2": "Gemma2ForCausalLM",
+    "gemma3_text": "Gemma3ForCausalLM",
+    "gpt_oss": "GptOssForCausalLM",
 }
 
 
@@ -178,6 +186,32 @@ def model_config_from_hf(
         cfg.mamba_n_groups = hf.get("mamba_n_groups", 1)
     if arch in ("Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM"):
         cfg.norm_topk_prob = hf.get("norm_topk_prob", False)
+    if arch == "GptOssForCausalLM":
+        cfg.attention_bias = True
+        # Interleaved sliding windows, gemma2-style handling (the KV
+        # manager keeps all blocks; models/gpt_oss.py masks per layer).
+        cfg.sliding_window = None
+        if hf.get("layer_types") and hf.get("sliding_window"):
+            cfg.layer_types = tuple(hf["layer_types"])
+            cfg.interleaved_sliding_window = hf["sliding_window"]
+    if arch in ("GemmaForCausalLM", "Gemma2ForCausalLM",
+                "Gemma3ForCausalLM"):
+        cfg.hidden_activation = "gelu_tanh"
+        cfg.rmsnorm_unit_offset = True
+        cfg.scale_embeddings = True
+        cfg.tie_word_embeddings = True
+        cfg.query_pre_attn_scalar = hf.get("query_pre_attn_scalar")
+        cfg.attn_logit_softcap = hf.get("attn_logit_softcapping")
+        cfg.logit_softcap = hf.get("final_logit_softcapping")
+        cfg.rope_local_base_freq = hf.get("rope_local_base_freq")
+        # Interleaved sliding windows: the per-layer map lives in
+        # layer_types; the model-level sliding_window stays None so
+        # the KV manager never frees blocks full-attention layers
+        # still need (models/gemma.py _layer_sliding).
+        cfg.sliding_window = None
+        if hf.get("layer_types") and hf.get("sliding_window"):
+            cfg.layer_types = tuple(hf["layer_types"])
+            cfg.interleaved_sliding_window = hf["sliding_window"]
     if hf.get("kv_lora_rank"):  # MLA (DeepSeek-V2/V3)
         cfg.q_lora_rank = hf.get("q_lora_rank")
         cfg.kv_lora_rank = hf["kv_lora_rank"]

@@ -107,11 +107,13 @@ def load_llama_params(
         return _load_deepseek_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
         return _load_mamba2_params(model_path, cfg)
-    if cfg.layer_types is not None:
+    if cfg.layer_types is not None and cfg.mamba_num_heads:
         return _load_bamba_params(model_path, cfg)
     if cfg.architecture in ("Qwen2MoeForCausalLM",
                             "Qwen3MoeForCausalLM"):
         return _load_qwen2_moe_params(model_path, cfg)
+    if cfg.architecture == "GptOssForCausalLM":
+        return _load_gpt_oss_params(model_path, cfg)
     if cfg.num_experts > 0:
         return _load_mixtral_params(model_path, cfg)
 
@@ -141,6 +143,10 @@ def load_llama_params(
                 layer["input_layernorm"] = to_jax(w)
             elif tail == "post_attention_layernorm.weight":
                 layer["post_attention_layernorm"] = to_jax(w)
+            elif tail == "pre_feedforward_layernorm.weight":  # gemma2/3
+                layer["pre_feedforward_layernorm"] = to_jax(w)
+            elif tail == "post_feedforward_layernorm.weight":
+                layer["post_feedforward_layernorm"] = to_jax(w)
             elif tail == "self_attn.q_norm.weight":  # Qwen3 qk-norm
                 layer["q_norm"] = to_jax(w)
             elif tail == "self_attn.k_norm.weight":
@@ -178,6 +184,75 @@ def load_llama_params(
             leaf["bias"] = to_jax(cat)
 
     _validate(params, cfg)
+    return params
+
+
+def _load_gpt_oss_params(model_path: str, cfg: ModelConfig) -> dict:
+    """GPT-OSS mapping: q/k/v (+bias) -> fused qkv_proj, per-head
+    sinks, mlp.router -> router, stacked biased experts kept in the
+    checkpoint's [NE, E, 2I] (interleaved gate/up) layout
+    (models/gpt_oss.py schema; ref: vllm gpt_oss.py load_weights)."""
+    import jax.numpy as jnp
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    pending: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+
+    def to_jax(a: np.ndarray):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax(w)
+            elif tail == "self_attn.sinks":
+                layer["sinks"] = jnp.asarray(w).astype(jnp.float32)
+            elif tail == "self_attn.o_proj.weight":
+                layer.setdefault("o_proj", {})["weight"] = to_jax(w.T)
+            elif tail == "self_attn.o_proj.bias":
+                layer.setdefault("o_proj", {})["bias"] = to_jax(w)
+            elif tail == "mlp.router.weight":
+                layer.setdefault("router", {})["weight"] = to_jax(w.T)
+            elif tail == "mlp.router.bias":
+                layer.setdefault("router", {})["bias"] = to_jax(w)
+            elif tail == "mlp.experts.gate_up_proj":
+                layer.setdefault("experts", {})["gate_up"] = to_jax(w)
+            elif tail == "mlp.experts.gate_up_proj_bias":
+                layer.setdefault("experts",
+                                 {})["gate_up_bias"] = to_jax(w)
+            elif tail == "mlp.experts.down_proj":
+                layer.setdefault("experts", {})["down"] = to_jax(w)
+            elif tail == "mlp.experts.down_proj_bias":
+                layer.setdefault("experts", {})["down_bias"] = to_jax(w)
+            else:
+                mod, _, kind = tail.rpartition(".")
+                slot = {"self_attn.q_proj": 0, "self_attn.k_proj": 1,
+                        "self_attn.v_proj": 2}.get(mod)
+                if slot is None:
+                    logger.warning("unmapped weight %s", name)
+                else:
+                    pending.setdefault((li, kind), {})[slot] = w
+        else:
+            logger.warning("unmapped weight %s", name)
+
+    for (li, kind), slots in pending.items():
+        assert len(slots) == 3, (li, kind, sorted(slots))
+        cat = np.concatenate([slots[i] for i in range(3)], axis=0)
+        leaf = layers[li].setdefault("qkv_proj", {})
+        leaf[kind] = to_jax(cat.T if kind == "weight" else cat)
+
     return params
 
 

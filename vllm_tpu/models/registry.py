@@ -24,6 +24,10 @@ _REGISTRY: dict[str, str] = {
     "Qwen2MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
     "Qwen3MoeForCausalLM": "vllm_tpu.models.qwen2_moe",
     "Qwen2VLForConditionalGeneration": "vllm_tpu.models.qwen2_vl",
+    "GemmaForCausalLM": "vllm_tpu.models.gemma",
+    "Gemma2ForCausalLM": "vllm_tpu.models.gemma",
+    "Gemma3ForCausalLM": "vllm_tpu.models.gemma",
+    "GptOssForCausalLM": "vllm_tpu.models.gpt_oss",
 }
 
 
