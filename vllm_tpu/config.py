@@ -223,6 +223,12 @@ class ParallelConfig:
     data_parallel_size: int = 1
     expert_parallel_size: int = 1
     pipeline_parallel_size: int = 1
+    # Microbatches per pipeline flush = S * this factor. Factor 1 =
+    # classic GPipe M=S ((S-1)/(2S-1) bubble); larger factors shrink
+    # the decode bubble toward (S-1)/(S*f + S - 1) at the cost of
+    # smaller per-tick chunks (ref analog: max_concurrent_batches /
+    # step_with_batch_queue depth, vllm v1/engine/core.py:621).
+    pipeline_microbatch_factor: int = 1
     # Context parallelism (the reference's DCP/PCP,
     # decode_context_parallel_size parallel.py:342): paged-KV blocks
     # interleave over the ``cp`` mesh axis at block granularity — token

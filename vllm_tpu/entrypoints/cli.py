@@ -22,6 +22,7 @@ def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantization", default=None)
     p.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     p.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
+    p.add_argument("--pipeline-microbatch-factor", type=int, default=1)
     p.add_argument("--expert-parallel-size", "-ep", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-enable-prefix-caching", action="store_true")
@@ -65,6 +66,8 @@ def _engine_config(args):
         parallel=ParallelConfig(
             tensor_parallel_size=args.tensor_parallel_size,
             pipeline_parallel_size=args.pipeline_parallel_size,
+            pipeline_microbatch_factor=getattr(
+                args, "pipeline_microbatch_factor", 1),
             expert_parallel_size=args.expert_parallel_size),
         quant=detect_quant_config(args.model, args.quantization),
         speculative=spec,

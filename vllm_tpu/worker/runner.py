@@ -139,7 +139,9 @@ class TPUModelRunner:
             # (parallel/pipeline.py); the wrapper keeps the model
             # forward/compute_logits/make_caches contract.
             from vllm_tpu.parallel.pipeline import PipelinedModel
-            self.model = PipelinedModel(self.model, mesh, self.pp_size)
+            self.model = PipelinedModel(
+                self.model, mesh, self.pp_size,
+                config.parallel.pipeline_microbatch_factor)
         self.max_num_reqs = config.scheduler.max_num_seqs
         self.max_blocks_per_req = config.max_blocks_per_req
         self.block_size = config.cache.block_size
