@@ -128,3 +128,74 @@ def test_bf16():
     np.testing.assert_allclose(got.astype(np.float32),
                                ref.astype(np.float32), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_return_lse_matches_xla():
+    """LSE output parity (the CP partial contract, VERDICT r2 item 5)."""
+    rng = np.random.default_rng(5)
+    case = make_case(rng, [1, 4, 1], [17, 8, 33])
+    q, kv, bt, qsl, seq_lens = case
+    T = int(qsl[-1])
+    ref, ref_lse = ragged_paged_attention_xla(
+        q[:T], kv, bt, qsl, seq_lens, sm_scale=0.125, return_lse=True)
+    got, got_lse = ragged_paged_attention(
+        q, kv, bt, qsl, seq_lens, sm_scale=0.125, q_blk=16, f_blocks=2,
+        interpret=True, return_lse=True)
+    np.testing.assert_allclose(np.asarray(got[:T]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_lse[:T]),
+                               np.asarray(ref_lse), rtol=2e-5,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("offset", [0, 1])
+def test_chunk_stride_matches_xla(offset):
+    """Strided chunk positions (CP interleaved KV layout): the local
+    table's slot i covers global chunk i*stride + offset; out AND lse
+    must match the XLA reference with identical stride semantics."""
+    rng = np.random.default_rng(6 + offset)
+    case = make_case(rng, [1, 2, 1], [40, 12, 70], max_blocks=8)
+    q, kv, bt, qsl, seq_lens = case
+    T = int(qsl[-1])
+    ref, ref_lse = ragged_paged_attention_xla(
+        q[:T], kv, bt, qsl, seq_lens, sm_scale=0.125,
+        chunk_stride=2, chunk_offset=offset, return_lse=True)
+    got, got_lse = ragged_paged_attention(
+        q, kv, bt, qsl, seq_lens, sm_scale=0.125, q_blk=16,
+        f_blocks=2, interpret=True, chunk_stride=2,
+        chunk_offset=offset, return_lse=True)
+    np.testing.assert_allclose(np.asarray(got[:T]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_lse[:T]),
+                               np.asarray(ref_lse), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_quant_chunk_stride_lse():
+    """Quantized-KV variant of the strided/LSE contract (int8
+    per-token-head cache through _qkernel)."""
+    from vllm_tpu.ops.kv_cache import make_kv_cache, write_kv_xla
+    rng = np.random.default_rng(9)
+    H, KH, D, bs = 8, 4, 64, 16
+    T_ctx = 60
+    k = jnp.asarray(rng.standard_normal((T_ctx, KH, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T_ctx, KH, D)), jnp.float32)
+    cache = write_kv_xla(make_kv_cache(8, bs, KH, D, "int8", "float32"),
+                         k, v, jnp.arange(T_ctx, dtype=jnp.int32))
+    q_blk = 8
+    q = jnp.asarray(rng.standard_normal((2 + q_blk, H, D)), jnp.float32)
+    bt = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    qsl = jnp.asarray([0, 2], jnp.int32)
+    sl = jnp.asarray([T_ctx], jnp.int32)
+    ref, ref_lse = ragged_paged_attention_xla(
+        q[:2], cache, bt, qsl, sl, sm_scale=0.125, chunk_stride=2,
+        chunk_offset=1, return_lse=True)
+    got, got_lse = ragged_paged_attention(
+        q, cache, bt, qsl, sl, sm_scale=0.125, q_blk=q_blk, f_blocks=2,
+        interpret=True, chunk_stride=2, chunk_offset=1,
+        return_lse=True)
+    np.testing.assert_allclose(np.asarray(got[:2]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_lse[:2]),
+                               np.asarray(ref_lse), rtol=2e-5,
+                               atol=2e-5)

@@ -53,20 +53,12 @@ def _kernel(
     qsl_ref,  # [R+1] SMEM
     seq_lens_ref,  # [R] SMEM
     bt_ref,  # [R, max_blocks] SMEM
+    off_ref,  # [1] SMEM: CP chunk offset (= cp rank; 0 off-CP)
     # inputs (HBM)
     q_hbm,  # [T_slack, H, Dp]
     kv_hbm,  # [num_blocks, 2*KH, bs, Dp]
-    # output (HBM)
-    out_hbm,  # [T_slack, H, Dp]
-    # scratch
-    q_buf,  # [QBLK, H, Dp] VMEM
-    k_buf,  # [2, F*bs, D] VMEM
-    v_buf,  # [2, F*bs, D] VMEM
-    o_buf,  # [QBLK, H, D] VMEM
-    q_sem,
-    kv_sems,  # DMA sems [2, 2, F]
-    o_sem,
-    *,
+    # outputs (HBM): out, or (out, lse) with return_lse
+    *rest,
     sm_scale: float,
     block_size: int,
     QBLK: int,
@@ -76,11 +68,21 @@ def _kernel(
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
+    chunk_stride: int = 1,
+    return_lse: bool = False,
 ):
+    if return_lse:
+        (out_hbm, lse_hbm, q_buf, k_buf, v_buf, o_buf, lse_buf, q_sem,
+         kv_sems, o_sem, lse_sem) = rest
+    else:
+        (out_hbm, q_buf, k_buf, v_buf, o_buf, q_sem, kv_sems,
+         o_sem) = rest
+        lse_hbm = lse_buf = lse_sem = None
     r = pl.program_id(0)
     q_start = qsl_ref[r]
     q_len = qsl_ref[r + 1] - q_start
     seq_len = seq_lens_ref[r]
+    off = off_ref[0]
     FS = F * block_size
     D = q_buf.shape[-1]
 
@@ -124,10 +126,19 @@ def _kernel(
             q_cp.start()
 
             # KV range needed under causality: highest q position in
-            # this chunk is seq_len - q_len + chunk_q_end - 1.
+            # this chunk is seq_len - q_len + chunk_q_end - 1. Under CP
+            # (chunk_stride > 1) local block slot i covers global chunk
+            # i*stride + off, so only ceil((nblk - off)/stride) local
+            # slots exist.
             chunk_q_end = jnp.minimum((c + 1) * QBLK, q_len)
             kv_hi = seq_len - q_len + chunk_q_end  # exclusive
-            num_iters = pl.cdiv(kv_hi, FS)
+            if chunk_stride == 1:
+                num_iters = pl.cdiv(kv_hi, FS)
+            else:
+                nblk_g = pl.cdiv(kv_hi, block_size)
+                nloc = pl.cdiv(jnp.maximum(nblk_g - off, 0),
+                               chunk_stride)
+                num_iters = pl.cdiv(nloc, F)
 
             # Row -> query position map (rows = q_local * G + g).
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (QBLK * G, 1), 0)
@@ -137,6 +148,7 @@ def _kernel(
 
             q_cp.wait()
 
+            lse_cols = []
             for h in range(KH):  # static unroll; KH/chip small under TP
                 kv_start(0, 0, h)
                 # Static head slice: [QBLK, G, D] -> [QBLK*G, D].
@@ -167,8 +179,15 @@ def _kernel(
                         preferred_element_type=jnp.float32) * sm_scale
                     if logit_softcap is not None:
                         s = logit_softcap * jnp.tanh(s / logit_softcap)
-                    kv_pos = (i * FS + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, FS), 1))  # [1, FS]
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, FS), 1)  # [1, FS]
+                    if chunk_stride == 1:
+                        kv_pos = i * FS + col
+                    else:
+                        # global position of local slot (i*F + f).
+                        f_idx = col // block_size
+                        kv_pos = (((i * F + f_idx) * chunk_stride + off)
+                                  * block_size + col % block_size)
                     mask = ((kv_pos <= q_pos) & (kv_pos < seq_len)
                             & valid_row)
                     if sliding_window is not None:
@@ -194,10 +213,27 @@ def _kernel(
                 out = acc / jnp.where(l == 0.0, 1.0, l)
                 o_buf[:, h * G:(h + 1) * G, :] = out.reshape(
                     QBLK, G, D).astype(o_buf.dtype)
+                if return_lse:
+                    # lse = m + log(l); rows with no keys on this rank
+                    # emit -inf (dropped by merge_attn_states; true
+                    # -inf, matching the XLA reference's sentinel).
+                    lse_cols.append(jnp.where(
+                        l > 0.0, m + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                        -jnp.inf).reshape(QBLK, G))
 
             o_cp = pltpu.make_async_copy(
                 o_buf, out_hbm.at[pl.ds(chunk_start, QBLK)], o_sem)
             o_cp.start()
+            if return_lse:
+                # [QBLK, H] lse, lane-padded to LANE for an aligned DMA.
+                lse_all = jnp.concatenate(lse_cols, axis=1)
+                H = KH * G
+                lse_buf[...] = jnp.pad(lse_all, ((0, 0), (0, LANE - H)))
+                l_cp = pltpu.make_async_copy(
+                    lse_buf, lse_hbm.at[pl.ds(chunk_start, QBLK)],
+                    lse_sem)
+                l_cp.start()
+                l_cp.wait()
             o_cp.wait()
             return 0
 
@@ -209,22 +245,13 @@ def _qkernel(
     qsl_ref,  # [R+1] SMEM
     seq_lens_ref,  # [R] SMEM
     bt_ref,  # [R, max_blocks] SMEM
+    off_ref,  # [1] SMEM: CP chunk offset (= cp rank; 0 off-CP)
     # inputs (HBM)
     q_hbm,  # [T_slack, H, Dp]
     kv_hbm,  # [num_blocks, 2*KH, bs, Dp] int8/fp8
     sc_hbm,  # [num_blocks, SP2, LANE] f32
-    # output (HBM)
-    out_hbm,  # [T_slack, H, Dp]
-    # scratch
-    q_buf,  # [QBLK, H, Dp] VMEM
-    k_buf,  # [2, F*bs, D] VMEM (quant dtype)
-    v_buf,  # [2, F*bs, D] VMEM (quant dtype)
-    s_buf,  # [2, F, SUBLANE, SL] VMEM f32
-    o_buf,  # [QBLK, H, D] VMEM
-    q_sem,
-    kv_sems,  # DMA sems [2, 3, F]
-    o_sem,
-    *,
+    # outputs (HBM) + scratch via *rest (return_lse adds lse slots)
+    *rest,
     sm_scale: float,
     block_size: int,
     QBLK: int,
@@ -236,6 +263,8 @@ def _qkernel(
     logit_softcap: float | None,
     packed: bool = False,
     levels: tuple | None = None,
+    chunk_stride: int = 1,
+    return_lse: bool = False,
 ):
     """Per-token-head quantized variant: K-scales multiply score
     columns, V-scales multiply prob columns, so the flash update runs
@@ -247,10 +276,18 @@ def _qkernel(
     nibble (kv_cache.py); one byte-plane DMA per (block, head) rides in
     k_buf (v_buf unused), q arrives RHT-rotated and the caller
     un-rotates the output."""
+    if return_lse:
+        (out_hbm, lse_hbm, q_buf, k_buf, v_buf, s_buf, o_buf, lse_buf,
+         q_sem, kv_sems, o_sem, lse_sem) = rest
+    else:
+        (out_hbm, q_buf, k_buf, v_buf, s_buf, o_buf, q_sem, kv_sems,
+         o_sem) = rest
+        lse_hbm = lse_buf = lse_sem = None
     r = pl.program_id(0)
     q_start = qsl_ref[r]
     q_len = qsl_ref[r + 1] - q_start
     seq_len = seq_lens_ref[r]
+    off = off_ref[0]
     FS = F * block_size
     D = q_buf.shape[-1]
     int8 = k_buf.dtype == jnp.int8 and not packed
@@ -303,7 +340,13 @@ def _qkernel(
 
             chunk_q_end = jnp.minimum((c + 1) * QBLK, q_len)
             kv_hi = seq_len - q_len + chunk_q_end  # exclusive
-            num_iters = pl.cdiv(kv_hi, FS)
+            if chunk_stride == 1:
+                num_iters = pl.cdiv(kv_hi, FS)
+            else:
+                nblk_g = pl.cdiv(kv_hi, block_size)
+                nloc = pl.cdiv(jnp.maximum(nblk_g - off, 0),
+                               chunk_stride)
+                num_iters = pl.cdiv(nloc, F)
 
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (QBLK * G, 1), 0)
             q_local = row_ids // G
@@ -312,6 +355,7 @@ def _qkernel(
 
             q_cp.wait()
 
+            lse_cols = []
             for h in range(KH):
                 kv_start(0, 0, h)
                 q2 = q_buf[:, h * G:(h + 1) * G, :].reshape(QBLK * G, D)
@@ -362,9 +406,13 @@ def _qkernel(
                         s = s * s_k * sm_scale
                         if logit_softcap is not None:
                             s = logit_softcap * jnp.tanh(s / logit_softcap)
-                        kv_pos = (i * FS + f * block_size +
-                                  jax.lax.broadcasted_iota(
-                                      jnp.int32, (1, block_size), 1))
+                        within = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, block_size), 1)
+                        if chunk_stride == 1:
+                            kv_pos = i * FS + f * block_size + within
+                        else:
+                            kv_pos = (((i * F + f) * chunk_stride + off)
+                                      * block_size + within)
                         mask = ((kv_pos <= q_pos) & (kv_pos < seq_len)
                                 & valid_row)
                         if sliding_window is not None:
@@ -392,10 +440,26 @@ def _qkernel(
                 out = acc / jnp.where(l == 0.0, 1.0, l)
                 o_buf[:, h * G:(h + 1) * G, :] = out.reshape(
                     QBLK, G, D).astype(o_buf.dtype)
+                if return_lse:
+                    # lse = m + log(l); rows with no keys on this rank
+                    # emit -inf (dropped by merge_attn_states; true
+                    # -inf, matching the XLA reference's sentinel).
+                    lse_cols.append(jnp.where(
+                        l > 0.0, m + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                        -jnp.inf).reshape(QBLK, G))
 
             o_cp = pltpu.make_async_copy(
                 o_buf, out_hbm.at[pl.ds(chunk_start, QBLK)], o_sem)
             o_cp.start()
+            if return_lse:
+                lse_all = jnp.concatenate(lse_cols, axis=1)
+                H = KH * G
+                lse_buf[...] = jnp.pad(lse_all, ((0, 0), (0, LANE - H)))
+                l_cp = pltpu.make_async_copy(
+                    lse_buf, lse_hbm.at[pl.ds(chunk_start, QBLK)],
+                    lse_sem)
+                l_cp.start()
+                l_cp.wait()
             o_cp.wait()
             return 0
 
@@ -406,7 +470,7 @@ def _qkernel(
     jax.jit,
     static_argnames=("sm_scale", "q_blk", "f_blocks", "causal",
                      "sliding_window", "logit_softcap", "interpret",
-                     "has_slack"))
+                     "has_slack", "chunk_stride", "return_lse"))
 def ragged_paged_attention(
     q: jax.Array,  # [T(_slack), H, D]
     kv_cache: jax.Array,  # [num_blocks, 2*KH, bs, Dp]
@@ -422,7 +486,14 @@ def ragged_paged_attention(
     logit_softcap: float | None = None,
     interpret: bool = False,
     has_slack: bool = False,
-) -> jax.Array:
+    # Context parallelism (parallel/context.py): local block-table
+    # slot i covers global token chunk i*chunk_stride + chunk_offset;
+    # return_lse adds an [T, H] f32 log-sum-exp output for
+    # merge_attn_states. Ref analog: dcp_alltoall.py's partials.
+    chunk_stride: int = 1,
+    chunk_offset: jax.Array | int = 0,
+    return_lse: bool = False,
+):
     T, H, D = q.shape
     T_in = T
     R, max_blocks = block_tables.shape
@@ -443,6 +514,20 @@ def ragged_paged_attention(
     if pad_d or pad_t:
         q = jnp.pad(q, [(0, pad_t), (0, 0), (0, pad_d)])
     T = q.shape[0]
+    off_arr = jnp.asarray(chunk_offset, jnp.int32).reshape(1)
+    assert H <= LANE, "lse lane-padding assumes H <= 128"
+
+    def shape_outs(dtype):
+        if not return_lse:
+            return jax.ShapeDtypeStruct((T, H, Dp), dtype)
+        return (jax.ShapeDtypeStruct((T, H, Dp), dtype),
+                jax.ShapeDtypeStruct((T, LANE), jnp.float32))
+
+    def out_specs():
+        if not return_lse:
+            return pl.BlockSpec(memory_space=pltpu.HBM)
+        return (pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM))
 
     if quant:
         out_dtype = q.dtype
@@ -458,35 +543,43 @@ def ragged_paged_attention(
             rot = _rht_matrix(Dp)
             q = q.astype(jnp.float32) @ rot
         SUB, SL = kv_cache.scales.shape[1:3]
+        scratch = [
+            pltpu.VMEM((QBLK, H, Dp), q.dtype),
+            pltpu.VMEM((2, F * block_size, Dp), data.dtype),
+            pltpu.VMEM((2, F * block_size, Dp), data.dtype),
+            pltpu.VMEM((2, F, SUB, SL), jnp.float32),
+            pltpu.VMEM((QBLK, H, Dp), q.dtype),
+        ]
+        if return_lse:
+            scratch.append(pltpu.VMEM((QBLK, LANE), jnp.float32))
+        scratch += [
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 3, F)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if return_lse:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(R, ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # q
                 pl.BlockSpec(memory_space=pltpu.HBM),  # kv data
                 pl.BlockSpec(memory_space=pltpu.HBM),  # kv scales
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-            scratch_shapes=[
-                pltpu.VMEM((QBLK, H, Dp), q.dtype),
-                pltpu.VMEM((2, F * block_size, Dp), data.dtype),
-                pltpu.VMEM((2, F * block_size, Dp), data.dtype),
-                pltpu.VMEM((2, F, SUB, SL), jnp.float32),
-                pltpu.VMEM((QBLK, H, Dp), q.dtype),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2, 3, F)),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            out_specs=out_specs(),
+            scratch_shapes=scratch,
         )
         kernel = functools.partial(
             _qkernel, sm_scale=sm_scale, block_size=block_size,
             QBLK=QBLK, F=F, KH=KH, G=G, max_blocks=max_blocks,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
-            packed=packed, levels=levels)
+            packed=packed, levels=levels, chunk_stride=chunk_stride,
+            return_lse=return_lse)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            out_shape=shape_outs(q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", ), ),
             cost_estimate=pl.CostEstimate(
@@ -495,14 +588,33 @@ def ragged_paged_attention(
                 transcendentals=T * H * 1024,
             ),
             interpret=interpret,
-        )(query_start_loc, seq_lens, block_tables, q, data,
+        )(query_start_loc, seq_lens, block_tables, off_arr, q, data,
           kv_cache.scales)
+        if return_lse:
+            out, lse = out
         if packed:
             out = (out @ rot.T).astype(out_dtype)
+        if return_lse:
+            return out[:T_in, :, :D], lse[:T_in, :H]
         return out[:T_in, :, :D]
 
+    scratch = [
+        pltpu.VMEM((QBLK, H, Dp), q.dtype),
+        pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
+        pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
+        pltpu.VMEM((QBLK, H, Dp), q.dtype),
+    ]
+    if return_lse:
+        scratch.append(pltpu.VMEM((QBLK, LANE), jnp.float32))
+    scratch += [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2, 2, F)),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if return_lse:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(R, ),
         in_specs=[
             # Pin to HBM: under ANY the compiler hoists small arrays
@@ -510,16 +622,8 @@ def ragged_paged_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),  # q
             pl.BlockSpec(memory_space=pltpu.HBM),  # kv
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((QBLK, H, Dp), q.dtype),
-            pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
-            pltpu.VMEM((2, F * block_size, Dp), kv_cache.dtype),
-            pltpu.VMEM((QBLK, H, Dp), q.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, 2, F)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs(),
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _kernel,
@@ -532,11 +636,13 @@ def ragged_paged_attention(
         max_blocks=max_blocks,
         sliding_window=sliding_window,
         logit_softcap=logit_softcap,
+        chunk_stride=chunk_stride,
+        return_lse=return_lse,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=shape_outs(q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", ),
         ),
@@ -546,5 +652,8 @@ def ragged_paged_attention(
             transcendentals=T * H * 1024,
         ),
         interpret=interpret,
-    )(query_start_loc, seq_lens, block_tables, q, kv_cache)
+    )(query_start_loc, seq_lens, block_tables, off_arr, q, kv_cache)
+    if return_lse:
+        out, lse = out
+        return out[:T_in, :, :D], lse[:T_in, :H]
     return out[:T_in, :, :D]

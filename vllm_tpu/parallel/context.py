@@ -43,6 +43,15 @@ def cp_size() -> int:
     return axis_size(AXIS_CP)
 
 
+def _pallas_mode() -> tuple[bool, bool]:
+    """(use_pallas, interpret) for the CP attention partials."""
+    from vllm_tpu.ops.dispatch import attention_backend
+    backend = attention_backend()
+    if backend != "pallas":
+        return False, False
+    return True, jax.default_backend() == "cpu"
+
+
 def local_block_tables(tables: jax.Array, rank: jax.Array, cp: int,
                        blocks_local: int) -> jax.Array:
     """Global [R, MB] block table -> this rank's local [R, ceil(MB/cp)]
@@ -116,22 +125,39 @@ def cp_ragged_attention(
     logit_softcap: float | None = None,
 ) -> jax.Array:
     """Ragged paged attention with KV sharded over ``cp``: per-rank
-    partial (out, lse) -> all-gather -> merge_attn_states."""
+    partial (out, lse) -> all-gather -> merge_attn_states.
+
+    On the Pallas backend the partials come from the LSE-emitting
+    ragged kernel with strided chunk positions (VERDICT r2 item 5) —
+    only the [T, H, D] out + [T, H] lse partials cross the cp axis,
+    never KV. The XLA reference path remains for CPU tests and as the
+    fallback."""
     from vllm_tpu.ops.attention import (merge_attn_states,
                                         ragged_paged_attention_xla)
     mesh = get_current_mesh()
     cp = mesh.shape[AXIS_CP]
     data, scales, quant = _cache_parts(kv_cache, cp)
+    use_pallas, interpret = _pallas_mode()
 
     def local_fn(q, data, scales, tables, qsl, seq_lens):
         r = jax.lax.axis_index(AXIS_CP)
         blocks_local = data.shape[0]
         cache = QuantKV(data, scales) if quant else data
         lt = local_block_tables(tables, r, cp, blocks_local)
-        out, lse = ragged_paged_attention_xla(
-            q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
-            sliding_window=sliding_window, logit_softcap=logit_softcap,
-            chunk_stride=cp, chunk_offset=r, return_lse=True)
+        if use_pallas:
+            from vllm_tpu.ops.pallas.ragged_attention import (
+                ragged_paged_attention as pallas_ragged)
+            out, lse = pallas_ragged(
+                q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                logit_softcap=logit_softcap, chunk_stride=cp,
+                chunk_offset=r, return_lse=True, interpret=interpret)
+        else:
+            out, lse = ragged_paged_attention_xla(
+                q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                logit_softcap=logit_softcap,
+                chunk_stride=cp, chunk_offset=r, return_lse=True)
         outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CP)
         lses = jax.lax.all_gather(lse, AXIS_CP)
         return merge_attn_states(outs, lses).astype(q.dtype)
@@ -159,7 +185,9 @@ def cp_fused_decode_attention(
     logit_softcap: float | None = None,
 ):
     """Decode step under CP: the owning rank writes the new token's KV,
-    every rank attends over its shard, partials merge. Returns
+    every rank attends over its shard, partials merge — [R, H, D] out
+    + [R, H] lse cross the cp axis, never KV. Pallas LSE kernel when
+    the backend allows (VERDICT r2 item 5). Returns
     (out, updated cache)."""
     from vllm_tpu.ops.attention import (merge_attn_states,
                                         ragged_paged_attention_xla)
@@ -167,6 +195,7 @@ def cp_fused_decode_attention(
     cp = mesh.shape[AXIS_CP]
     data, scales, quant = _cache_parts(kv_cache, cp)
     R = q.shape[0]
+    use_pallas, interpret = _pallas_mode()
 
     def local_fn(q, k, v, data, scales, tables, seq_lens):
         r = jax.lax.axis_index(AXIS_CP)
@@ -180,10 +209,21 @@ def cp_fused_decode_attention(
         cache = write_kv_xla(cache, k, v, ls, oob="drop")
         lt = local_block_tables(tables, r, cp, blocks_local)
         qsl = jnp.arange(R + 1, dtype=jnp.int32)
-        out, lse = ragged_paged_attention_xla(
-            q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
-            sliding_window=sliding_window, logit_softcap=logit_softcap,
-            chunk_stride=cp, chunk_offset=r, return_lse=True)
+        if use_pallas:
+            from vllm_tpu.ops.pallas.ragged_attention import (
+                ragged_paged_attention as pallas_ragged)
+            out, lse = pallas_ragged(
+                q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                logit_softcap=logit_softcap, chunk_stride=cp,
+                chunk_offset=r, return_lse=True, q_blk=8,
+                interpret=interpret)
+        else:
+            out, lse = ragged_paged_attention_xla(
+                q, cache, lt, qsl, seq_lens, sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                logit_softcap=logit_softcap,
+                chunk_stride=cp, chunk_offset=r, return_lse=True)
         outs = jax.lax.all_gather(out.astype(jnp.float32), AXIS_CP)
         lses = jax.lax.all_gather(lse, AXIS_CP)
         merged = merge_attn_states(outs, lses).astype(q.dtype)
