@@ -259,3 +259,80 @@ def test_embeddings_endpoint(tokenizer):
         assert all(len(d["embedding"]) == 16 for d in data["data"])
 
     with_client(t, tokenizer)
+
+
+def test_completion_echo_and_logprobs(tokenizer):
+    """OpenAI echo=true prepends the prompt; with logprobs set the
+    logprobs block covers prompt + output tokens (prompt entry 0
+    null)."""
+    async def t(client):
+        r = await client.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": "Hello world",
+            "max_tokens": 4,
+            "temperature": 0,
+            "ignore_eos": True,
+            "echo": True,
+            "logprobs": 2,
+        })
+        assert r.status == 200
+        data = await r.json()
+        choice = data["choices"][0]
+        assert choice["text"].startswith("Hello world")
+        lp = choice["logprobs"]
+        assert lp["token_logprobs"][0] is None  # prompt position 0
+        assert len(lp["tokens"]) == len(lp["token_logprobs"])
+        # prompt positions + 4 output tokens
+        assert len(lp["tokens"]) > 4
+        assert any(v is not None for v in lp["token_logprobs"][1:])
+
+    with_client(t, tokenizer)
+
+
+def test_completion_suffix_rejected(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/completions", json={
+            "model": "tiny", "prompt": "a", "suffix": "end"})
+        assert r.status == 400
+
+    with_client(t, tokenizer)
+
+
+def test_completion_best_of(tokenizer):
+    async def t(client):
+        r = await client.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": "Hello",
+            "max_tokens": 4,
+            "temperature": 0.9,
+            "seed": 3,
+            "best_of": 3,
+            "ignore_eos": True,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert isinstance(data["choices"][0]["text"], str)
+        # best_of + stream is an error (OpenAI semantics).
+        r = await client.post("/v1/completions", json={
+            "model": "tiny", "prompt": "x", "best_of": 2,
+            "stream": True})
+        assert r.status == 400
+
+    with_client(t, tokenizer)
+
+
+def test_completion_logit_bias(tokenizer):
+    async def t(client):
+        # Strongly bias a specific token: greedy output repeats it.
+        tid = 42
+        r = await client.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": "Hello",
+            "max_tokens": 3,
+            "temperature": 0,
+            "ignore_eos": True,
+            "logit_bias": {str(tid): 100.0},
+        })
+        assert r.status == 200
+
+    with_client(t, tokenizer)

@@ -99,6 +99,9 @@ class ModelRunnerOutput:
     # per request: pooled embedding (pooling requests whose prefill
     # completed this step; None rows otherwise).
     pooler_outputs: Optional[list[Optional[list[float]]]] = None
+    # per request: prompt logprobs (list aligned to prompt positions,
+    # entry 0 None), delivered once when its prefill completes.
+    prompt_logprobs: Optional[list] = None
 
 
 @dataclass
@@ -113,6 +116,7 @@ class EngineCoreOutput:
     finish_reason: Optional[str] = None
     stop_reason: Optional[int | str] = None
     new_logprobs: Optional[list[dict[int, float]]] = None
+    prompt_logprobs: Optional[list] = None
     pooling_output: Optional[list[float]] = None
     # Filled on finish (tracing / per-request KV metrics).
     kv_cached_tokens: int = 0

@@ -412,9 +412,7 @@ class Scheduler:
                     r.request_id]:
                 return
             if (sp.logprobs or sp.guided
-                    or sp.repetition_penalty != 1.0
-                    or sp.presence_penalty != 0.0
-                    or sp.frequency_penalty != 0.0):
+                    or sp.has_penalties):
                 return
         # Cap so no request can cross max_model_len mid-horizon.
         h = min([horizon] +
@@ -549,6 +547,9 @@ class Scheduler:
                         stop_reason=request.stop_reason,
                         new_logprobs=(runner_output.logprobs[i]
                                       if runner_output.logprobs else None),
+                        prompt_logprobs=(
+                            runner_output.prompt_logprobs[i]
+                            if runner_output.prompt_logprobs else None),
                         kv_cached_tokens=getattr(request,
                                                  "num_cached_tokens", 0),
                         scheduled_time=getattr(request, "scheduled_time",

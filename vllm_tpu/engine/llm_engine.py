@@ -499,10 +499,9 @@ class LLMEngine:
                 return True
             sp = r.sampling_params
             if (r.pooling_params is not None or sp.logprobs or sp.guided
+                    or sp.prompt_logprobs
                     or getattr(sp, "_grammar", None) is not None
-                    or sp.repetition_penalty != 1.0
-                    or sp.presence_penalty != 0.0
-                    or sp.frequency_penalty != 0.0):
+                    or sp.has_penalties):
                 return True
         return False
 

@@ -27,6 +27,7 @@ class RequestState:
     sampling_params: SamplingParams
     output_token_ids: list[int]
     logprobs: Optional[list[dict[int, float]]] = None
+    prompt_logprobs: Optional[list] = None
 
 
 class OutputProcessor:
@@ -63,6 +64,8 @@ class OutputProcessor:
             state.output_token_ids.extend(eco.new_token_ids)
             if state.logprobs is not None and eco.new_logprobs:
                 state.logprobs.extend(eco.new_logprobs)
+            if eco.prompt_logprobs is not None:
+                state.prompt_logprobs = eco.prompt_logprobs
             finished = eco.finished
             finish_reason = eco.finish_reason
             stop_reason = eco.stop_reason
@@ -107,6 +110,7 @@ class OutputProcessor:
                     ],
                     finished=finished,
                     embedding=eco.pooling_output,
+                    prompt_logprobs=state.prompt_logprobs,
                 ))
             if finished:
                 self.states.pop(eco.req_id, None)

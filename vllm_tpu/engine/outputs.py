@@ -28,3 +28,7 @@ class RequestOutput:
     # Pooling/embedding requests only (ref analog:
     # PoolingRequestOutput, vllm/outputs.py).
     embedding: Optional[list[float]] = None
+    # Per prompt position {token_id: logprob} (entry 0 None);
+    # populated when SamplingParams.prompt_logprobs is set (ref:
+    # vllm RequestOutput.prompt_logprobs).
+    prompt_logprobs: Optional[list] = None

@@ -48,6 +48,9 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
         stop_token_ids=body.get("stop_token_ids", []),
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=body.get("logprobs"),
+        logit_bias={int(k): float(v) for k, v in
+                    (body.get("logit_bias") or {}).items()} or None,
+        prompt_logprobs=body.get("prompt_logprobs"),
         guided_choice=(body.get("guided_choice")
                        or rf.get("choices")),
         guided_regex=body.get("guided_regex"),
@@ -57,6 +60,38 @@ def _sampling_params_from(body: dict[str, Any]) -> SamplingParams:
         presence_penalty=float(body.get("presence_penalty", 0.0)),
         frequency_penalty=float(body.get("frequency_penalty", 0.0)),
     )
+
+
+def _logprobs_block(final, c, echo: bool) -> Optional[dict]:
+    """OpenAI completions `logprobs` object: token_logprobs /
+    top_logprobs aligned to (echoed prompt +) output tokens. Prompt
+    entries come from SamplingParams.prompt_logprobs (position 0 is
+    null, OpenAI convention)."""
+    if c.logprobs is None and final.prompt_logprobs is None:
+        return None
+    token_lps: list = []
+    top: list = []
+    toks: list[int] = []
+    if echo and final.prompt_logprobs is not None:
+        for pos, entry in enumerate(final.prompt_logprobs):
+            tid = final.prompt_token_ids[pos]
+            toks.append(tid)
+            if entry is None:
+                token_lps.append(None)
+                top.append(None)
+            else:
+                token_lps.append(entry.get(tid))
+                top.append({str(k): v for k, v in entry.items()})
+    for tid, entry in zip(c.token_ids, c.logprobs or []):
+        toks.append(tid)
+        token_lps.append(entry.get(tid))
+        top.append({str(k): v for k, v in entry.items()})
+    return {
+        "tokens": [str(t) for t in toks],
+        "token_logprobs": token_lps,
+        "top_logprobs": top,
+        "text_offset": [],
+    }
 
 
 class OpenAIServer:
@@ -195,16 +230,32 @@ class OpenAIServer:
         prompt = body.get("prompt")
         if prompt is None:
             return _err("missing 'prompt'")
+        if body.get("suffix"):
+            # Insertion-mode completions need an infilling-capable
+            # model (ref: vllm rejects suffix the same way).
+            return _err("suffix is not supported", 400)
         if isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
             prompt = prompt[0]  # batch-of-one only for now
         params = _sampling_params_from(body)
+        echo = bool(body.get("echo"))
+        if echo and params.logprobs is not None \
+                and params.prompt_logprobs is None:
+            # OpenAI echo+logprobs returns prompt token logprobs too.
+            params.prompt_logprobs = params.logprobs
+        best_of = int(body.get("best_of") or 0)
         lora = self._route_model(body)
         req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
         if body.get("stream"):
+            if best_of > 1:
+                return _err("best_of is not supported with stream", 400)
             return await self._stream(request, req_id, prompt, params,
-                                      chat=False, lora_name=lora)
+                                      chat=False, lora_name=lora,
+                                      echo=echo)
+        if best_of > 1:
+            return await self._best_of(req_id, prompt, params, best_of,
+                                       lora_name=lora, echo=echo)
         return await self._complete(req_id, prompt, params, chat=False,
-                                    lora_name=lora)
+                                    lora_name=lora, echo=echo)
 
     async def chat_completions(self,
                                request: web.Request) -> web.StreamResponse:
@@ -237,8 +288,8 @@ class OpenAIServer:
 
     # -- impl ---------------------------------------------------------
     async def _complete(self, req_id: str, prompt, params: SamplingParams,
-                        chat: bool,
-                        lora_name: Optional[str] = None) -> web.Response:
+                        chat: bool, lora_name: Optional[str] = None,
+                        echo: bool = False) -> web.Response:
         final = None
         async for out in self.llm.generate(prompt, params, req_id,
                                            lora_name=lora_name):
@@ -275,23 +326,73 @@ class OpenAIServer:
                 "usage": _usage(final),
             }
         else:
+            choice = {
+                "index": 0,
+                "text": (final.prompt or "") + c.text if echo else c.text,
+                "finish_reason": c.finish_reason,
+            }
+            lp = _logprobs_block(final, c, echo)
+            if lp is not None:
+                choice["logprobs"] = lp
             payload = {
                 "id": req_id,
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": self.model_name,
-                "choices": [{
-                    "index": 0,
-                    "text": c.text,
-                    "finish_reason": c.finish_reason,
-                }],
+                "choices": [choice],
                 "usage": _usage(final),
             }
         return web.json_response(payload)
 
+    async def _best_of(self, req_id: str, prompt,
+                       params: SamplingParams, best_of: int,
+                       lora_name: Optional[str] = None,
+                       echo: bool = False) -> web.Response:
+        """OpenAI best_of: sample best_of candidates, return the one
+        with the highest cumulative logprob (ref analog: the v0
+        best_of semantics; the v1 reference runs candidates as
+        parallel-sampling fan-out)."""
+        import dataclasses
+        want_lp = params.logprobs
+        results = []
+        for i in range(best_of):
+            p_i = dataclasses.replace(
+                params,
+                logprobs=max(want_lp or 0, 1),
+                seed=(params.seed + i if params.seed is not None
+                      else None))
+            final = None
+            async for out in self.llm.generate(
+                    prompt, p_i, f"{req_id}-bo{i}",
+                    lora_name=lora_name):
+                final = out
+            results.append(final)
+        best = max(results,
+                   key=lambda r: r.outputs[0].cumulative_logprob or
+                   float("-inf"))
+        c = best.outputs[0]
+        choice = {
+            "index": 0,
+            "text": (best.prompt or "") + c.text if echo else c.text,
+            "finish_reason": c.finish_reason,
+        }
+        if want_lp is not None:
+            lp = _logprobs_block(best, c, echo)
+            if lp is not None:
+                choice["logprobs"] = lp
+        return web.json_response({
+            "id": req_id,
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [choice],
+            "usage": _usage(best),
+        })
+
     async def _stream(self, request: web.Request, req_id: str, prompt,
                       params: SamplingParams, chat: bool,
-                      lora_name: Optional[str] = None) -> web.StreamResponse:
+                      lora_name: Optional[str] = None,
+                      echo: bool = False) -> web.StreamResponse:
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -324,6 +425,9 @@ class OpenAIServer:
                 first_chunk = False
             return {"index": 0, "delta": delta, "finish_reason": finish}
 
+        if echo and not chat and isinstance(prompt, str):
+            await emit({"index": 0, "text": prompt,
+                        "finish_reason": None})
         try:
             async for out in self.llm.generate(prompt, params, req_id,
                                                lora_name=lora_name):

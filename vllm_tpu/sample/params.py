@@ -28,6 +28,13 @@ class SamplingParams:
     stop_token_ids: list[int] = field(default_factory=list)
     ignore_eos: bool = False
     logprobs: Optional[int] = None
+    # Additive per-token logit bias {token_id: bias} (OpenAI
+    # logit_bias; ref: vllm logit_bias logits processor). Applied on
+    # device before temperature/top-k/top-p.
+    logit_bias: Optional[dict[int, float]] = None
+    # Top-k logprobs per PROMPT position (ref: vllm prompt_logprobs):
+    # computed during prefill, returned once on the first output.
+    prompt_logprobs: Optional[int] = None
     detokenize: bool = True
     include_stop_str_in_output: bool = False
     # Structured output (ref: vllm guided decoding params). Exactly one
@@ -64,6 +71,14 @@ class SamplingParams:
         if n_guided > 1:
             raise ValueError("at most one of guided_choice/guided_regex/"
                              "guided_json/guided_grammar may be set")
+
+    @property
+    def has_penalties(self) -> bool:
+        """Anything that needs the [R, V] device stats/bias arrays."""
+        return (self.repetition_penalty != 1.0
+                or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0
+                or bool(self.logit_bias))
 
     @property
     def greedy(self) -> bool:

@@ -44,6 +44,7 @@ class PenaltyInputs(NamedTuple):
     frequency: jax.Array  # [R] f32
     out_counts: jax.Array  # [R, V] i32 output-token counts
     all_presence: jax.Array  # [R, V] bool prompt|output presence
+    bias: jax.Array  # [R, V] f32 additive logit bias (OpenAI logit_bias)
 
 
 def apply_penalties(logits: jax.Array, pen: PenaltyInputs) -> jax.Array:
@@ -54,7 +55,7 @@ def apply_penalties(logits: jax.Array, pen: PenaltyInputs) -> jax.Array:
     logits = jnp.where(pen.all_presence, scaled, logits)
     logits = logits - pen.frequency[:, None] * pen.out_counts
     logits = logits - pen.presence[:, None] * (pen.out_counts > 0)
-    return logits
+    return logits + pen.bias
 
 
 def _apply_top_k_top_p(logits: jax.Array, top_k: jax.Array,

@@ -89,6 +89,9 @@ class StepInputs(NamedTuple):
     # plus that previous step's [R] samples. None in sync mode.
     feedback_src: Optional[jax.Array] = None
     prev_sampled: Optional[jax.Array] = None
+    # prompt_logprobs: [T] next-prompt-token id per row (0 where
+    # unused); drives the in-step full-stream logprob gather.
+    plp_targets: Optional[jax.Array] = None
 
 
 class StepHandle(NamedTuple):
@@ -108,6 +111,8 @@ class StepHandle(NamedTuple):
     pool: Optional[tuple] = None
     want_pooling: bool = False
     np_logits_indices: Optional[np.ndarray] = None
+    plp: Optional[tuple] = None  # (vals [T,k], ids [T,k], tgt [T])
+    spans: Optional[list] = None  # (req_id, t0, start, n) per request
 
 
 class TPUModelRunner:
@@ -162,6 +167,7 @@ class TPUModelRunner:
         # see core/kv_offload.py).
         self.host_kv_pool = None
         self.kv_payloads: dict[str, object] = {}
+        self._last_spans = None
 
         # Encoder cache store (scheduler does the budget bookkeeping,
         # core/encoder_cache.py): image hash -> embedding rows [P, E].
@@ -222,8 +228,9 @@ class TPUModelRunner:
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
-            # q_blk, spec_k, n_logprobs, want_hidden, want_pooling
-            static_argnums=(3, 4, 5, 6, 7),
+            # q_blk, spec_k, n_logprobs, want_hidden, want_pooling,
+            # n_plp (prompt-logprobs bucket)
+            static_argnums=(3, 4, 5, 6, 7, 8),
             compiler_options=xla_opts,
         )
         self._decode_loop_fn = jax.jit(
@@ -582,6 +589,24 @@ class TPUModelRunner:
                 if delta and ep < n:
                     positions3[:, t0 + ep:t0 + n] += delta
 
+        # prompt_logprobs (ref: vllm prompt_logprobs): target ids for
+        # the in-step full-stream logprob gather — row t scores prompt
+        # position start+i+1, whose token the host already knows.
+        plp_targets = None
+        if any(self.batch.reqs[r].sampling_params.prompt_logprobs
+               for r in req_ids):
+            plp_targets = np.zeros((T_pad, ), np.int32)
+            for req_id, t0, start, n in spans:
+                st = self.batch.reqs[req_id]
+                if not st.sampling_params.prompt_logprobs:
+                    continue
+                toks = st.token_ids
+                for i in range(n):
+                    p_next = start + i + 1
+                    if p_next < st.prompt_len:
+                        plp_targets[t0 + i] = toks[p_next]
+        self._last_spans = spans
+
         b = self.batch
         # Host copy for EAGLE's accepted-position arithmetic.
         self._np_logits_indices = logits_indices
@@ -616,6 +641,8 @@ class TPUModelRunner:
                           if feedback_src is not None else None),
             prev_sampled=(self._last_sampled
                           if feedback_src is not None else None),
+            plp_targets=(jnp.asarray(plp_targets)
+                         if plp_targets is not None else None),
         )
         if feedback_src is not None and self._last_sampled is None:
             raise RuntimeError(
@@ -848,11 +875,8 @@ class TPUModelRunner:
     def _build_penalties(self, req_ids) -> Optional[PenaltyInputs]:
         """[R, V] token statistics, only when some scheduled request
         uses penalties (ref: vllm penalties bin-count tensors)."""
-        need = any(
-            self.batch.reqs[r].sampling_params.repetition_penalty != 1.0
-            or self.batch.reqs[r].sampling_params.presence_penalty != 0.0
-            or self.batch.reqs[r].sampling_params.frequency_penalty != 0.0
-            for r in req_ids)
+        need = any(self.batch.reqs[r].sampling_params.has_penalties
+                   for r in req_ids)
         if not need:
             return None
         R = self.max_num_reqs
@@ -862,12 +886,17 @@ class TPUModelRunner:
         freq = np.zeros((R, ), np.float32)
         out_counts = np.zeros((R, V), np.int32)
         all_presence = np.zeros((R, V), bool)
+        bias = np.zeros((R, V), np.float32)
         for r in req_ids:
             st = self.batch.reqs[r]
             sp = st.sampling_params
             rep[st.row] = sp.repetition_penalty
             pres[st.row] = sp.presence_penalty
             freq[st.row] = sp.frequency_penalty
+            for tid, b in (sp.logit_bias or {}).items():
+                tid = int(tid)
+                if 0 <= tid < V:
+                    bias[st.row, tid] = float(b)
             toks = np.asarray(st.token_ids)
             # Exclude async -1 placeholders along with >=V specials.
             otoks = toks[st.prompt_len:]
@@ -876,7 +905,8 @@ class TPUModelRunner:
             all_presence[st.row][toks[(toks >= 0) & (toks < V)]] = True
         return PenaltyInputs(jnp.asarray(rep), jnp.asarray(pres),
                              jnp.asarray(freq), jnp.asarray(out_counts),
-                             jnp.asarray(all_presence))
+                             jnp.asarray(all_presence),
+                             jnp.asarray(bias))
 
     # -- execution ----------------------------------------------------
     def execute_model(self, out: SchedulerOutput) -> ModelRunnerOutput:
@@ -904,19 +934,25 @@ class TPUModelRunner:
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
                     for r in req_ids), default=0)
+        n_plp = max(((self.batch.reqs[r].sampling_params.prompt_logprobs
+                      or 0) for r in req_ids), default=0)
+        if inputs.plp_targets is None:
+            n_plp = 0
         want_pooling = any(
             getattr(self.batch.reqs[r], "pooling", None) is not None
             for r in req_ids)
         (self.kv_caches, sampled, spec_mats, lp, hidden,
-         pool) = self._step_fn(self.params, self.kv_caches, inputs,
-                               q_blk, self.spec_k, n_lp,
-                               self._want_hidden, want_pooling)
+         pool, plp) = self._step_fn(self.params, self.kv_caches, inputs,
+                                    q_blk, self.spec_k, n_lp,
+                                    self._want_hidden, want_pooling,
+                                    n_plp)
         self._last_sampled = sampled  # device-side feedback source
         return StepHandle(out=out, req_ids=req_ids, emits=emits,
                           q_blk=q_blk, inputs=inputs, sampled=sampled,
                           spec_mats=spec_mats, lp=lp, hidden=hidden,
                           pool=pool, want_pooling=want_pooling,
-                          np_logits_indices=self._np_logits_indices)
+                          np_logits_indices=self._np_logits_indices,
+                          plp=plp, spans=self._last_spans)
 
     def finish_step(self, h: "StepHandle") -> ModelRunnerOutput:
         """Block on the device step and run host bookkeeping."""
@@ -931,6 +967,35 @@ class TPUModelRunner:
                    if pool is not None else None)
         sampled_np = np.asarray(jax.device_get(sampled))
         lp_np = jax.device_get(lp) if lp is not None else None
+        # prompt_logprobs: fold this step's prompt rows into each
+        # request's accumulator; finalized below when its prefill is
+        # complete (ref: vllm prompt_logprobs — entry i is the top-k
+        # + actual-token logprob at prompt position i; position 0 has
+        # no distribution and reports None).
+        plp_done: dict[str, list] = {}
+        if h.plp is not None:
+            vals_np, ids_np, tgt_np2 = map(np.asarray,
+                                           jax.device_get(h.plp))
+            for req_id, t0, start, n in h.spans or []:
+                st = self.batch.reqs.get(req_id)
+                if st is None or not st.sampling_params.prompt_logprobs:
+                    continue
+                k = st.sampling_params.prompt_logprobs
+                acc = getattr(st, "prompt_lp", None)
+                if acc is None:
+                    acc = st.prompt_lp = [None]  # position 0
+                for i in range(n):
+                    pos_next = start + i + 1
+                    if pos_next >= st.prompt_len:
+                        break
+                    row = t0 + i
+                    entry = {int(tid): float(v) for tid, v in
+                             zip(ids_np[row, :k], vals_np[row, :k])}
+                    entry.setdefault(int(st.token_ids[pos_next]),
+                                     float(tgt_np2[row]))
+                    acc.append(entry)
+                if len(acc) >= st.prompt_len:
+                    plp_done[req_id] = acc
         greedy_np = tgt_np = rec_np = None
         if spec_mats is not None:
             greedy_np, tgt_np, rec_np = map(np.asarray,
@@ -939,6 +1004,8 @@ class TPUModelRunner:
         result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
         if lp_np is not None:
             result.logprobs = []
+        if plp_done:
+            result.prompt_logprobs = [plp_done.get(r) for r in req_ids]
         spec_out: list[list[int]] = []
         # EAGLE bookkeeping: per-row (accepted count, last token).
         eagle_rows: list[tuple[int, int, int, int]] = []
@@ -1052,9 +1119,7 @@ class TPUModelRunner:
             # logits remain exact).
             sp = state.sampling_params
             eligible = (not sp.logprobs and g is None
-                        and sp.repetition_penalty == 1.0
-                        and sp.presence_penalty == 0.0
-                        and sp.frequency_penalty == 0.0)
+                        and not sp.has_penalties)
             if self.proposer is not None and eligible:
                 spec_out.append(self.proposer.propose(state.token_ids))
             else:
@@ -1256,7 +1321,7 @@ def _segment_pooling(hidden: jax.Array, qsl: jax.Array):
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0,
                want_hidden: bool | tuple = False,
-               want_pooling: bool = False):
+               want_pooling: bool = False, n_plp: int = 0):
     """One fused device step: forward + logits + sample (+ greedy
     verification matrix when speculative decoding is on). With
     ``want_hidden`` the full [T, E] hidden stream is also returned
@@ -1295,6 +1360,19 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                                           inputs.positions, kv_caches,
                                           meta, q_blk=q_blk, **lora_kw)
         drafter_hidden = hidden if want_hidden else None
+    # prompt_logprobs (ref: vllm prompt_logprobs — full-stream logits
+    # during prefill, only on steps that scheduled such a request):
+    # top-k per row + the actual next prompt token's logprob.
+    plp = None
+    if n_plp > 0:
+        logp_all = jax.nn.log_softmax(
+            model.compute_logits(params, mc, hidden).astype(jnp.float32),
+            axis=-1)
+        vals, ids = jax.lax.top_k(logp_all, n_plp)
+        tgt = jnp.take_along_axis(
+            logp_all, inputs.plp_targets[:, None], axis=-1)[:, 0]
+        plp = (vals, ids, tgt)
+
     # Only sampled rows' logits matter: gather last-token hidden states
     # first so the LM head runs at [R*(K+1), E] not [T, E]
     # (ref analog: logits_indices gather in gpu_model_runner).
@@ -1314,7 +1392,7 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
         pool = (_segment_pooling(hidden, inputs.query_start_loc)
                 if want_pooling else None)
         return (kv_caches, sampled, None, lp,
-                drafter_hidden, pool)
+                drafter_hidden, pool, plp)
     idx = inputs.logits_indices.reshape(-1)
     logits = model.compute_logits(params, mc, hidden[idx])
     logits = logits.reshape(R, K1, -1)
@@ -1352,4 +1430,4 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     pool = (_segment_pooling(hidden, inputs.query_start_loc)
             if want_pooling else None)
     return (kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp,
-            drafter_hidden, pool)
+            drafter_hidden, pool, plp)
