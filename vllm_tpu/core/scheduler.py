@@ -28,6 +28,83 @@ from vllm_tpu.utils import init_logger
 logger = init_logger(__name__)
 
 
+class WaitingQueue:
+    """Admission queue. FCFS: deque. Priority: min-heap keyed
+    (priority, arrival) with lazy removal — O(log n) admission instead
+    of the O(n) insertion scan (ref: vllm request_queue.py:208
+    priority heap; matters in the thousands-waiting regime)."""
+
+    def __init__(self, priority: bool) -> None:
+        import heapq
+        self._priority = priority
+        self._heapq = heapq
+        self._dq: deque[Request] = deque()
+        self._heap: list[tuple[int, float, int, Request]] = []
+        self._removed: set[str] = set()
+        self._seq = 0
+        self._n = 0
+
+    def push(self, request: Request) -> None:
+        if self._priority:
+            self._seq += 1
+            self._heapq.heappush(
+                self._heap,
+                (request.priority, request.arrival_time, self._seq,
+                 request))
+        else:
+            self._dq.append(request)
+        self._n += 1
+
+    def push_front(self, request: Request) -> None:
+        """Preemption resume: FCFS returns to the head; priority mode
+        re-inserts by key (the heap order is the policy)."""
+        if self._priority:
+            self.push(request)
+            self._n -= 1  # push() counted it
+        else:
+            self._dq.appendleft(request)
+        self._n += 1
+
+    def _gc(self) -> None:
+        while (self._heap
+               and self._heap[0][3].request_id in self._removed):
+            _, _, _, r = self._heapq.heappop(self._heap)
+            self._removed.discard(r.request_id)
+
+    def peek(self) -> Request:
+        if self._priority:
+            self._gc()
+            return self._heap[0][3]
+        return self._dq[0]
+
+    def pop(self) -> Request:
+        self._n -= 1
+        if self._priority:
+            self._gc()
+            return self._heapq.heappop(self._heap)[3]
+        return self._dq.popleft()
+
+    def remove(self, request: Request) -> None:
+        """Lazy O(1) removal (priority); O(n) scan only on FCFS."""
+        if self._priority:
+            self._removed.add(request.request_id)
+        else:
+            self._dq.remove(request)
+        self._n -= 1
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __bool__(self) -> bool:
+        return self._n > 0
+
+    def __iter__(self):
+        if self._priority:
+            return (r for _, _, _, r in sorted(self._heap)
+                    if r.request_id not in self._removed)
+        return iter(self._dq)
+
+
 class Scheduler:
 
     def __init__(self, config: EngineConfig, num_blocks: int) -> None:
@@ -89,7 +166,8 @@ class Scheduler:
                 lambda bid, h: self._pending_offload.append((bid, h)))
 
         self.requests: dict[str, Request] = {}
-        self.waiting: deque[Request] = deque()
+        self.waiting = WaitingQueue(
+            config.scheduler.policy == "priority")
         self.running: list[Request] = []
         # Finished/aborted between steps; the runner purges these rows.
         self.finished_req_ids: set[str] = set()
@@ -102,18 +180,7 @@ class Scheduler:
                 f"prompt ({request.num_prompt_tokens} tokens) >= "
                 f"max_model_len ({self.max_model_len})")
         self.requests[request.request_id] = request
-        if self.config.scheduler.policy == "priority":
-            # Admission order: (priority, arrival) — lower first
-            # (ref analog: request_queue.py priority heap).
-            idx = len(self.waiting)
-            key = (request.priority, request.arrival_time)
-            for i, r in enumerate(self.waiting):
-                if (r.priority, r.arrival_time) > key:
-                    idx = i
-                    break
-            self.waiting.insert(idx, request)
-        else:
-            self.waiting.append(request)
+        self.waiting.push(request)
 
     def finish_requests(self, request_ids: Iterable[str],
                         status: RequestStatus) -> None:
@@ -227,7 +294,7 @@ class Scheduler:
         if not preempted_this_step:
             while (self.waiting and token_budget > 0
                    and len(self.running) < self.max_num_seqs):
-                request = self.waiting[0]
+                request = self.waiting.peek()
                 resumed = request.status == RequestStatus.PREEMPTED
 
                 # Disagg P/D: a transferred-KV request skips prefill of
@@ -320,7 +387,7 @@ class Scheduler:
                 if inject:
                     out.kv_inject_reqs.append(request.request_id)
 
-                self.waiting.popleft()
+                self.waiting.pop()
                 request.status = RequestStatus.RUNNING
                 request.num_computed_tokens = max(request.num_computed_tokens,
                                                   num_cached_tokens)
@@ -461,7 +528,7 @@ class Scheduler:
         self.num_preemptions += 1
         preempted_this_step.add(request.request_id)
         # Head of the waiting queue: preempted requests resume first.
-        self.waiting.appendleft(request)
+        self.waiting.push_front(request)
 
     # -- post-execution ----------------------------------------------
     def update_from_output(

@@ -306,13 +306,10 @@ class TPUModelRunner:
                 f"divide expert_parallel_size = {ep}")
         moe_layers = [i for i, l in enumerate(self.params["layers"])
                       if "w_gate_up" in l]
-        for i in moe_layers:
-            for key in ("w_gate_up", "w_down"):
-                if isinstance(self.params["layers"][i][key], dict) and ep == 1:
-                    raise NotImplementedError(
-                        "EPLB over the single-device tile-major quantized "
-                        "MoE layout is unsupported; use ep > 1 or "
-                        "unquantized experts")
+        # Quantized expert stacks keep the expert axis at 0 in every
+        # leaf (qweight [NE, n_n, G, BROWS, bn] + scales/zbias
+        # [NE, ...] since the r3 layout), so the replica regather below
+        # works uniformly for dense and WNA16 experts at any ep.
         self.eplb = EplbState(num_logical=E, num_layers=mc.num_layers,
                               window=pc.eplb_window,
                               step_interval=pc.eplb_step_interval)
