@@ -310,11 +310,27 @@ class SpeculativeConfig:
     round 1 (drafts are only proposed for temperature==0 requests).
     """
 
-    method: Literal["ngram", "eagle", "eagle3", "mtp", None] = None
+    method: Literal["ngram", "eagle", "eagle3", "mtp", "medusa",
+                    "suffix", "draft_model", None] = None
     num_speculative_tokens: int = 4
     # n-gram match window: longest suffix tried first.
     prompt_lookup_max: int = 4
     prompt_lookup_min: int = 2
+    # suffix decoding (ref: vllm/config/speculative.py:194): trie depth
+    # bound, finished-response cache size (FIFO), draft-length factor
+    # (draft <= factor x match length) and empirical-probability gate.
+    suffix_decoding_max_tree_depth: int = 24
+    suffix_decoding_max_cached_requests: int = 1000
+    suffix_decoding_max_spec_factor: float = 1.0
+    suffix_decoding_min_token_prob: float = 0.1
+    # dynamic spec: [(range_start, range_end, k), ...] batch-size
+    # schedule — runtime K caps to the entry covering the step's decode
+    # batch size; 0 disables drafting at that size (ref:
+    # vllm/v1/spec_decode/dynamic/utils.py). None = static K.
+    num_speculative_tokens_per_batch_size: Optional[list] = None
+    # draft_model: the drafter's own ModelConfig (its checkpoint is a
+    # full causal LM; vocab must match the target).
+    draft_config: Optional["ModelConfig"] = None
     # eagle/eagle3/mtp: draft checkpoint path (see spec_decode/eagle.py
     # for the per-method param schemas) and draft depth.
     model: Optional[str] = None

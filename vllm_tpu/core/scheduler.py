@@ -130,8 +130,10 @@ class Scheduler:
         # past the last accepted token; reserve block headroom (ref
         # analog: num_lookahead_tokens in the reference scheduler).
         sc = config.speculative
-        self.num_lookahead_tokens = (sc.num_speculative_tokens +
-                                     1 if sc.method == "eagle" else 0)
+        self.num_lookahead_tokens = (
+            sc.num_speculative_tokens + 1
+            if sc.method in ("eagle", "eagle3", "mtp", "draft_model")
+            else 0)
 
         # Overlap scheduling (ref: async_scheduler.py): schedule step
         # N+1 before step N's outputs apply, booking one output

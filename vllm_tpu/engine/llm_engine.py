@@ -111,6 +111,25 @@ class LLMEngine:
                 draft_params = loader(sc.model, dcfg)
             self.runner.set_eagle_proposer(draft_params,
                                            method=sc.method)
+        elif sc.method == "medusa":
+            if draft_params is None:
+                from vllm_tpu.spec_decode.medusa import load_medusa_params
+                assert sc.model, "medusa needs speculative.model or " \
+                                 "draft_params"
+                draft_params = load_medusa_params(sc.model, mc)
+            self.runner.set_medusa_proposer(draft_params)
+        elif sc.method == "draft_model":
+            dcfg = sc.draft_config
+            assert dcfg is not None, (
+                "draft_model needs speculative.draft_config (the "
+                "drafter's own ModelConfig)")
+            if draft_params is None:
+                from vllm_tpu.loader.safetensors_loader import (
+                    load_llama_params)
+                assert sc.model, "draft_model needs speculative.model " \
+                                 "or draft_params"
+                draft_params = load_llama_params(sc.model, dcfg, None)
+            self.runner.set_draft_model_proposer(draft_params, dcfg)
         # Host KV tier: scheduler owns the index, runner moves bytes.
         if self.scheduler.host_kv_pool is not None:
             self.runner.host_kv_pool = self.scheduler.host_kv_pool

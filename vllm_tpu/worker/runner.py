@@ -181,7 +181,8 @@ class TPUModelRunner:
         # shared (greedy-match / stochastic rejection in _step_impl).
         sc = config.speculative
         self.spec_k = (sc.num_speculative_tokens if sc.method
-                       in ("ngram", "eagle", "eagle3", "mtp") else 0)
+                       in ("ngram", "suffix", "eagle", "eagle3", "mtp",
+                           "medusa", "draft_model") else 0)
         self.proposer = None
         self.eagle = None
         # static want_hidden for _step_impl: True streams the final
@@ -191,6 +192,17 @@ class TPUModelRunner:
         if sc.method == "ngram":
             from vllm_tpu.spec_decode.ngram import NgramProposer
             self.proposer = NgramProposer(sc)
+        elif sc.method == "suffix":
+            from vllm_tpu.spec_decode.suffix import SuffixProposer
+            self.proposer = SuffixProposer(sc)
+        # Dynamic spec: dense batch_size -> K cap (0 disables drafting
+        # at that size; ref: vllm/v1/spec_decode/dynamic/utils.py).
+        self._dyn_k: list[int] | None = None
+        if self.spec_k and sc.num_speculative_tokens_per_batch_size:
+            from vllm_tpu.spec_decode.dynamic import build_lookup
+            self._dyn_k = build_lookup(
+                sc.num_speculative_tokens_per_batch_size,
+                config.scheduler.max_num_seqs, self.spec_k)
         self.num_kv_blocks = num_kv_blocks
         kv_sh = None
         if mesh is not None and self.pp_size > 1:
@@ -405,6 +417,27 @@ class TPUModelRunner:
             self._want_hidden = tuple(sorted(aux))
         else:
             self._want_hidden = True
+
+    def set_medusa_proposer(self, draft_params: dict) -> None:
+        """Install Medusa heads (ref analog: MedusaProposer built in
+        gpu_model_runner when method == 'medusa'). Drives the same
+        device-drafter path as EAGLE; reads only the final hidden
+        states at the accepted positions."""
+        from vllm_tpu.spec_decode.medusa import MedusaProposer
+        self.eagle = MedusaProposer(draft_params, self.spec_k)
+        self._want_hidden = True
+
+    def set_draft_model_proposer(self, draft_params: dict,
+                                 dcfg) -> None:
+        """Install an independent draft causal LM (ref analog:
+        DraftModelProposer, vllm/v1/spec_decode/draft_model.py:19).
+        Token-only drafting — no hidden-state streaming needed."""
+        from vllm_tpu.spec_decode.draft_model import DraftModelProposer
+        self.eagle = DraftModelProposer(draft_params, dcfg,
+                                        self.config.model, self.spec_k,
+                                        self.num_kv_blocks,
+                                        self.block_size,
+                                        self.config.cache.cache_dtype)
 
     def set_lora_registry(self, registry) -> None:
         """Install/refresh the multi-LoRA stacks. The stacked adapter
@@ -1009,6 +1042,10 @@ class TPUModelRunner:
         K = self.spec_k
         if want_pooling:
             result.pooler_outputs = []
+        # Dynamic spec: cap K by the step's batch size (0 disables
+        # drafting; ref: vllm/v1/spec_decode/dynamic/utils.py lookup).
+        dyn_k = (K if self._dyn_k is None else
+                 self._dyn_k[min(len(req_ids), len(self._dyn_k) - 1)])
         for req_id, emit in zip(req_ids, emits):
             state = self.batch.reqs.get(req_id)
             if state is None:
@@ -1117,13 +1154,29 @@ class TPUModelRunner:
             sp = state.sampling_params
             eligible = (not sp.logprobs and g is None
                         and not sp.has_penalties)
-            if self.proposer is not None and eligible:
-                spec_out.append(self.proposer.propose(state.token_ids))
+            if (self.proposer is not None
+                    and getattr(self.proposer, "needs_request_state",
+                                False)):
+                # Suffix decoding: the cache must see every emitted
+                # token in order (a gap would fabricate adjacent
+                # n-grams in the global tree), so update even when
+                # drafting is disabled this step.
+                draft = self.proposer.propose_for(req_id,
+                                                  state.token_ids,
+                                                  state.prompt_len,
+                                                  new_toks)
+                spec_out.append(draft[:dyn_k] if eligible else [])
+            elif self.proposer is not None and eligible and dyn_k:
+                spec_out.append(
+                    self.proposer.propose(state.token_ids)[:dyn_k])
             else:
                 spec_out.append([])
-            if self.eagle is not None and eligible:
+            if self.eagle is not None and eligible and dyn_k:
                 eagle_rows.append((len(spec_out) - 1, row, len(drafts),
                                    len(new_toks)))
+        if (self.proposer is not None
+                and getattr(self.proposer, "needs_request_state", False)):
+            self.proposer.sync_active(req_ids)
         if self.eagle is not None and eagle_rows:
             # One device call drafts for every eligible row (draft
             # prefill over this step's stream + k-1 chained steps).
@@ -1145,7 +1198,7 @@ class TPUModelRunner:
                                         next_tok, last_idx, active,
                                         q_blk)
             for row, slot in row_to_slot.items():
-                spec_out[slot] = [int(t) for t in drafts[row]]
+                spec_out[slot] = [int(t) for t in drafts[row][:dyn_k]]
         if self.proposer is not None or self.eagle is not None:
             result.spec_token_ids = spec_out
         return result
