@@ -98,9 +98,10 @@ def main() -> None:
                          num_heads=32, num_kv_heads=4,
                          max_model_len=1024, dtype="bfloat16")
         num_blocks = 1025
-    # KV-cache quantization (BASELINE.md ladder: "INT4-g128 + FP8 KV"):
-    # auto=bf16 | fp8 | fp8_pth | int8 | int4 | tq4 | tq3.
-    kv_dtype = os.environ.get("VLLM_TPU_BENCH_KV", "auto")
+    # KV-cache quantization. Default = the BASELINE.md ladder flagship
+    # ("INT4-g128 + FP8 KV"): fp8_pth (per-token-head scaled e4m3).
+    # Override: auto=bf16 | fp8 | fp8_pth | int8 | int4 | tq4 | tq3.
+    kv_dtype = os.environ.get("VLLM_TPU_BENCH_KV", "fp8_pth")
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(block_size=32, num_gpu_blocks=num_blocks,
@@ -137,12 +138,48 @@ def main() -> None:
                                               ignore_eos=True),
                                request_id=f"{tag}-{i}")
 
-    # Warmup round: compiles every (prefill, decode) bucket.
+    # Warmup round: compiles every (prefill, decode) bucket. With the
+    # persistent compile cache (utils/compile_cache.py) a warm process
+    # start replays serialized executables instead of recompiling.
     t0 = time.perf_counter()
     add_all("warm")
     while engine.has_unfinished_requests():
         engine.step()
-    print(f"warmup (incl compile): {time.perf_counter()-t0:.1f}s",
+    warmup_s = time.perf_counter() - t0
+    from vllm_tpu.utils.compile_cache import cache_stats
+    cst = cache_stats()
+    print(f"warmup (incl compile): {warmup_s:.1f}s; compile cache: "
+          f"{cst['entries']} entries, {cst['bytes']/2**20:.0f} MiB",
+          file=sys.stderr)
+
+    # Prefill round: long prompts, max_tokens=1 — prefill tok/s + TTFT
+    # (ref formulas: vllm/benchmarks/serve.py:562-639). 8 x 1008-token
+    # prompts through the chunked-prefill scheduler; TTFT is measured
+    # per request from batch admission, so later requests include
+    # queueing (the serve-driver semantic).
+    pf_n, pf_len = 8, 1008
+
+    def prefill_round(tag: str):
+        for i in range(pf_n):
+            prompt = [rng.randrange(100, 31000) for _ in range(pf_len)]
+            engine.add_request(prompt,
+                               SamplingParams(temperature=0.0,
+                                              max_tokens=1,
+                                              ignore_eos=True),
+                               request_id=f"{tag}-{i}")
+        t0 = time.perf_counter()
+        ttfts = []
+        while engine.has_unfinished_requests():
+            for _o in engine.step():
+                ttfts.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0, ttfts
+
+    prefill_round("pfwarm")  # compile the long-prompt chunk buckets
+    pf_time, ttfts = prefill_round("prefill")
+    prefill_tok_s = pf_n * pf_len / pf_time
+    ttft_p50 = sorted(ttfts)[len(ttfts) // 2] if ttfts else 0.0
+    print(f"prefill: {pf_n * pf_len} tokens in {pf_time:.2f}s "
+          f"({prefill_tok_s:.0f} tok/s), TTFT p50 {ttft_p50*1e3:.0f} ms",
           file=sys.stderr)
 
     # Timed round: prefill then steady decode. Decode-only rate is
@@ -191,6 +228,12 @@ def main() -> None:
         "value": round(tput, 1),
         "unit": "tok/s",
         "vs_baseline": 1.0,
+        # First-class serving metrics (VERDICT r3 item 3; formulas:
+        # ref vllm/benchmarks/serve.py:562-639).
+        "prefill_tokens_per_sec": round(prefill_tok_s, 1),
+        "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
+        "warmup_s": round(warmup_s, 1),
+        "compile_cache_entries": cst["entries"],
     }
     # Accuracy column (VLLM_TPU_BENCH_PPL=1): teacher-forced ppl of
     # the served weights on the in-repo corpus through the real paged

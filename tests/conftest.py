@@ -11,6 +11,9 @@ Must run before jax is imported anywhere.
 import os
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress environment
+# Don't persist the thousands of tiny XLA:CPU test executables to the
+# user cache; the dedicated compile-cache test opts in explicitly.
+os.environ.setdefault("VLLM_TPU_COMPILE_CACHE", "0")
 
 # Force CPU even when the ambient env routes JAX at a TPU (axon): tests
 # must be host-runnable. Set VLLM_TPU_TEST_ON_TPU=1 to run on real HW.

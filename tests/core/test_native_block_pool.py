@@ -112,10 +112,11 @@ def test_engine_with_native_pool():
         kind = type(engine.scheduler.kv_cache_manager.block_pool).__name__
         return [done[i] for i in ids], kind
 
-    ref, kind0 = gen()
-    assert kind0 == "BlockPool"
-    os.environ["VLLM_TPU_NATIVE_POOL"] = "1"
+    os.environ["VLLM_TPU_NATIVE_POOL"] = "0"
     try:
+        ref, kind0 = gen()
+        assert kind0 == "BlockPool"
+        os.environ["VLLM_TPU_NATIVE_POOL"] = "1"
         got, kind1 = gen()
     finally:
         del os.environ["VLLM_TPU_NATIVE_POOL"]

@@ -7,7 +7,7 @@ from vllm_tpu import envs
 
 def test_defaults():
     assert envs.VLLM_TPU_LOG_LEVEL == "INFO"
-    assert envs.VLLM_TPU_NATIVE_POOL is False
+    assert envs.VLLM_TPU_NATIVE_POOL is True  # default-on since r4
     assert envs.VLLM_TPU_ATTN_BACKEND is None
     assert envs.VLLM_TPU_BENCH_HORIZON == 64
 

@@ -133,7 +133,7 @@ def test_warmup_then_generate(llm):
     llm.engine.warmup()
     pool = llm.engine.scheduler.kv_cache_manager.block_pool
     assert pool.num_free_blocks == pool.num_blocks - 1  # all freed
-    assert not pool._cache  # no warmup pollution
+    assert pool.num_cached_blocks == 0  # no warmup pollution
     outs = llm.generate(["Hello world"],
                         SamplingParams(temperature=0.0, max_tokens=4,
                                        ignore_eos=True))

@@ -104,6 +104,10 @@ class BlockPool:
     def num_free_blocks(self) -> int:
         return len(self._free)
 
+    @property
+    def num_cached_blocks(self) -> int:
+        return len(self._cache)
+
     def get_cached_block(self, h: BlockHash) -> Optional[KVCacheBlock]:
         return self._cache.get(h)
 

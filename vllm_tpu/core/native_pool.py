@@ -65,6 +65,10 @@ class NativeBlockPool:
     def num_free_blocks(self) -> int:
         return self._lib.bp_num_free(self._p)
 
+    @property
+    def num_cached_blocks(self) -> int:
+        return self._lib.bp_cache_size(self._p)
+
     def get_cached_block(self, h: BlockHash) -> Optional[KVCacheBlock]:
         # NOTE: stats are the caller's job (KVCacheManager counts
         # queries/hits itself, same contract as the Python pool).

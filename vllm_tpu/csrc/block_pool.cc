@@ -173,6 +173,10 @@ int32_t bp_reset_prefix_cache(Pool* p) {
   return 1;
 }
 
+int32_t bp_cache_size(Pool* p) {
+  return static_cast<int32_t>(p->cache.size());
+}
+
 void bp_stats(Pool* p, int64_t* queries, int64_t* hits,
               int64_t* evictions) {
   *queries = p->queries;

@@ -40,6 +40,13 @@ class LLMEngine:
         self.config = config
         mc = config.model
 
+        # Persistent compile cache: serialized XLA executables keyed
+        # under the engine-config hash, so a second process start skips
+        # the bucket-ladder compiles (ref analog: vllm/compilation/
+        # caching.py artifact cache). Must run before the first jit.
+        from vllm_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(config)
+
         if tokenizer is None and mc.model:
             try:
                 from vllm_tpu.engine.tokenizer_registry import get_tokenizer

@@ -29,8 +29,12 @@ def _choice(*allowed: str) -> Callable[[str], str]:
 _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     # Attention backend override (ops/dispatch.py).
     "VLLM_TPU_ATTN_BACKEND": (_choice("pallas", "xla"), None),
-    # Use the native C++ block pool (core/native_pool.py).
-    "VLLM_TPU_NATIVE_POOL": (_bool, False),
+    # Use the native C++ block pool (core/native_pool.py). Default on;
+    # falls back to the Python pool when the shared lib can't build.
+    "VLLM_TPU_NATIVE_POOL": (_bool, True),
+    # Persistent XLA compile cache dir (utils/compile_cache.py);
+    # "0"/"off" disables. Keyed per engine-config hash underneath.
+    "VLLM_TPU_COMPILE_CACHE": (str, "~/.cache/vllm_tpu/jit_cache"),
     # Logging level for vllm_tpu loggers.
     "VLLM_TPU_LOG_LEVEL": (str, "INFO"),
     # OTel-style span export file (tracing.py).
@@ -46,10 +50,6 @@ _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     "VLLM_TPU_BENCH_PROFILE": (str, None),
     # Multi-step decode horizon override (engine).
     "VLLM_TPU_DECODE_HORIZON": (int, None),
-    # Fused MLP megakernel (quant/pallas_mlp.py): gate_up + SiLU*mul +
-    # down in one pallas_call. Opt-in; the split path measured faster
-    # at the bench shape (see NOTES.md r3).
-    "VLLM_TPU_FUSED_MLP": (_bool, False),
     # JSON dict of XLA compiler options applied to the runner's jitted
     # programs (e.g. '{"xla_tpu_scoped_vmem_limit_kib":"65536"}') —
     # the TPU analog of the reference's compilation-config knobs.

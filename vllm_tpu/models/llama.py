@@ -115,12 +115,10 @@ def _attention(
 
 def _mlp(layer: dict, x: jax.Array, lora: dict | None = None,
          lora_idx=None) -> jax.Array:
-    if lora is None or not (set(lora) & {"gate_up_proj", "down_proj"}):
-        from vllm_tpu.quant.kernels import fused_mlp_matmul
-        y = fused_mlp_matmul(x, layer["gate_up_proj"],
-                             layer["down_proj"])
-        if y is not None:
-            return y
+    # Split gate_up / down launches: a fused MLP megakernel was built
+    # and ablated in r3 (148 vs 135 us/layer at the 8B INT4 decode
+    # shape — the split path's MSA-free 1MB-block streams win), so the
+    # megakernel was removed rather than shipped default-off.
     h = silu_and_mul(_lora_linear(layer, "gate_up_proj", x, lora,
                                   lora_idx))
     return _lora_linear(layer, "down_proj", h, lora, lora_idx)
@@ -150,6 +148,11 @@ def forward(
     """
     x = (input_embeds if input_embeds is not None else
          params["embed_tokens"]["weight"][input_ids])
+    # Under context parallelism shard the token axis so projections,
+    # norms and MLP run on T/cp rows per rank, matching the
+    # query-striped attention (parallel/context.py).
+    from vllm_tpu.parallel.context import cp_shard_tokens
+    x = cp_shard_tokens(x)
     cos, sin = (cos_sin if cos_sin is not None else
                 rope_cos_sin(positions, cfg))
     new_caches = []

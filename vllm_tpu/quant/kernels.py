@@ -95,36 +95,6 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     return quantized_matmul_xla(x, leaf)
 
 
-def _fused_mlp_enabled() -> bool:
-    from vllm_tpu import envs
-    return bool(envs.VLLM_TPU_FUSED_MLP)
-
-
-def fused_mlp_matmul(x: jax.Array, gu_leaf, dn_leaf):
-    """Fused gate_up + SiLU-mul + down megakernel dispatch
-    (quant/pallas_mlp.py). OFF by default: measured 148 vs 135 us/layer
-    against the split path at the 8B INT4 decode shape across three
-    tilings (the split path's MSA-free 1MB-block streams win; see
-    NOTES.md r3) — kept opt-in for shapes where one launch wins.
-    Returns None when disabled or the leaves aren't compatible."""
-    if not _fused_mlp_enabled():
-        return None
-    if not (isinstance(gu_leaf, dict) and isinstance(dn_leaf, dict)):
-        return None
-    from vllm_tpu.ops.dispatch import attention_backend
-    if attention_backend() != "pallas":
-        return None
-    from vllm_tpu.quant.pallas_mlp import mlp_supported, mlp_w4a16
-    if not mlp_supported(gu_leaf, dn_leaf, x.shape[-1]):
-        return None
-    orig_shape = x.shape
-    x2 = x.reshape(-1, orig_shape[-1])
-    out = mlp_w4a16(x2, gu_leaf["qweight"], gu_leaf["scales"],
-                    gu_leaf["zbias"], dn_leaf["qweight"],
-                    dn_leaf["scales"], dn_leaf["zbias"])
-    return out.reshape(*orig_shape[:-1], out.shape[-1])
-
-
 def _ep_size() -> int:
     from vllm_tpu.parallel.mesh import AXIS_EP, axis_size
     return axis_size(AXIS_EP)
@@ -163,15 +133,6 @@ def prepare_weights(params):
                                            ((0, 0), (0, n_pad)))
                     qw = node["qweight"]
                 bn = pick_bn(qw.shape[1], 32)
-                if key == "gate_up_proj" and _fused_mlp_enabled():
-                    # Megakernel tiling (quant/pallas_mlp.py): gate and
-                    # up columns must be tile-aligned, so bn divides I
-                    # (= N/2), not just N.
-                    half = qw.shape[1] // 2
-                    for cand in range(4096, 127, -128):
-                        if half % cand == 0:
-                            bn = cand
-                            break
                 if qw.shape[1] % bn == 0:
                     node = dict(node)
                     node["qweight"] = jax.jit(
