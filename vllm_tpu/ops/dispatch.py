@@ -64,10 +64,20 @@ def ragged_paged_attention(
             sm_scale=sm_scale, sliding_window=sliding_window,
             logit_softcap=logit_softcap, sinks=sinks)
     if _cp_size() > 1:
-        # KV sharded over the cp mesh axis: per-rank partials + merge
-        # (the XLA path runs per shard; a Pallas lse-emitting variant
-        # is the optimization path once CP runs on real multi-chip).
-        from vllm_tpu.parallel.context import cp_ragged_attention
+        # KV sharded over the cp mesh axis. Prefill-sized batches also
+        # stripe the QUERY axis over cp and ring the stripes past the
+        # shards (parallel/context.py) so prefill compute scales with
+        # cp; tiny/ragged-unfriendly T falls back to replicated
+        # queries + one-shot all-gather merge.
+        cp = _cp_size()
+        from vllm_tpu.parallel.context import (
+            cp_prefill_attention_sharded_q, cp_ragged_attention)
+        T = q.shape[0]
+        if T % cp == 0 and T // cp >= 8:
+            return cp_prefill_attention_sharded_q(
+                q, kv_cache, block_tables, query_start_loc, seq_lens,
+                sm_scale=sm_scale, sliding_window=sliding_window,
+                logit_softcap=logit_softcap)
         return cp_ragged_attention(q, kv_cache, block_tables,
                                    query_start_loc, seq_lens,
                                    sm_scale=sm_scale,

@@ -24,9 +24,15 @@ covers both phases:
 - **Writes**: each rank scatters only the slots it owns; foreign slots
   map out of bounds and drop (scatter ``mode="drop"``).
 
-Queries stay replicated over ``cp`` (decode compute is KV-bound, so
-this costs ~nothing; sharding prefill queries ring-style is a future
-optimization — the merge identity already supports it).
+- **Prefill queries are sharded** (ref analog: PCP, gpu/pcp_manager.py
+  + parallel_state.py:1860-1875): the token axis is stripe-partitioned
+  over ``cp`` and the stripes ride a ``ppermute`` ring past every KV
+  shard, merging (out, lse) partials as they travel — so a T-token
+  prefill does T/cp rows of query compute per rank (attention *and*,
+  via the P(cp) activation constraint in the model forwards, the
+  projections/MLP). Decode queries stay replicated (R is tiny; decode
+  is KV-bound and the one-shot all-gather merge is cheaper than a
+  ring).
 """
 
 from __future__ import annotations
@@ -41,6 +47,19 @@ from vllm_tpu.parallel.mesh import AXIS_CP, axis_size, get_current_mesh
 
 def cp_size() -> int:
     return axis_size(AXIS_CP)
+
+
+def cp_shard_tokens(x: jax.Array) -> jax.Array:
+    """Constrain the token axis (axis 0) over ``cp`` so every
+    per-token op between attention calls — norms, QKV/O projections,
+    MLP — shards with the query stripes instead of replicating the
+    full T on every rank. No-op at cp=1."""
+    if cp_size() <= 1:
+        return x
+    from jax.sharding import NamedSharding
+    mesh = get_current_mesh()
+    spec = P(AXIS_CP, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def _pallas_mode() -> tuple[bool, bool]:
@@ -111,6 +130,122 @@ def cp_write_kv(kv_cache, k: jax.Array, v: jax.Array,
         out_specs=(P(AXIS_CP), P(AXIS_CP)))
     data, scales = fn(data, scales, k, v, slot_mapping)
     return QuantKV(data, scales) if quant else data
+
+
+def _merge_partials(acc_o: jax.Array, acc_l: jax.Array, out: jax.Array,
+                    lse: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pairwise flash-attention merge: fold one normalized partial
+    (out, lse) into the running (acc_o f32, acc_l). Empty partials
+    carry lse = -inf and drop out."""
+    m_raw = jnp.maximum(acc_l, lse)
+    m = jnp.where(jnp.isfinite(m_raw), m_raw, 0.0)
+    w1 = jnp.exp(acc_l - m)[..., None]
+    w2 = jnp.exp(lse - m)[..., None]
+    tot = w1 + w2
+    safe = jnp.where(tot > 0, tot, 1.0)
+    merged = (acc_o * w1 + out.astype(jnp.float32) * w2) / safe
+    new_l = jnp.where(tot[..., 0] > 0,
+                      m + jnp.log(tot[..., 0]),
+                      -jnp.inf)
+    return merged, new_l
+
+
+def _stripe_view(qsl: jax.Array, seq_lens: jax.Array, offset,
+                 tl: int) -> tuple[jax.Array, jax.Array]:
+    """Re-express the ragged batch for a query stripe of ``tl`` rows
+    starting at global row ``offset``.
+
+    Returns (qsl_local, kv_adjusted): request i owns local rows
+    [qsl_local[i], qsl_local[i+1]) and its *effective* kv length is
+    shortened by the number of its query rows that fall AFTER the
+    stripe, so the kernel's position formula
+    ``kv_len - (q_end - row)`` lands every stripe row at its true
+    global position. Requests with no rows in the stripe come out
+    empty (and their kv adjustment is inert)."""
+    qsl_local = jnp.clip(qsl - offset, 0, tl)
+    delta = (qsl[1:] - offset) - qsl_local[1:]
+    kv_adj = jnp.clip(seq_lens - delta, 0, seq_lens)
+    return qsl_local.astype(jnp.int32), kv_adj.astype(jnp.int32)
+
+
+def cp_prefill_attention_sharded_q(
+    q: jax.Array,  # [T, H, D], T % cp == 0
+    kv_cache,
+    block_tables: jax.Array,  # [R, MB] global
+    query_start_loc: jax.Array,
+    seq_lens: jax.Array,  # [R] global kv lengths
+    *,
+    sm_scale: float,
+    sliding_window: int | None = None,
+    logit_softcap: float | None = None,
+) -> jax.Array:
+    """Prefill attention with BOTH queries and KV sharded over ``cp``.
+
+    Ring formulation (ref analog: PCP, vllm/v1/worker/gpu/
+    pcp_manager.py; the DCP all2all exchange, ops/dcp_alltoall.py):
+    rank r starts holding query stripe r (rows [r*T/cp, (r+1)*T/cp))
+    and its resident KV shard (chunks j % cp == r). Each of the cp
+    ring steps computes (stripe vs local shard) partials with the
+    LSE-emitting ragged kernel, folds them into the stripe's running
+    (out, lse), and ppermutes the bundle one hop — only
+    O(T/cp * H * D) bytes ever cross the axis, never KV. After cp
+    hops every stripe is complete and home. Per-rank query compute is
+    T/cp rows — prefill FLOPs scale with cp, unlike the replicated-q
+    fallback. Output stays sharded P(cp) on the token axis so the
+    downstream per-token compute (o_proj, MLP) shards too.
+    """
+    from vllm_tpu.ops.attention import ragged_paged_attention_xla
+    mesh = get_current_mesh()
+    cp = mesh.shape[AXIS_CP]
+    T, H, D = q.shape
+    assert T % cp == 0, (T, cp)
+    data, scales, quant = _cache_parts(kv_cache, cp)
+    use_pallas, interpret = _pallas_mode()
+    perm = [(i, (i + 1) % cp) for i in range(cp)]
+
+    def local_fn(q_local, data, scales, tables, qsl, seq_lens):
+        r = jax.lax.axis_index(AXIS_CP)
+        tl = q_local.shape[0]
+        blocks_local = data.shape[0]
+        cache = QuantKV(data, scales) if quant else data
+        lt = local_block_tables(tables, r, cp, blocks_local)
+        acc_o = jnp.zeros(q_local.shape, jnp.float32)
+        acc_l = jnp.full(q_local.shape[:2], -jnp.inf, jnp.float32)
+        cur_q = q_local
+        for s in range(cp):
+            stripe = (r - s) % cp
+            qsl_loc, kv_adj = _stripe_view(qsl, seq_lens, stripe * tl,
+                                           tl)
+            if use_pallas:
+                from vllm_tpu.ops.pallas.ragged_attention import (
+                    ragged_paged_attention as pallas_ragged)
+                out, lse = pallas_ragged(
+                    cur_q, cache, lt, qsl_loc, kv_adj,
+                    sm_scale=sm_scale, sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, chunk_stride=cp,
+                    chunk_offset=r, return_lse=True,
+                    interpret=interpret)
+            else:
+                out, lse = ragged_paged_attention_xla(
+                    cur_q, cache, lt, qsl_loc, kv_adj,
+                    sm_scale=sm_scale, sliding_window=sliding_window,
+                    logit_softcap=logit_softcap, chunk_stride=cp,
+                    chunk_offset=r, return_lse=True)
+            acc_o, acc_l = _merge_partials(acc_o, acc_l, out, lse)
+            cur_q, acc_o, acc_l = jax.lax.ppermute(
+                (cur_q, acc_o, acc_l), AXIS_CP, perm)
+        # cp hops total: stripe (r - s) is merged on this rank then
+        # permuted, so after the loop rank r holds its own stripe's
+        # fully-merged accumulator again.
+        return acc_o.astype(q_local.dtype)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
+        in_specs=(P(AXIS_CP), P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        # Pallas results carry no VMA metadata; the per-rank stripes
+        # are genuinely cp-varying, so the check adds nothing here.
+        out_specs=P(AXIS_CP), check_vma=False)
+    return fn(q, data, scales, block_tables, query_start_loc, seq_lens)
 
 
 def cp_ragged_attention(
