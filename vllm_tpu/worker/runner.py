@@ -35,7 +35,7 @@ from vllm_tpu.ops.kv_cache import (kv_cache_bytes_per_block,
 from vllm_tpu.ops.metadata import AttentionMetadata
 from vllm_tpu.sample.sampler import (PenaltyInputs, SamplingMetadata,
                                      apply_penalties, compute_topk_logprobs,
-                                     sample, spec_verify_outputs)
+                                     sample, spec_rejection_outputs)
 from vllm_tpu.utils import cdiv, init_logger, padded_bucket
 from vllm_tpu.worker.input_batch import InputBatch
 
@@ -74,6 +74,11 @@ class StepInputs(NamedTuple):
     # Spec decode only: [R, K+1] draft token per verification column
     # (-1 where no draft; column K is the bonus position).
     draft_targets: Optional[jax.Array] = None
+    # Draft distributions [max_R, K, V] from the device drafter's
+    # proposal step (EAGLE/MTP with the target LM head) — drives the
+    # p/q accept ratio + residual recovery (ref: rejection_sampler.py
+    # draft-probs branch). None for ngram/suffix/greedy point-mass.
+    draft_probs: Optional[jax.Array] = None
     # Multi-LoRA: [T] adapter slot per token row (None = no adapters
     # registered; see lora/ and ops/lora.py).
     lora_idx: Optional[jax.Array] = None
@@ -185,6 +190,11 @@ class TPUModelRunner:
                            "medusa", "draft_model") else 0)
         self.proposer = None
         self.eagle = None
+        # Draft distributions from the last proposal ([max_R, K, V], or
+        # None): EAGLE/MTP drafters that share the target LM head emit
+        # them for p/q rejection (ref: rejection_sampler draft-probs
+        # branch); point-mass drafters leave this None.
+        self._draft_probs = None
         # static want_hidden for _step_impl: True streams the final
         # hidden states to the drafter; an aux-layer tuple streams the
         # EAGLE-3 concatenated taps instead.
@@ -640,19 +650,25 @@ class TPUModelRunner:
         b = self.batch
         # Host copy for EAGLE's accepted-position arithmetic.
         self._np_logits_indices = logits_indices
+        # NOTE: batch-owned arrays are snapshotted with .copy() before
+        # jnp.asarray everywhere in this file — device_put is
+        # asynchronous, and the batch mutates these buffers in place
+        # (bump_sample_step, update_states) while the deferred H2D copy
+        # may still be pending; the race flipped EAGLE's sampled-draft
+        # RNG stream nondeterministically.
         sampling = SamplingMetadata(
-            temperature=jnp.asarray(b.temperature),
-            top_k=jnp.asarray(b.top_k),
-            top_p=jnp.asarray(b.top_p),
-            min_p=jnp.asarray(b.min_p),
-            seeds=jnp.asarray(b.seeds),
-            steps=jnp.asarray(b.sample_steps),
+            temperature=jnp.asarray(b.temperature.copy()),
+            top_k=jnp.asarray(b.top_k.copy()),
+            top_p=jnp.asarray(b.top_p.copy()),
+            min_p=jnp.asarray(b.min_p.copy()),
+            seeds=jnp.asarray(b.seeds.copy()),
+            steps=jnp.asarray(b.sample_steps.copy()),
         )
         inputs = StepInputs(
             input_ids=jnp.asarray(input_ids),
             positions=jnp.asarray(positions),
             slot_mapping=jnp.asarray(slot_mapping),
-            block_tables=jnp.asarray(b.block_tables),
+            block_tables=jnp.asarray(b.block_tables.copy()),
             query_start_loc=jnp.asarray(qsl),
             seq_lens=jnp.asarray(seq_lens),
             logits_indices=jnp.asarray(logits_indices),
@@ -661,6 +677,7 @@ class TPUModelRunner:
             grammar_mask=self._build_grammar_mask(req_ids),
             draft_targets=(jnp.asarray(draft_targets)
                            if K > 0 else None),
+            draft_probs=(self._draft_probs if K > 0 else None),
             lora_idx=(jnp.asarray(lora_idx)
                       if lora_idx is not None else None),
             mm_buffer=mm_buffer,
@@ -1026,10 +1043,10 @@ class TPUModelRunner:
                     acc.append(entry)
                 if len(acc) >= st.prompt_len:
                     plp_done[req_id] = acc
-        greedy_np = tgt_np = rec_np = None
+        greedy_np = stok_np = snew_np = None
         if spec_mats is not None:
-            greedy_np, tgt_np, rec_np = map(np.asarray,
-                                            jax.device_get(spec_mats))
+            greedy_np, stok_np, snew_np = map(np.asarray,
+                                              jax.device_get(spec_mats))
 
         result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
         if lp_np is not None:
@@ -1099,24 +1116,14 @@ class TPUModelRunner:
                         break
                 new_toks.append(int(preds[len(new_toks)]))
             elif drafts:
-                # Stochastic rejection sampling (ngram: draft prob ==
-                # 1): accept draft j iff u_j < p_target(draft_j); on
-                # the first rejection emit the recovered sample; if all
-                # accepted, append the bonus token (ref:
-                # vllm/v1/sample/rejection_sampler.py:38, the
-                # NO_DRAFT_PROBS accept rule).
-                d = len(drafts)
-                rng = np.random.default_rng(
-                    (int(self.batch.seeds[row]), int(state.sample_step)))
-                new_toks = []
-                for j, draft in enumerate(drafts):
-                    if rng.random() < float(tgt_np[row, K - d + j]):
-                        new_toks.append(draft)
-                    else:
-                        new_toks.append(int(rec_np[row, K - d + j]))
-                        break
-                else:
-                    new_toks.append(int(sampled_np[row]))  # bonus
+                # Stochastic rejection sampling, computed ON DEVICE
+                # (sample/sampler.py spec_rejection_outputs): the step
+                # program already applied the accept rule (p/q ratio
+                # when the drafter emitted distributions, the
+                # NO_DRAFT_PROBS u < p_target rule otherwise) and the
+                # residual/bonus emission — the host just slices.
+                n = int(snew_np[row])
+                new_toks = [int(t) for t in stok_np[row, :n]]
             else:
                 new_toks = [int(sampled_np[row])]
             result.sampled_token_ids.append(new_toks)
@@ -1197,6 +1204,10 @@ class TPUModelRunner:
             drafts = self.eagle.propose(self.params, hidden, inputs,
                                         next_tok, last_idx, active,
                                         q_blk)
+            # Draft distributions (device array) for next step's p/q
+            # rejection; None for point-mass drafters (eagle3/medusa).
+            self._draft_probs = getattr(self.eagle, "last_draft_probs",
+                                        None)
             for row, slot in row_to_slot.items():
                 spec_out[slot] = [int(t) for t in drafts[row][:dyn_k]]
         if self.proposer is not None or self.eagle is not None:
@@ -1215,19 +1226,19 @@ class TPUModelRunner:
         dec = DecodeLoopInputs(
             cur_tokens=jnp.zeros((R, ), jnp.int32),
             positions=jnp.zeros((R, ), jnp.int32),
-            block_tables=jnp.asarray(b.block_tables),
+            block_tables=jnp.asarray(b.block_tables.copy()),
             active=jnp.zeros((R, ), bool),
             sampling=SamplingMetadata(
-                temperature=jnp.asarray(b.temperature),
-                top_k=jnp.asarray(b.top_k),
-                top_p=jnp.asarray(b.top_p),
-                min_p=jnp.asarray(b.min_p),
-                seeds=jnp.asarray(b.seeds),
-                steps=jnp.asarray(b.sample_steps),
+                temperature=jnp.asarray(b.temperature.copy()),
+                top_k=jnp.asarray(b.top_k.copy()),
+                top_p=jnp.asarray(b.top_p.copy()),
+                min_p=jnp.asarray(b.min_p.copy()),
+                seeds=jnp.asarray(b.seeds.copy()),
+                steps=jnp.asarray(b.sample_steps.copy()),
             ),
-            lora_idx=(jnp.asarray(b.lora_slots)
+            lora_idx=(jnp.asarray(b.lora_slots.copy())
                       if "lora" in self.params else None),
-            mrope_delta=(jnp.asarray(b.mrope_delta)
+            mrope_delta=(jnp.asarray(b.mrope_delta.copy())
                          if self.is_mrope else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
@@ -1251,19 +1262,19 @@ class TPUModelRunner:
         dec = DecodeLoopInputs(
             cur_tokens=jnp.asarray(cur),
             positions=jnp.asarray(pos),
-            block_tables=jnp.asarray(b.block_tables),
+            block_tables=jnp.asarray(b.block_tables.copy()),
             active=jnp.asarray(active),
             sampling=SamplingMetadata(
-                temperature=jnp.asarray(b.temperature),
-                top_k=jnp.asarray(b.top_k),
-                top_p=jnp.asarray(b.top_p),
-                min_p=jnp.asarray(b.min_p),
-                seeds=jnp.asarray(b.seeds),
-                steps=jnp.asarray(b.sample_steps),
+                temperature=jnp.asarray(b.temperature.copy()),
+                top_k=jnp.asarray(b.top_k.copy()),
+                top_p=jnp.asarray(b.top_p.copy()),
+                min_p=jnp.asarray(b.min_p.copy()),
+                seeds=jnp.asarray(b.seeds.copy()),
+                steps=jnp.asarray(b.sample_steps.copy()),
             ),
-            lora_idx=(jnp.asarray(b.lora_slots)
+            lora_idx=(jnp.asarray(b.lora_slots.copy())
                       if "lora" in self.params else None),
-            mrope_delta=(jnp.asarray(b.mrope_delta)
+            mrope_delta=(jnp.asarray(b.mrope_delta.copy())
                          if self.is_mrope else None),
         )
         self.kv_caches, samples = self._decode_loop_fn(
@@ -1464,20 +1475,26 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     sampled = sample(last, inputs.sampling)
     lp = (compute_topk_logprobs(last, sampled, n_logprobs)
           if n_logprobs > 0 else None)
-    # Stochastic verification support (skipped at runtime for
-    # all-greedy batches, like sample()'s random path).
+    # Stochastic rejection verification, fully on device (skipped at
+    # runtime for all-greedy batches, like sample()'s random path).
+    # With a device drafter that emits draft distributions
+    # (inputs.draft_probs) acceptance uses the p/q ratio rule;
+    # otherwise the point-mass (NO_DRAFT_PROBS) rule.
     meta = inputs.sampling
+    dprobs = (inputs.draft_probs[:R]
+              if inputs.draft_probs is not None else None)
 
     def stochastic(_):
-        return spec_verify_outputs(logits, inputs.draft_targets, meta)
+        return spec_rejection_outputs(logits, inputs.draft_targets,
+                                      dprobs, sampled, meta)
 
     def greedy_only(_):
-        return (jnp.zeros((R, K1), jnp.float32),
-                jnp.zeros((R, K1), jnp.int32))
+        return (jnp.zeros((R, K1), jnp.int32),
+                jnp.zeros((R, ), jnp.int32))
 
-    tgt_prob, recovered = jax.lax.cond(
+    spec_tokens, spec_n = jax.lax.cond(
         jnp.any(meta.temperature > 0.0), stochastic, greedy_only, None)
     pool = (_segment_pooling(hidden, inputs.query_start_loc)
             if want_pooling else None)
-    return (kv_caches, sampled, (greedy_mat, tgt_prob, recovered), lp,
+    return (kv_caches, sampled, (greedy_mat, spec_tokens, spec_n), lp,
             drafter_hidden, pool, plp)
