@@ -10,13 +10,21 @@ formulation over the engine's fixed-row persistent batch:
   (donated, updated in place by XLA).
 - Decode (1 token per row) is fully vectorized over rows — the hot
   path is a handful of elementwise ops + one [R*nh, p, n] contraction.
-- Ragged prefill runs a lax.scan over the flat token stream, carrying
-  the full per-row state arrays; a token at position 0 resets its
-  row's state (fresh request / preemption-resume reuse the row).
-  Out-of-range rows (padding tokens) drop via scatter mode="drop".
-
-The chunked-matmul SSD prefill (MXU-dense) is the known perf follow-up;
-this scan form is exact and compiles to a static-shape while-loop.
+- Ragged prefill runs the CHUNKED SSD formulation (ref analog: the
+  mamba2 chunk-scan kernels, csrc/libtorch_stable/mamba/ +
+  vllm/v1/attention/backends/mamba2_attn.py): the stream is cut into
+  L-token chunks, each chunk does dense intra-chunk matmuls on the
+  MXU (an attention-like [L, L] decay-masked score against a segment
+  mask, so multiple requests can share a chunk), and a short
+  lax.scan passes per-row states between chunks — O(T/L) sequential
+  steps instead of O(T). A token at position 0 resets its row's
+  state (fresh request / preemption-resume reuse the row);
+  continuations gather the carried state. The depthwise conv is
+  evaluated stream-wide with K-1 shifted masked adds (carry values
+  spliced where a window crosses into the previous engine step).
+  The per-token scan form is kept as ``_prefill_scan`` — the exact
+  reference the chunked path is differentially tested against, and
+  the fallback for chunk-unfriendly T.
 
 Layer leaf schema (mamba mixer):
     in_proj:  {"weight": [E, 2*d_inner + 2*G*N + nh]}
@@ -157,9 +165,26 @@ def mamba2_mixer(
         )
         return _out(cfg, layer, y, gate, eps), new_state
 
-    # Ragged prefill: sequential scan over the flat stream.
+    # Ragged prefill: chunked SSD when the stream length allows,
+    # else the exact per-token scan.
     T = x.shape[0]
+    chunk = next((L for L in (128, 64, 32, 16) if T % L == 0), None)
+    if chunk is not None:
+        y, new_state = _prefill_chunked(cfg, layer, xBC, dt_raw,
+                                        positions, state, row_of,
+                                        chunk)
+        return _out(cfg, layer, y, gate, eps), new_state
+    return _prefill_scan(cfg, layer, xBC, dt_raw, gate, positions,
+                         state, row_of, eps)
+
+
+def _prefill_scan(cfg, layer, xBC, dt_raw, gate, positions, state,
+                  row_of, eps):
+    """Exact per-token reference: lax.scan over the flat stream."""
+    T = xBC.shape[0]
     R = state.conv.shape[0]
+    conv_w = layer["conv_w"].astype(jnp.float32)
+    conv_b = layer.get("conv_b")
 
     def step(carry, t):
         conv_s, ssm_s = carry
@@ -185,6 +210,156 @@ def mamba2_mixer(
         step, (state.conv, state.ssm), jnp.arange(T, dtype=jnp.int32))
     return (_out(cfg, layer, ys, gate, eps),
             MambaState(conv=conv_s, ssm=ssm_s))
+
+
+def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
+                     row_of, L):
+    """Chunked SSD prefill (ref analog: csrc/libtorch_stable/mamba/
+    chunk-scan + mamba2_attn.py): dense MXU math within L-token
+    chunks, a T/L-step lax.scan across them.
+
+    The ragged stream is handled with SEGMENT masks (a segment = one
+    request's contiguous run, cut at position-0 resets), so chunks may
+    mix requests freely:
+
+    - intra-chunk: attention-like scores
+      ``C_i.B_j * exp(cum_i - cum_j)`` masked to same-segment causal
+      pairs (the cumulative log-decay of interleaved foreign tokens
+      cancels in the difference);
+    - inter-chunk: each token decays its row's carried state by
+      ``exp(cum_i - cum[segment entry])``; fresh segments (position
+      0) zero the gather;
+    - each row's state is re-scattered at its last token per chunk,
+      so segments spanning chunks (or engine steps) chain exactly.
+
+    Matches ``_prefill_scan`` to float tolerance (differential test:
+    tests/models/test_mamba2_vs_hf.py)."""
+    T = xBC.shape[0]
+    R, Km1, conv_dim = state.conv.shape
+    K = Km1 + 1
+    d_inner = cfg.mamba_d_inner
+    N = cfg.mamba_d_state
+    G = cfg.mamba_n_groups
+    nh = cfg.mamba_num_heads
+    p = d_inner // nh
+    rep = nh // G
+    lo, hi = cfg.mamba_time_step_limit
+    xf = xBC.astype(jnp.float32)
+    idx_t = jnp.arange(T, dtype=jnp.int32)
+    safe_row = jnp.minimum(row_of, R - 1)
+
+    # Segment structure: starts at stream head, row changes, resets.
+    prev_row = jnp.concatenate(
+        [jnp.full((1, ), -1, row_of.dtype), row_of[:-1]])
+    is_start = (idx_t == 0) | (row_of != prev_row) | (positions == 0)
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx_t, 0))
+    m = idx_t - seg_start  # in-segment offset
+    reset_seg = positions[seg_start] == 0  # [T]
+
+    # Depthwise causal conv: K-1 shifted masked adds; windows that
+    # cross into the previous engine step splice the carried per-row
+    # conv state (newest carry entry = position seg_start_pos - 1).
+    conv_w = layer["conv_w"].astype(jnp.float32)  # [K, conv_dim]
+    conv_prev = state.conv.astype(jnp.float32)[safe_row]
+    conv_out = xf * conv_w[K - 1]
+    exts = [xf]  # value of "token at stream offset -k" per k
+    for k in range(1, K):
+        shifted = jnp.roll(xf, k, axis=0)
+        in_stream = m >= k  # i-k stays inside this token's segment
+        carry_idx = jnp.clip(Km1 - (k - m), 0, Km1 - 1)
+        cv = jnp.take_along_axis(conv_prev,
+                                 carry_idx[:, None, None],
+                                 axis=1)[:, 0]
+        use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
+        ext = jnp.where(in_stream[:, None], shifted,
+                        jnp.where(use_carry[:, None], cv, 0.0))
+        conv_out = conv_out + ext * conv_w[K - 1 - k]
+        if k <= K - 2:
+            exts.append(ext)
+    conv_b = layer.get("conv_b")
+    if conv_b is not None:
+        conv_out = conv_out + conv_b.astype(jnp.float32)
+    xBC_act = jax.nn.silu(conv_out)
+
+    # New conv state at each row's last token: entries oldest->newest
+    # are the values at positions pos_last-(Km1-1) .. pos_last.
+    next_row = jnp.concatenate(
+        [row_of[1:], jnp.full((1, ), -1, row_of.dtype)])
+    is_last = row_of != next_row
+    new_vals = jnp.stack(exts[::-1], axis=1)  # [T, Km1, conv_dim]
+    scatter_rows = jnp.where(is_last & (row_of < R), row_of, R)
+    new_conv = state.conv.at[scatter_rows].set(
+        new_vals.astype(state.conv.dtype), mode="drop")
+
+    # SSM inputs.
+    x_h = xBC_act[:, :d_inner].reshape(T, nh, p)
+    B_h = jnp.repeat(
+        xBC_act[:, d_inner:d_inner + G * N].reshape(T, G, N), rep,
+        axis=1)
+    C_h = jnp.repeat(xBC_act[:, d_inner + G * N:].reshape(T, G, N),
+                     rep, axis=1)
+    A = -jnp.exp(layer["A_log"].astype(jnp.float32))  # [nh]
+    dt = jnp.clip(
+        jax.nn.softplus(dt_raw.astype(jnp.float32) +
+                        layer["dt_bias"].astype(jnp.float32)), lo, hi)
+    logdA = dt * A  # [T, nh], <= 0 so every exp below is <= 1
+    dx = dt[..., None] * x_h  # [T, nh, p]
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32))
+
+    C = T // L
+    # Zero the inter-chunk carry gather only in the chunk where a
+    # fresh (position-0) segment actually STARTS; later chunks of the
+    # same segment read the buffer refreshed at the previous chunk's
+    # end.
+    fresh_here = reset_seg & ((seg_start // L) == (idx_t // L))
+
+    def resh(a):
+        return a.reshape(C, L, *a.shape[1:])
+
+    li = jnp.arange(L, dtype=jnp.int32)
+
+    def chunk_fn(ssm_buf, inp):
+        dxc, Bc, Cc, ld, seg, row, rst = inp  # each [L, ...]
+        srow = jnp.minimum(row, R - 1)
+        cum = jnp.cumsum(ld, axis=0)  # [L, nh] inclusive
+        start_local = (li == 0) | (seg != jnp.concatenate(
+            [seg[:1], seg[:-1]]))
+        sidx = jax.lax.cummax(jnp.where(start_local, li, 0))
+        base = jnp.where((sidx > 0)[:, None],
+                         cum[jnp.clip(sidx - 1, 0, L - 1)], 0.0)
+        inter_decay = jnp.exp(cum - base)  # [L, nh]
+
+        CB = jnp.einsum("ihn,jhn->hij", Cc, Bc)  # [nh, L, L]
+        decay = jnp.exp(
+            jnp.minimum(cum[:, None, :] - cum[None, :, :], 0.0))
+        mask = (seg[:, None] == seg[None, :]) & (li[:, None]
+                                                 >= li[None, :])
+        W = decay.transpose(2, 0, 1) * mask[None]  # [nh, L, L]
+        y_intra = jnp.einsum("hij,jhp->ihp", CB * W, dxc)
+
+        prev = ssm_buf[srow]  # [L, nh, p, n]
+        prev = jnp.where(rst[:, None, None, None], 0.0, prev)
+        y_inter = (jnp.einsum("lhpn,lhn->lhp", prev, Cc)
+                   * inter_decay[..., None])
+
+        # End-of-chunk state per row at its last in-chunk token.
+        S_add = jnp.einsum("hij,jhp,jhn->ihpn", W, dxc, Bc)
+        S_new = prev * inter_decay[..., None, None] + S_add
+        last_local = jnp.concatenate(
+            [seg[:-1] != seg[1:],
+             jnp.ones((1, ), bool)])
+        srows = jnp.where(last_local & (row < R), row, R)
+        ssm_buf = ssm_buf.at[srows].set(S_new, mode="drop")
+        return ssm_buf, y_intra + y_inter
+
+    ssm_final, ys = jax.lax.scan(
+        chunk_fn, state.ssm,
+        (resh(dx), resh(B_h), resh(C_h), resh(logdA), resh(seg_id),
+         resh(row_of), resh(fresh_here)))
+    y = ys.reshape(T, nh, p) + layer["D"].astype(
+        jnp.float32)[:, None] * x_h
+    return y.reshape(T, d_inner), MambaState(conv=new_conv,
+                                             ssm=ssm_final)
 
 
 def _out(cfg, layer, y, gate, eps):
