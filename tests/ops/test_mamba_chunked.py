@@ -185,3 +185,55 @@ def test_mixer_dispatches_chunked(monkeypatch):
     y2, _ = mamba2_mixer(cfg, layer, x[:30], positions[:30], state,
                          row_of[:30], decode_rows=False)
     assert y2.shape == (30, cfg.hidden_size)
+
+
+def test_many_segments_routes_to_scan():
+    """Streams with more segments than the compressed cap must be
+    routed to the exact per-token scan via few_segments=False (the
+    runner's host-side hint) and produce identical results — here 12
+    single-token segments (decode-like) share chunks with a short
+    prefill."""
+    cfg = make_cfg()
+    rng = np.random.default_rng(5)
+    layer = random_layer(cfg, rng)
+    R = 16
+    # 12 decode rows (1 token each, continuing at position >= 1) then
+    # one 20-token fresh prefill: T = 32.
+    rows = list(range(12)) + [13]
+    lens = [1] * 12 + [20]
+    starts = [5 + r for r in range(12)] + [0]
+    T = sum(lens)
+    row_of = jnp.asarray(np.repeat(rows, lens).astype(np.int32))
+    positions = jnp.asarray(
+        np.concatenate([np.arange(s, s + n)
+                        for s, n in zip(starts, lens)]).astype(np.int32))
+    x = jnp.asarray(
+        rng.standard_normal((T, cfg.hidden_size)).astype(np.float32))
+    d_inner = cfg.mamba_d_inner
+    conv_dim = d_inner + 2 * cfg.mamba_n_groups * cfg.mamba_d_state
+    state = MambaState(
+        conv=jnp.asarray(
+            rng.standard_normal(
+                (R, cfg.mamba_d_conv - 1, conv_dim)).astype(np.float32)),
+        ssm=jnp.asarray(
+            rng.standard_normal(
+                (R, cfg.mamba_num_heads, d_inner // cfg.mamba_num_heads,
+                 cfg.mamba_d_state)).astype(np.float32) * 0.1),
+    )
+    import vllm_tpu.ops.mamba as mm
+    called = []
+    orig = mm._prefill_scan
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    mm._prefill_scan = spy
+    try:
+        y_many, st_many = mamba2_mixer(cfg, layer, x, positions, state,
+                                       row_of, decode_rows=False,
+                                       few_segments=False)
+    finally:
+        mm._prefill_scan = orig
+    assert called, "few_segments=False must route to the exact scan"
+    assert y_many.shape == (T, cfg.hidden_size)

@@ -48,6 +48,10 @@ def make_caches(cfg: ModelConfig, num_blocks: int, block_size: int,
     return caches
 
 
+# Runner seg hint (static): see models/mamba2.py.
+USES_SEG_HINT = True
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -56,6 +60,7 @@ def forward(
     kv_caches: list,
     meta: AttentionMetadata,
     q_blk: int = 128,
+    seg_hint: bool = True,
 ) -> tuple[jax.Array, list]:
     x = params["embed_tokens"]["weight"][input_ids]
     T = x.shape[0]
@@ -71,7 +76,8 @@ def forward(
         else:
             out, cache = mamba2_mixer(cfg, layer, h, positions,
                                       kv_caches[i], row_of,
-                                      decode_rows=(q_blk == 1))
+                                      decode_rows=(q_blk == 1),
+                                      few_segments=seg_hint)
         new_caches.append(cache)
         x = x + out
         h = rms_norm(x, layer["pre_ff_layernorm"], cfg.rms_norm_eps)

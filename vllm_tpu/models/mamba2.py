@@ -45,6 +45,12 @@ def token_rows(meta: AttentionMetadata, T: int, R: int,
                              side="right") - 1).astype(jnp.int32)
 
 
+# The runner passes seg_hint (static): True certifies the step's
+# ragged stream has <= 8 segments, enabling the chunked SSD prefill
+# (ops/mamba.py); decode-heavy mixed streams take the exact scan.
+USES_SEG_HINT = True
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -53,6 +59,7 @@ def forward(
     kv_caches: list[MambaState],
     meta: AttentionMetadata,
     q_blk: int = 128,
+    seg_hint: bool = True,
 ) -> tuple[jax.Array, list[MambaState]]:
     x = params["embed_tokens"]["weight"][input_ids]
     T = x.shape[0]
@@ -62,7 +69,8 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["norm"], cfg.rms_norm_eps)
         out, st = mamba2_mixer(cfg, layer, h, positions, kv_caches[i],
-                               row_of, decode_rows=(q_blk == 1))
+                               row_of, decode_rows=(q_blk == 1),
+                               few_segments=seg_hint)
         new_caches.append(st)
         x = x + out
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

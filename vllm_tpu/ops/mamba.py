@@ -133,6 +133,7 @@ def mamba2_mixer(
     state: MambaState,
     row_of: jax.Array,  # [T] request row per token (R = padding drop)
     decode_rows: bool,  # True: T == R and token t IS row t (decode)
+    few_segments: bool = True,  # static: stream has <= 8 segments
 ) -> tuple[jax.Array, MambaState]:
     K = cfg.mamba_d_conv
     eps = cfg.rms_norm_eps
@@ -165,11 +166,15 @@ def mamba2_mixer(
         )
         return _out(cfg, layer, y, gate, eps), new_state
 
-    # Ragged prefill: chunked SSD when the stream length allows,
-    # else the exact per-token scan.
+    # Ragged prefill: chunked SSD when the stream length allows AND
+    # the host certifies few segments (the compressed per-segment
+    # slots hold up to 8 — the runner's seg hint; see worker/runner
+    # prepare_inputs). Decode-heavy mixed streams take the exact
+    # per-token scan.
     T = x.shape[0]
-    chunk = next((L for L in (128, 64, 32, 16) if T % L == 0), None)
-    if chunk is not None:
+    chunk = next((L for L in (256, 128, 64, 32, 16) if T % L == 0),
+                 None)
+    if chunk is not None and few_segments:
         y, new_state = _prefill_chunked(cfg, layer, xBC, dt_raw,
                                         positions, state, row_of,
                                         chunk)
@@ -251,7 +256,11 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
     # Segment structure: starts at stream head, row changes, resets.
     prev_row = jnp.concatenate(
         [jnp.full((1, ), -1, row_of.dtype), row_of[:-1]])
-    is_start = (idx_t == 0) | (row_of != prev_row) | (positions == 0)
+    # (Padding tokens — row >= R — collapse into ONE trailing
+    # segment so the per-chunk segment count stays bounded by the
+    # scheduled-request count, which the runner's seg hint certifies.)
+    is_start = ((idx_t == 0) | (row_of != prev_row)
+                | ((positions == 0) & (row_of < R)))
     seg_start = jax.lax.cummax(jnp.where(is_start, idx_t, 0))
     m = idx_t - seg_start  # in-segment offset
     reset_seg = positions[seg_start] == 0  # [T]
@@ -259,17 +268,18 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
     # Depthwise causal conv: K-1 shifted masked adds; windows that
     # cross into the previous engine step splice the carried per-row
     # conv state (newest carry entry = position seg_start_pos - 1).
+    # Carry values gather with a direct (row, slot) double index —
+    # never materializing a [T, K-1, conv_dim] per-token copy of the
+    # carry buffer.
     conv_w = layer["conv_w"].astype(jnp.float32)  # [K, conv_dim]
-    conv_prev = state.conv.astype(jnp.float32)[safe_row]
+    conv_f = state.conv.astype(jnp.float32)
     conv_out = xf * conv_w[K - 1]
     exts = [xf]  # value of "token at stream offset -k" per k
     for k in range(1, K):
         shifted = jnp.roll(xf, k, axis=0)
         in_stream = m >= k  # i-k stays inside this token's segment
         carry_idx = jnp.clip(Km1 - (k - m), 0, Km1 - 1)
-        cv = jnp.take_along_axis(conv_prev,
-                                 carry_idx[:, None, None],
-                                 axis=1)[:, 0]
+        cv = conv_f[safe_row, carry_idx]  # [T, conv_dim]
         use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
         ext = jnp.where(in_stream[:, None], shifted,
                         jnp.where(use_carry[:, None], cv, 0.0))
@@ -283,13 +293,24 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
 
     # New conv state at each row's last token: entries oldest->newest
     # are the values at positions pos_last-(Km1-1) .. pos_last.
+    # (Scatters with data-dependent indices serialize into while
+    # loops on TPU, so the update is formulated as a per-ROW gather:
+    # find each row's last token densely, then gather its window.)
     next_row = jnp.concatenate(
         [row_of[1:], jnp.full((1, ), -1, row_of.dtype)])
     is_last = row_of != next_row
-    new_vals = jnp.stack(exts[::-1], axis=1)  # [T, Km1, conv_dim]
-    scatter_rows = jnp.where(is_last & (row_of < R), row_of, R)
-    new_conv = state.conv.at[scatter_rows].set(
-        new_vals.astype(state.conv.dtype), mode="drop")
+    r_ar = jnp.arange(R, dtype=jnp.int32)
+    row_last = jnp.max(
+        jnp.where((row_of[None, :] == r_ar[:, None]) & is_last[None, :],
+                  idx_t[None, :], -1), axis=1)  # [R] or -1
+    has_last = row_last >= 0
+    gidx = jnp.clip(row_last, 0, T - 1)
+    planes = []
+    for j, ext in enumerate(exts):  # ext j = value at pos_last - j
+        planes.append(ext[gidx])  # [R, conv_dim]
+    new_win = jnp.stack(planes[::-1], axis=1)  # oldest -> newest
+    new_conv = jnp.where(has_last[:, None, None],
+                         new_win.astype(state.conv.dtype), state.conv)
 
     # SSM inputs.
     x_h = xBC_act[:, :d_inner].reshape(T, nh, p)
@@ -305,6 +326,11 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
     logdA = dt * A  # [T, nh], <= 0 so every exp below is <= 1
     dx = dt[..., None] * x_h  # [T, nh, p]
     seg_id = jnp.cumsum(is_start.astype(jnp.int32))
+    # MXU compute dtype for the chunk matmuls: the model's stream
+    # dtype (bf16 in production — softmax-free SSD scores tolerate it
+    # like attention does; f32 under the f32 CPU tests so the
+    # differential-vs-scan checks stay tight). States/decays stay f32.
+    cd = xBC.dtype
 
     C = T // L
     # Zero the inter-chunk carry gather only in the chunk where a
@@ -316,11 +342,45 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
     def resh(a):
         return a.reshape(C, L, *a.shape[1:])
 
-    li = jnp.arange(L, dtype=jnp.int32)
+    # Per-SEGMENT state handling + (segment, token)-dense einsums,
+    # with NO scatter into an [R] state buffer inside the scan (TPU
+    # serializes dynamic-index scatters into while loops — measured
+    # 10x the arithmetic cost — and a lax.cond fallback is useless:
+    # XLA's conditional-to-select pass runs BOTH branches). The scan
+    # carries only the RUN state — at any chunk boundary exactly one
+    # segment is in flight, since the ragged stream is contiguous per
+    # request. Cross-STEP continuations read the loop-invariant
+    # step-entry buffer; each chunk EMITS its per-slot end states and
+    # one parallel gather after the scan assembles the final per-row
+    # buffer. The caller guarantees <= S_MAX segments per stream
+    # (mamba2_mixer routes decode-heavy streams to the exact scan).
+    S_MAX = 8
+    init_ssm = state.ssm  # loop-invariant step-entry states
+    s_ar = jnp.arange(S_MAX, dtype=jnp.int32)
+    r_ar = jnp.arange(R, dtype=jnp.int32)
 
-    def chunk_fn(ssm_buf, inp):
-        dxc, Bc, Cc, ld, seg, row, rst = inp  # each [L, ...]
-        srow = jnp.minimum(row, R - 1)
+    # Per-(chunk, slot) entry states, selected OUTSIDE the scan with
+    # one dense one-hot matmul: a dynamic row gather lowers to a
+    # serialized while loop on TPU (measured ~0.5 ms per row!), while
+    # the one-hot contraction rides the MXU. Reset segments select
+    # nothing and come out zero.
+    li = jnp.arange(L, dtype=jnp.int32)
+    seg_c = resh(seg_id)  # [C, L]
+    row_c = resh(row_of)
+    rst_c = resh(fresh_here)
+    sl_all = jnp.clip(seg_c - seg_c[:, :1], 0, S_MAX - 1)  # [C, L]
+    oh_all = sl_all[..., None] == s_ar  # [C, L, S]
+    first_all = jnp.min(
+        jnp.where(oh_all, li[None, :, None], L - 1), axis=1)  # [C, S]
+    seg_row_all = jnp.take_along_axis(row_c, first_all, axis=1)
+    seg_rst_all = jnp.take_along_axis(rst_c, first_all, axis=1)
+    sel = ((seg_row_all[..., None] == r_ar)
+           & ~seg_rst_all[..., None])  # [C, S, R]
+    prev_all = jnp.einsum("csr,rhpn->cshpn",
+                          sel.astype(jnp.float32), init_ssm)
+
+    def chunk_fn(S_run, inp):
+        dxc, Bc, Cc, ld, seg, row, rst, ist, rl, prev_in = inp
         cum = jnp.cumsum(ld, axis=0)  # [L, nh] inclusive
         start_local = (li == 0) | (seg != jnp.concatenate(
             [seg[:1], seg[:-1]]))
@@ -328,34 +388,79 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
         base = jnp.where((sidx > 0)[:, None],
                          cum[jnp.clip(sidx - 1, 0, L - 1)], 0.0)
         inter_decay = jnp.exp(cum - base)  # [L, nh]
+        # Does the first token continue a segment from the previous
+        # chunk (the "run")? If so its carry is S_run, not the buffer.
+        continues = ~ist[0]
 
-        CB = jnp.einsum("ihn,jhn->hij", Cc, Bc)  # [nh, L, L]
+        CB = jnp.einsum("ihn,jhn->hij", Cc, Bc,
+                        preferred_element_type=jnp.float32)
         decay = jnp.exp(
             jnp.minimum(cum[:, None, :] - cum[None, :, :], 0.0))
         mask = (seg[:, None] == seg[None, :]) & (li[:, None]
                                                  >= li[None, :])
-        W = decay.transpose(2, 0, 1) * mask[None]  # [nh, L, L]
-        y_intra = jnp.einsum("hij,jhp->ihp", CB * W, dxc)
+        W = decay.transpose(2, 0, 1) * mask[None]  # [nh, L, L] f32
+        y_intra = jnp.einsum("hij,jhp->ihp", (CB * W).astype(cd), dxc,
+                             preferred_element_type=jnp.float32)
 
-        prev = ssm_buf[srow]  # [L, nh, p, n]
-        prev = jnp.where(rst[:, None, None, None], 0.0, prev)
-        y_inter = (jnp.einsum("lhpn,lhn->lhp", prev, Cc)
-                   * inter_decay[..., None])
+        sl = jnp.clip(seg - seg[0], 0, S_MAX - 1)  # [L] local slot
+        oh = sl[:, None] == s_ar[None, :]  # [L, S]
+        first = jnp.min(jnp.where(oh, li[:, None], L - 1), axis=0)
+        last = jnp.max(jnp.where(oh, li[:, None], 0), axis=0)
+        seg_row = row[first]  # [S_MAX]
+        prev_s = jnp.where(
+            ((s_ar == 0) & continues)[:, None, None, None],
+            S_run[None], prev_in)  # [S, nh, p, n]
+        # y_inter: C_l . prev(segment of l), scaled by the decay from
+        # the token's in-chunk segment entry.
+        segC = jnp.einsum("lhn,shpn->slhp", Cc, prev_s.astype(cd),
+                          preferred_element_type=jnp.float32)
+        y_inter = jnp.take_along_axis(
+            segC, sl[None, :, None, None], axis=0)[0]
+        y_inter = y_inter * inter_decay[..., None]
+        # Per-segment end state: decay the entry state to the
+        # segment's last token and add the in-chunk outer-product sum
+        # with per-token end weights.
+        cum_last = cum[last]  # [S, nh]
+        u = jnp.exp(jnp.minimum(cum_last[sl] - cum, 0.0))
+        onehot = oh.astype(cd)
+        S_add = jnp.einsum("ls,lhp,lhn->shpn", onehot,
+                           (dxc * u[..., None]).astype(cd), Bc,
+                           preferred_element_type=jnp.float32)
+        S_new = prev_s * inter_decay[last][..., None, None] + S_add
+        n_seg = seg[-1] - seg[0]  # (count - 1)
+        # Emit a candidate only where the segment reaches its row's
+        # true stream end — mid-run emissions would shadow the final
+        # value.
+        ends = rl[last]  # [S_MAX] row-last reached in this chunk
+        cand_rows = jnp.where((s_ar <= n_seg) & (seg_row < R) & ends,
+                              seg_row, R)
+        new_run = S_new[jnp.clip(n_seg, 0, S_MAX - 1)]
+        return new_run, (cand_rows, S_new, y_intra + y_inter)
 
-        # End-of-chunk state per row at its last in-chunk token.
-        S_add = jnp.einsum("hij,jhp,jhn->ihpn", W, dxc, Bc)
-        S_new = prev * inter_decay[..., None, None] + S_add
-        last_local = jnp.concatenate(
-            [seg[:-1] != seg[1:],
-             jnp.ones((1, ), bool)])
-        srows = jnp.where(last_local & (row < R), row, R)
-        ssm_buf = ssm_buf.at[srows].set(S_new, mode="drop")
-        return ssm_buf, y_intra + y_inter
+    run0 = jnp.zeros(init_ssm.shape[1:], jnp.float32)
+    _, (cand_rows, cand_states, ys) = jax.lax.scan(
+        chunk_fn, run0,
+        (resh(dx.astype(cd)), resh(B_h.astype(cd)),
+         resh(C_h.astype(cd)), resh(logdA), resh(seg_id),
+         resh(row_of), resh(fresh_here), resh(is_start),
+         resh(is_last), prev_all))
 
-    ssm_final, ys = jax.lax.scan(
-        chunk_fn, state.ssm,
-        (resh(dx), resh(B_h), resh(C_h), resh(logdA), resh(seg_id),
-         resh(row_of), resh(fresh_here)))
+    # Assemble final per-row states: each row's segment ends in
+    # exactly one chunk and was emitted there as a (row, state)
+    # candidate; rows with no candidate keep their step-entry state.
+    Kc = cand_rows.shape[0] * S_MAX
+    rows_flat = cand_rows.reshape(Kc)
+    states_flat = cand_states.reshape((Kc, ) + init_ssm.shape[1:])
+    match = rows_flat[None, :] == r_ar[:, None]  # [R, Kc]
+    found = jnp.any(match, axis=1)
+    last_k = Kc - 1 - jnp.argmax(match[:, ::-1], axis=1)
+    sel_last = match & (jnp.arange(Kc)[None, :] == last_k[:, None])
+    # One-hot contraction instead of a row gather (see prev_all note).
+    gathered = jnp.einsum("rk,khpn->rhpn", sel_last.astype(jnp.float32),
+                          states_flat)
+    ssm_final = jnp.where(found[:, None, None, None], gathered,
+                          init_ssm)
+
     y = ys.reshape(T, nh, p) + layer["D"].astype(
         jnp.float32)[:, None] * x_h
     return y.reshape(T, d_inner), MambaState(conv=new_conv,

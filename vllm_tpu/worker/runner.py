@@ -247,12 +247,15 @@ class TPUModelRunner:
             # copies serialized with kernel starts (3,723 -> 3,879
             # tok/s at 112MB vs the 64MB default).
             xla_opts = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
+        self._uses_seg_hint = getattr(self.model, "USES_SEG_HINT",
+                                      False)
         self._step_fn = jax.jit(
             functools.partial(_step_impl, self.model, mc),
             donate_argnums=(1, ),
             # q_blk, spec_k, n_logprobs, want_hidden, want_pooling,
-            # n_plp (prompt-logprobs bucket)
-            static_argnums=(3, 4, 5, 6, 7, 8),
+            # n_plp (prompt-logprobs bucket), seg_hint (mamba chunked
+            # prefill certificate; constant True for attention models)
+            static_argnums=(3, 4, 5, 6, 7, 8, 9),
             compiler_options=xla_opts,
         )
         self._decode_loop_fn = jax.jit(
@@ -988,11 +991,17 @@ class TPUModelRunner:
         want_pooling = any(
             getattr(self.batch.reqs[r], "pooling", None) is not None
             for r in req_ids)
+        # Mamba chunked-prefill certificate: stream segments ==
+        # scheduled requests + 1 trailing padding segment. Constant
+        # True for attention-only models so their program never
+        # re-specializes on it.
+        seg_hint = (not self._uses_seg_hint
+                    or len(out.num_scheduled_tokens) + 1 <= 8)
         (self.kv_caches, sampled, spec_mats, lp, hidden,
          pool, plp) = self._step_fn(self.params, self.kv_caches, inputs,
                                     q_blk, self.spec_k, n_lp,
                                     self._want_hidden, want_pooling,
-                                    n_plp)
+                                    n_plp, seg_hint)
         self._last_sampled = sampled  # device-side feedback source
         return StepHandle(out=out, req_ids=req_ids, emits=emits,
                           q_blk=q_blk, inputs=inputs, sampled=sampled,
@@ -1382,7 +1391,8 @@ def _segment_pooling(hidden: jax.Array, qsl: jax.Array):
 def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
                q_blk: int = 128, spec_k: int = 0, n_logprobs: int = 0,
                want_hidden: bool | tuple = False,
-               want_pooling: bool = False, n_plp: int = 0):
+               want_pooling: bool = False, n_plp: int = 0,
+               seg_hint: bool = True):
     """One fused device step: forward + logits + sample (+ greedy
     verification matrix when speculative decoding is on). With
     ``want_hidden`` the full [T, E] hidden stream is also returned
@@ -1406,6 +1416,10 @@ def _step_impl(model, mc, params, kv_caches, inputs: StepInputs,
     lora_kw = {}
     if isinstance(params, dict) and "lora" in params:
         lora_kw = dict(lora=params["lora"], lora_idx=inputs.lora_idx)
+    if getattr(model, "USES_SEG_HINT", False):
+        # Mamba-family models: static few-segments certificate that
+        # gates the chunked SSD prefill (ops/mamba.py).
+        lora_kw["seg_hint"] = seg_hint
     if inputs.mm_buffer is not None:
         lora_kw.update(mm_buffer=inputs.mm_buffer,
                        mm_rows=inputs.mm_rows)
