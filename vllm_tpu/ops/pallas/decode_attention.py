@@ -49,8 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vllm_tpu.ops.kv_cache import (TQ3_LEVELS, TQ4_LEVELS, QuantKV,
                                    _rht_matrix, codebook_select,
                                    is_packed_int4, quant_max)
-from vllm_tpu.ops.pallas.fp8 import (e4m3ftz_to_f32,
-                                     int8_to_f32)
+from vllm_tpu.ops.pallas.fp8 import e4m3_mag_f32, int8_to_f32
 
 RING = 4  # in-flight superstep slots per program
 F_BLOCKS = 8  # KV blocks per superstep (bf16 kernel)
@@ -103,8 +102,10 @@ def _kernel(
     # scratch
     k_buf,  # [RING, HG, F*bs, Dp] VMEM (K planes of this head group)
     v_buf,  # [RING, HG, F*bs, Dp] VMEM
+    wk_buf,  # [RB, HG, bs, Dp] write-back staging (K)
+    wv_buf,  # [RB, HG, bs, Dp] write-back staging (V)
     sems,  # DMA sems [RING, F, 2]
-    wsem,  # write-back sems [2]
+    wsem,  # write-back sems [RB, 2]
     *,
     sm_scale: float,
     block_size: int,
@@ -212,17 +213,22 @@ def _kernel(
                     v_buf[slot, h, sub, :] = jnp.where(
                         row_iota == offs[r],
                         new_kv_ref[r, HG + h, :][None, :], vtile)
+                # Stage the modified tiles and write back ASYNC —
+                # blocking here cost two DMA round trips per row per
+                # program (the staging copy decouples the ring slot,
+                # which the next superstep refills); the matching
+                # waits run once after the flash loop.
+                wk_buf[r] = k_buf[slot, :, sub, :]
+                wv_buf[r] = v_buf[slot, :, sub, :]
                 bid = bt_ref[row0 + r, last_blks[r]]
-                kb = pltpu.make_async_copy(
-                    k_buf.at[slot, :, sub, :],
-                    kv_out.at[bid, pl.ds(head0, HG)], wsem.at[0])
-                vb = pltpu.make_async_copy(
-                    v_buf.at[slot, :, sub, :],
-                    kv_out.at[bid, pl.ds(KH + head0, HG)], wsem.at[1])
-                kb.start()
-                vb.start()
-                kb.wait()
-                vb.wait()
+                pltpu.make_async_copy(
+                    wk_buf.at[r],
+                    kv_out.at[bid, pl.ds(head0, HG)],
+                    wsem.at[r, 0]).start()
+                pltpu.make_async_copy(
+                    wv_buf.at[r],
+                    kv_out.at[bid, pl.ds(KH + head0, HG)],
+                    wsem.at[r, 1]).start()
 
             # All HG heads of this row in ONE pair of MXU dots:
             # scores [HG*G, HG*FS] = q_all @ K_all^T with a block-
@@ -242,10 +248,11 @@ def _kernel(
             m, l, acc = nc[r]
             q_all = q_ref[r]  # [HG*G, Dp]
             if k_buf.dtype == jnp.float8_e4m3fn:
-                # scale-less fp8 cache: manual bit decode (fp8.py).
-                k_all = e4m3ftz_to_f32(k_buf[slot_h].reshape(
+                # scale-less fp8 cache: magnitude-placement decode
+                # (fp8.py e4m3_mag_f32).
+                k_all = e4m3_mag_f32(k_buf[slot_h].reshape(
                     HG * FS, D)).astype(q_all.dtype)
-                v_all = e4m3ftz_to_f32(v_buf[slot_h].reshape(
+                v_all = e4m3_mag_f32(v_buf[slot_h].reshape(
                     HG * FS, D)).astype(q_all.dtype)
             else:
                 k_all = k_buf[slot_h].reshape(HG * FS,
@@ -281,6 +288,16 @@ def _kernel(
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
     for r in range(RB):
+        # Drain this row's (conditional) write-back before returning.
+        @pl.when(seq_lens[r] > 0)
+        def _(r=r):
+            bid = bt_ref[row0 + r, last_blks[r]]
+            pltpu.make_async_copy(
+                wk_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
+                wsem.at[r, 0]).wait()
+            pltpu.make_async_copy(
+                wv_buf.at[r], kv_out.at[bid, pl.ds(KH + head0, HG)],
+                wsem.at[r, 1]).wait()
         m, l, acc = final[r]
         out = acc / jnp.where(l == 0.0, 1.0, l)
         o_ref[r, :, :] = out.astype(o_ref.dtype)
@@ -303,8 +320,11 @@ def _qkernel(
     data_buf,  # [RING, F, HG, bs, Dp] quant dtype
     v_buf,  # [RING, F, HG, bs, Dp] or None (packed)
     s_buf,  # [RING, F, SUBLANE, SL] f32
+    wd_buf,  # [RB, HG, bs, Dp] write-back staging (data)
+    wv_buf,  # [RB, HG, bs, Dp] staging (V; dummy when packed)
+    ws_buf,  # [RB, SUBLANE, SL] staging (scales)
     sems,  # DMA sems [RING, F, 3]
-    wsem,  # write-back sems [3]
+    wsem,  # write-back sems [RB, 3]
     *,
     sm_scale: float,
     block_size: int,
@@ -501,21 +521,24 @@ def _qkernel(
                     v_srow = jnp.where(lane_iota == lane, v_sc, v_srow)
                 s_buf[slot, fl, 0:1, :] = k_srow
                 s_buf[slot, fl, 1:2, :] = v_srow
+                # Stage + ASYNC write-back (see _kernel): the blocking
+                # per-row round trips were the decode chain's fixed
+                # cost; matching waits drain after the flash loop.
+                wd_buf[r] = data_buf[slot, fl]
+                ws_buf[r] = s_buf[slot, fl]
                 bid = bt_ref[row0 + r, last_blks[r]]
-                cps = [pltpu.make_async_copy(
-                    data_buf.at[slot, fl],
-                    kv_out.at[bid, pl.ds(head0, HG)], wsem.at[0])]
+                pltpu.make_async_copy(
+                    wd_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
+                    wsem.at[r, 0]).start()
                 if not packed:
-                    cps.append(pltpu.make_async_copy(
-                        v_buf.at[slot, fl],
+                    wv_buf[r] = v_buf[slot, fl]
+                    pltpu.make_async_copy(
+                        wv_buf.at[r],
                         kv_out.at[bid, pl.ds(KH + head0, HG)],
-                        wsem.at[1]))
-                cps.append(pltpu.make_async_copy(
-                    s_buf.at[slot, fl], sc_out.at[bid], wsem.at[2]))
-                for cp in cps:
-                    cp.start()
-                for cp in cps:
-                    cp.wait()
+                        wsem.at[r, 1]).start()
+                pltpu.make_async_copy(
+                    ws_buf.at[r], sc_out.at[bid],
+                    wsem.at[r, 2]).start()
 
             # Head-batched flash update over all F blocks (columns in
             # (block, head, token) order — matching the scale lanes'
@@ -557,11 +580,12 @@ def _qkernel(
                 v_all = int8_to_f32(
                     v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
             else:
-                # fp8: manual bit decode — Mosaic's bulk e4m3 vector
-                # convert is ~30x slower (ops/pallas/fp8.py).
-                k_all = e4m3ftz_to_f32(
+                # fp8: magnitude-placement decode (fp8.py
+                # e4m3_mag_f32 — Mosaic's bulk e4m3 vector convert is
+                # ~30x slower, the FTZ bias-add decode ~20% more ops).
+                k_all = e4m3_mag_f32(
                     data_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
-                v_all = e4m3ftz_to_f32(
+                v_all = e4m3_mag_f32(
                     v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
             s = jax.lax.dot_general(
                 q_all, k_all, (((1, ), (1, )), ((), ())),
@@ -593,6 +617,19 @@ def _qkernel(
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
     for r in range(RB):
+        @pl.when(seq_lens[r] > 0)
+        def _(r=r):
+            bid = bt_ref[row0 + r, last_blks[r]]
+            pltpu.make_async_copy(
+                wd_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
+                wsem.at[r, 0]).wait()
+            if not packed:
+                pltpu.make_async_copy(
+                    wv_buf.at[r],
+                    kv_out.at[bid, pl.ds(KH + head0, HG)],
+                    wsem.at[r, 1]).wait()
+            pltpu.make_async_copy(
+                ws_buf.at[r], sc_out.at[bid], wsem.at[r, 2]).wait()
         m, l, acc = final[r]
         out = acc / jnp.where(l == 0.0, 1.0, l)
         o_ref[r, :, :] = out.astype(o_ref.dtype)
@@ -684,8 +721,10 @@ def decode_paged_attention(
         scratch_shapes=[
             pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
             pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RB, HG, block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RB, HG, block_size, Dp), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((RING, F, 2)),
-            pltpu.SemaphoreType.DMA((2, )),
+            pltpu.SemaphoreType.DMA((RB, 2)),
         ],
     )
     out, kv_cache = pl.pallas_call(
@@ -752,8 +791,12 @@ def _decode_quant(
         pltpu.VMEM((1, 1) if packed else
                    (RING, F, HG, block_size, Dp), data.dtype),
         pltpu.VMEM((RING, F, SUB, SL), jnp.float32),
+        pltpu.VMEM((RB, HG, block_size, Dp), data.dtype),
+        pltpu.VMEM((1, 1) if packed else
+                   (RB, HG, block_size, Dp), data.dtype),
+        pltpu.VMEM((RB, SUB, SL), jnp.float32),
         pltpu.SemaphoreType.DMA((RING, F, 3)),
-        pltpu.SemaphoreType.DMA((3, )),
+        pltpu.SemaphoreType.DMA((RB, 3)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -40,8 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_tpu.ops.kv_cache import LANE, QuantKV
-from vllm_tpu.ops.pallas.fp8 import (e4m3ftz_to_f32,
-                                     int8_to_f32)
+from vllm_tpu.ops.pallas.fp8 import e4m3_mag_f32, int8_to_f32
 
 DEFAULT_QBLK = 128
 DEFAULT_F = 4  # KV blocks fetched per flash iteration
@@ -169,8 +168,10 @@ def _kernel(
                     # manually (ops/pallas/fp8.py: Mosaic's bulk fp8
                     # convert is pathologically slow).
                     if k_buf.dtype == jnp.float8_e4m3fn:
-                        k = e4m3ftz_to_f32(k_buf[slot]).astype(q2.dtype)
-                        v = e4m3ftz_to_f32(v_buf[slot]).astype(q2.dtype)
+                        # Magnitude-placement decode (fp8.py
+                        # e4m3_mag_f32).
+                        k = e4m3_mag_f32(k_buf[slot]).astype(q2.dtype)
+                        v = e4m3_mag_f32(v_buf[slot]).astype(q2.dtype)
                     else:
                         k = k_buf[slot].astype(q2.dtype)  # [FS, D]
                         v = v_buf[slot].astype(q2.dtype)
@@ -391,9 +392,11 @@ def _qkernel(
                             v = int8_to_f32(
                                 v_buf[slot, blk, :]).astype(q2.dtype)
                         else:
-                            k = e4m3ftz_to_f32(
+                            # magnitude-placement e4m3 decode
+                            # (fp8.py e4m3_mag_f32).
+                            k = e4m3_mag_f32(
                                 k_buf[slot, blk, :]).astype(q2.dtype)
-                            v = e4m3ftz_to_f32(
+                            v = e4m3_mag_f32(
                                 v_buf[slot, blk, :]).astype(q2.dtype)
                         lane0 = h * block_size
                         s_k = s_buf[slot, f, 0:1,
