@@ -392,12 +392,38 @@ def _unpack_int4(data: jax.Array) -> jax.Array:
     return jnp.concatenate([k, v], axis=1)
 
 
-def _plane_scales(scales: jax.Array, kh: int, bs: int) -> jax.Array:
-    """[B, SUBLANE, SL] (row 0 = K, row 1 = V; lane h*bs+t) ->
-    [B, 2KH, bs] in split-plane order."""
+def parity_scale_lane(offset, block_size: int):
+    """Within-head scale lane for parity-split layouts (fp8_pth): even
+    tokens pack into the head's first bs/2 lanes, odd tokens into the
+    second half — lane = (t >> 1) + (t & 1) * bs/2.
+
+    Why: the Pallas kernels' quad-byte e4m3 decode (u8 tile viewed as
+    i32 without widening, magnitude bits placed straight into bf16
+    slots) emits rows in [evens; odds] order per (block, head) tile;
+    storing scales in the same order keeps the score-column scale
+    vector a plain lane slice — no in-kernel gather, no extra ops."""
+    return (offset >> 1) + (offset & 1) * (block_size // 2)
+
+
+def is_parity_scales(data_dtype) -> bool:
+    """True when the cache mode stores parity-split scale lanes
+    (scaled e4m3 caches, i.e. fp8_pth)."""
+    return data_dtype == jnp.float8_e4m3fn
+
+
+def _plane_scales(scales: jax.Array, kh: int, bs: int,
+                  parity: bool = False) -> jax.Array:
+    """[B, SUBLANE, SL] (row 0 = K, row 1 = V; lane h*bs+t, or the
+    parity-split lane order for fp8_pth) -> [B, 2KH, bs] in split-plane
+    order, token-indexed."""
     B = scales.shape[0]
     ks = scales[:, 0, :kh * bs].reshape(B, kh, bs)
     vs = scales[:, 1, :kh * bs].reshape(B, kh, bs)
+    if parity:
+        t = jnp.arange(bs, dtype=jnp.int32)
+        lane = parity_scale_lane(t, bs)
+        ks = ks[:, :, lane]
+        vs = vs[:, :, lane]
     return jnp.concatenate([ks, vs], axis=1)
 
 
@@ -416,7 +442,8 @@ def dequant_block_kv(qkv: QuantKV) -> jax.Array:
         rot = vals * s[..., None]
         return rot @ _rht_matrix(vals.shape[-1]).T
     num_blocks, kh2, bs, dp = data.shape
-    s = _plane_scales(scales, kh2 // 2, bs)  # [B, 2KH, bs]
+    s = _plane_scales(scales, kh2 // 2, bs,
+                      parity=is_parity_scales(data.dtype))
     f = data.astype(jnp.float32)
     if data.dtype == jnp.float8_e4m3fn:
         # Match the kernels' flush-to-zero decode on arbitrary bytes
@@ -450,11 +477,14 @@ def write_kv_xla(
     offset = slot_mapping % block_size
     mode = dict(mode=oob) if oob is not None else {}
 
-    def put_scales(scales, scale):
+    def put_scales(scales, scale, parity: bool = False):
         """scale [T, 2KH] (K rows then V) -> lane h*bs + offset of
-        rows 0 (K) / 1 (V)."""
+        rows 0 (K) / 1 (V); parity-split lane order for fp8_pth
+        (see parity_scale_lane)."""
+        off = (parity_scale_lane(offset, block_size) if parity
+               else offset)
         lane = (jnp.arange(KH, dtype=offset.dtype)[None, :] * block_size
-                + offset[:, None])  # [T, KH]
+                + off[:, None])  # [T, KH]
         bidx = block_idx[:, None]
         scales = scales.at[bidx, 0, lane].set(scale[:, :KH], **mode)
         return scales.at[bidx, 1, lane].set(scale[:, KH:], **mode)
@@ -471,7 +501,9 @@ def write_kv_xla(
     if isinstance(kv_cache, QuantKV):
         q, scale = quantize_rows(kv, data.dtype)
         new_data = data.at[block_idx, :, offset, :].set(q, **mode)
-        return QuantKV(new_data, put_scales(kv_cache.scales, scale))
+        return QuantKV(new_data,
+                       put_scales(kv_cache.scales, scale,
+                                  parity=is_parity_scales(data.dtype)))
     if data.dtype == jnp.float8_e4m3fn:
         # Flush the subnormal range so the FTZ decode round-trips
         # (fp8.py e4m3ftz_to_f32).

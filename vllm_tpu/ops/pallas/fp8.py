@@ -83,6 +83,56 @@ def e4m3_mag_f32(x: jax.Array) -> jax.Array:
     return pltpu.bitcast(bits, jnp.float32) * E4M3_MAG_FIX
 
 
+def e4m3_quad_bf16(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """[rows, D] e4m3 bytes -> [rows, D] bf16 valued ``value *
+    2**-120``, rows emitted in [evens; odds] storage order — the
+    hot-path bulk decode (~3.5x fewer VPU ops than e4m3_mag_f32).
+
+    The W4A16 kernel's no-widen trick applied to fp8: VMEM stores u8
+    rows (4, 1)-packed, so a bitcast views 4 consecutive byte rows as
+    one i32 row with zero data movement. e4m3 is a float format whose
+    magnitude fits bf16 exactly (4-bit exponent at bf16 bits 10-7,
+    3-bit mantissa at 6-4), so two bytes of each i32 lane place
+    straight into the two bf16 slots:
+
+        oe = ((t << 4) & 0x07F007F0) | ((t << 8) & 0x80008000)
+        oo = ((t >> 4) & 0x07F007F0) | ( t       & 0x80008000)
+
+    9 i32 ops per 4 bytes, no widen, no f32->bf16 convert. bf16 slot
+    pairs unpack little-endian (lo slot = byte 0), so ``oe`` rows are
+    even storage rows in order and ``oo`` odd — callers index columns
+    through the parity map and read fp8_pth scales from the
+    parity-split lane layout (kv_cache.parity_scale_lane).
+
+    The 2**120 exponent rebias is NOT applied: fold ``E4M3_MAG_FIX``
+    into the OTHER operand of each dot (q for scores, p or the V scale
+    row for the output dot) — folding it after a dot lets individual
+    MXU products denormalize and FTZ flushes them (real error).
+    e4m3 subnormal codes decode to bf16 denormals: FTZ units flush
+    them (the quantizers never store them); interpret mode matches the
+    TPU bit pattern exactly."""
+    if interpret:  # shape-changing bitcast semantics differ off-TPU
+        f = e4m3_mag_f32(x) * (1.0 / E4M3_MAG_FIX)
+        return jnp.concatenate([f[0::2], f[1::2]],
+                               axis=0).astype(jnp.bfloat16)
+    if x.dtype != jnp.uint8:
+        x = pltpu.bitcast(x, jnp.uint8)
+    t = pltpu.bitcast(x, jnp.int32)  # [rows/4, D]
+    m = jnp.int32(0x07F007F0)
+    sgn = jnp.int32(-2147450880)  # 0x80008000 as i32
+    oe = ((t << 4) & m) | ((t << 8) & sgn)
+    oo = ((t >> 4) & m) | (t & sgn)
+    return pltpu.bitcast(jnp.concatenate([oe, oo], axis=0),
+                         jnp.bfloat16)
+
+
+def parity_token_map(within, half: int):
+    """Inverse of the [evens; odds] emission: decoded row index within
+    a tile span -> storage/token offset. ``half`` = span // 2."""
+    return jnp.where(within < half, 2 * within,
+                     2 * (within - half) + 1)
+
+
 def int8_to_f32(x: jax.Array) -> jax.Array:
     """int8 -> f32 via the exponent-bias trick (bitcast add/sub only;
     Mosaic's s8->s32->f32 convert chain measured ~2.2 ms/step of pure

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_tpu.ops.kv_cache import LANE, QuantKV
-from vllm_tpu.ops.pallas.fp8 import e4m3_mag_f32, int8_to_f32
+from vllm_tpu.ops.pallas.fp8 import (E4M3_MAG_FIX, e4m3_quad_bf16,
+                                     int8_to_f32, parity_token_map)
 
 DEFAULT_QBLK = 128
 DEFAULT_F = 4  # KV blocks fetched per flash iteration
@@ -69,6 +70,7 @@ def _kernel(
     logit_softcap: float | None,
     chunk_stride: int = 1,
     return_lse: bool = False,
+    interpret: bool = False,
 ):
     if return_lse:
         (out_hbm, lse_hbm, q_buf, k_buf, v_buf, o_buf, lse_buf, q_sem,
@@ -167,21 +169,30 @@ def _kernel(
                     # the ref's in-kernel _cast_kv_tile). e4m3 decodes
                     # manually (ops/pallas/fp8.py: Mosaic's bulk fp8
                     # convert is pathologically slow).
-                    if k_buf.dtype == jnp.float8_e4m3fn:
-                        # Magnitude-placement decode (fp8.py
-                        # e4m3_mag_f32).
-                        k = e4m3_mag_f32(k_buf[slot]).astype(q2.dtype)
-                        v = e4m3_mag_f32(v_buf[slot]).astype(q2.dtype)
+                    fp8 = k_buf.dtype == jnp.float8_e4m3fn
+                    if fp8:
+                        # Quad-byte magnitude decode (fp8.py
+                        # e4m3_quad_bf16): values * 2**-120 in
+                        # [evens; odds] row order — the fix rides q2
+                        # (scores) / p (output dot), operand-side.
+                        k = e4m3_quad_bf16(
+                            k_buf[slot], interpret).astype(q2.dtype)
+                        v = e4m3_quad_bf16(
+                            v_buf[slot], interpret).astype(q2.dtype)
+                        q2d = q2 * jnp.asarray(E4M3_MAG_FIX, q2.dtype)
                     else:
                         k = k_buf[slot].astype(q2.dtype)  # [FS, D]
                         v = v_buf[slot].astype(q2.dtype)
+                        q2d = q2
                     s = jax.lax.dot_general(
-                        q2, k, (((1, ), (1, )), ((), ())),
+                        q2d, k, (((1, ), (1, )), ((), ())),
                         preferred_element_type=jnp.float32) * sm_scale
                     if logit_softcap is not None:
                         s = logit_softcap * jnp.tanh(s / logit_softcap)
                     col = jax.lax.broadcasted_iota(
                         jnp.int32, (1, FS), 1)  # [1, FS]
+                    if fp8:
+                        col = parity_token_map(col, FS // 2)
                     if chunk_stride == 1:
                         kv_pos = i * FS + col
                     else:
@@ -201,6 +212,8 @@ def _kernel(
                     p = jnp.where(mask, p, 0.0)
                     alpha = jnp.exp(m - m_new)
                     l_new = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                    if fp8:
+                        p = p * E4M3_MAG_FIX  # V-side rebias
                     acc_new = alpha * acc + jax.lax.dot_general(
                         p.astype(q2.dtype), v, (((1, ), (0, )), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -266,6 +279,7 @@ def _qkernel(
     levels: tuple | None = None,
     chunk_stride: int = 1,
     return_lse: bool = False,
+    interpret: bool = False,
 ):
     """Per-token-head quantized variant: K-scales multiply score
     columns, V-scales multiply prob columns, so the flash update runs
@@ -392,25 +406,39 @@ def _qkernel(
                             v = int8_to_f32(
                                 v_buf[slot, blk, :]).astype(q2.dtype)
                         else:
-                            # magnitude-placement e4m3 decode
-                            # (fp8.py e4m3_mag_f32).
-                            k = e4m3_mag_f32(
-                                k_buf[slot, blk, :]).astype(q2.dtype)
-                            v = e4m3_mag_f32(
-                                v_buf[slot, blk, :]).astype(q2.dtype)
+                            # quad-byte magnitude decode (fp8.py
+                            # e4m3_quad_bf16): values * 2**-120 in
+                            # [evens; odds] row order; scale lanes are
+                            # stored parity-split to match
+                            # (kv_cache.parity_scale_lane), and the
+                            # 2**120 rides q2 / s_v operand-side.
+                            k = e4m3_quad_bf16(
+                                k_buf[slot, blk, :],
+                                interpret).astype(q2.dtype)
+                            v = e4m3_quad_bf16(
+                                v_buf[slot, blk, :],
+                                interpret).astype(q2.dtype)
+                        fp8 = not packed and not int8
                         lane0 = h * block_size
                         s_k = s_buf[slot, f, 0:1,
                                     lane0:lane0 + block_size]
                         s_v = s_buf[slot, f, 1:2,
                                     lane0:lane0 + block_size]
+                        q2d = (q2 * jnp.asarray(E4M3_MAG_FIX, q2.dtype)
+                               if fp8 else q2)
+                        if fp8:
+                            s_v = s_v * E4M3_MAG_FIX
                         s = jax.lax.dot_general(
-                            q2, k, (((1, ), (1, )), ((), ())),
+                            q2d, k, (((1, ), (1, )), ((), ())),
                             preferred_element_type=jnp.float32)
                         s = s * s_k * sm_scale
                         if logit_softcap is not None:
                             s = logit_softcap * jnp.tanh(s / logit_softcap)
                         within = jax.lax.broadcasted_iota(
                             jnp.int32, (1, block_size), 1)
+                        if fp8:
+                            within = parity_token_map(
+                                within, block_size // 2)
                         if chunk_stride == 1:
                             kv_pos = i * FS + f * block_size + within
                         else:
@@ -578,7 +606,7 @@ def ragged_paged_attention(
             QBLK=QBLK, F=F, KH=KH, G=G, max_blocks=max_blocks,
             sliding_window=sliding_window, logit_softcap=logit_softcap,
             packed=packed, levels=levels, chunk_stride=chunk_stride,
-            return_lse=return_lse)
+            return_lse=return_lse, interpret=interpret)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -641,6 +669,7 @@ def ragged_paged_attention(
         logit_softcap=logit_softcap,
         chunk_stride=chunk_stride,
         return_lse=return_lse,
+        interpret=interpret,
     )
     out = pl.pallas_call(
         kernel,
