@@ -107,6 +107,6 @@ def test_ep_requires_divisible_experts(cpu_devices):
     cfg = make_cfg(ep=4, tp=2)
     cfg.model.num_experts = 6  # not divisible by 4
     params = mixtral.random_params(cfg.model, seed=0)
-    with pytest.raises(ValueError, match="divide num_experts"):
+    with pytest.raises(ValueError, match="divide the expert stack"):
         full_param_shardings(cfg.model, params,
                              make_mesh(cfg.parallel))

@@ -514,6 +514,17 @@ class Scheduler:
                        key=lambda r: (r.priority, r.arrival_time))
         return candidates[-1]
 
+    def preempt_all(self) -> None:
+        """Drain the running set: force-preempt every running request
+        back to the waiting queue (recompute-on-resume). Used by
+        elastic EP rescale (ref analog: the request drain in
+        vllm/distributed/elastic_ep/elastic_state.py scale_up/down —
+        the reference pauses scheduling and re-queues in-flight work
+        before re-forming process groups). Reversed order so FCFS
+        arrival order survives the push_front resume path."""
+        for request in reversed(list(self.running)):
+            self._preempt(request, set())
+
     def _preempt(self, request: Request,
                  preempted_this_step: set[str]) -> None:
         logger.debug("preempting %s", request.request_id)

@@ -102,41 +102,8 @@ class LLMEngine:
         self._num_kv_blocks = num_blocks
         self.scheduler = Scheduler(config, num_blocks=num_blocks)
         self.runner = TPUModelRunner(config, params, num_blocks, mesh=mesh)
-        sc = config.speculative
-        if sc.method in ("eagle", "eagle3", "mtp"):
-            if draft_params is None:
-                from vllm_tpu.spec_decode import eagle as eagle_mod
-                assert sc.model, (
-                    f"{sc.method} needs speculative.model or draft_params")
-                dcfg = eagle_mod.draft_config_from_target(
-                    mc, sc.draft_num_layers)
-                loader = {
-                    "eagle": eagle_mod.load_eagle_params,
-                    "eagle3": eagle_mod.load_eagle3_params,
-                    "mtp": eagle_mod.load_mtp_params,
-                }[sc.method]
-                draft_params = loader(sc.model, dcfg)
-            self.runner.set_eagle_proposer(draft_params,
-                                           method=sc.method)
-        elif sc.method == "medusa":
-            if draft_params is None:
-                from vllm_tpu.spec_decode.medusa import load_medusa_params
-                assert sc.model, "medusa needs speculative.model or " \
-                                 "draft_params"
-                draft_params = load_medusa_params(sc.model, mc)
-            self.runner.set_medusa_proposer(draft_params)
-        elif sc.method == "draft_model":
-            dcfg = sc.draft_config
-            assert dcfg is not None, (
-                "draft_model needs speculative.draft_config (the "
-                "drafter's own ModelConfig)")
-            if draft_params is None:
-                from vllm_tpu.loader.safetensors_loader import (
-                    load_llama_params)
-                assert sc.model, "draft_model needs speculative.model " \
-                                 "or draft_params"
-                draft_params = load_llama_params(sc.model, dcfg, None)
-            self.runner.set_draft_model_proposer(draft_params, dcfg)
+        self._draft_params = draft_params
+        self._install_proposers()
         # Host KV tier: scheduler owns the index, runner moves bytes.
         if self.scheduler.host_kv_pool is not None:
             self.runner.host_kv_pool = self.scheduler.host_kv_pool
@@ -473,6 +440,108 @@ class LLMEngine:
         self.runner.reset_state()
         logger.warning("engine reinitialized after fault: KV caches "
                        "reset, weights kept")
+
+    def _install_proposers(self) -> None:
+        """Install the configured speculative drafter on the current
+        runner, loading draft weights once and caching them in
+        ``self._draft_params`` so a runner rebuild (elastic EP rescale)
+        reuses them (ref analog: drafter construction in
+        GPUModelRunner.__init__ when speculative_config is set)."""
+        sc = self.config.speculative
+        mc = self.config.model
+        draft_params = self._draft_params
+        if sc.method in ("eagle", "eagle3", "mtp"):
+            if draft_params is None:
+                from vllm_tpu.spec_decode import eagle as eagle_mod
+                assert sc.model, (
+                    f"{sc.method} needs speculative.model or draft_params")
+                dcfg = eagle_mod.draft_config_from_target(
+                    mc, sc.draft_num_layers)
+                loader = {
+                    "eagle": eagle_mod.load_eagle_params,
+                    "eagle3": eagle_mod.load_eagle3_params,
+                    "mtp": eagle_mod.load_mtp_params,
+                }[sc.method]
+                draft_params = loader(sc.model, dcfg)
+            self.runner.set_eagle_proposer(draft_params,
+                                           method=sc.method)
+        elif sc.method == "medusa":
+            if draft_params is None:
+                from vllm_tpu.spec_decode.medusa import load_medusa_params
+                assert sc.model, "medusa needs speculative.model or " \
+                                 "draft_params"
+                draft_params = load_medusa_params(sc.model, mc)
+            self.runner.set_medusa_proposer(draft_params)
+        elif sc.method == "draft_model":
+            dcfg = sc.draft_config
+            assert dcfg is not None, (
+                "draft_model needs speculative.draft_config (the "
+                "drafter's own ModelConfig)")
+            if draft_params is None:
+                from vllm_tpu.loader.safetensors_loader import (
+                    load_llama_params)
+                assert sc.model, "draft_model needs speculative.model " \
+                                 "or draft_params"
+                draft_params = load_llama_params(sc.model, dcfg, None)
+            self.runner.set_draft_model_proposer(draft_params, dcfg)
+        self._draft_params = draft_params
+
+    def scale_ep(self, new_ep: int, devices=None,
+                 tensor_parallel_size: Optional[int] = None) -> None:
+        """Elastic EP — resize the expert-parallel world at runtime.
+
+        Ref analog: vllm/distributed/elastic_ep/elastic_state.py
+        (scale-up/scale-down reconfiguration: pause scheduling, drain
+        in-flight work, rebuild process groups, reshuffle experts) and
+        the engine hook vllm/v1/engine/core.py:989-996. TPU-native
+        formulation: there are no process groups to rebuild — the EP
+        world IS the ``ep`` axis of the device mesh, so a rescale is
+        (1) drain the in-flight async step, (2) preempt every running
+        request to the waiting queue (recompute-on-resume — the same
+        path mid-stream preemption already takes, so greedy outputs
+        are unchanged), (3) collapse EPLB physical expert stacks back
+        to logical, (4) build the new mesh and a new runner: GSPMD
+        re-device_put moves the expert shards between ranks (XLA emits
+        the collective the reference hand-codes in
+        rebalance_execute.py), and the persistent compile cache makes
+        the new-topology compile a warm hit on repeat topologies.
+
+        ``tensor_parallel_size`` lets a fixed device pool trade tp for
+        ep (scale-up without new hardware); by default tp is kept and
+        the new mesh needs ``new_ep x tp`` devices.
+        """
+        if self._inflight is not None:
+            # Finish the launched step; its outputs land in the
+            # output processor as usual before the drain.
+            self._finish_inflight()
+        self.scheduler.preempt_all()
+        # Device KV is discarded with the runner: cached prefix blocks
+        # would dangle, so drop the content-addressed index too.
+        self.scheduler.kv_cache_manager.reset_prefix_cache()
+        params = self.runner.export_logical_params()
+        pc = self.config.parallel
+        pc.expert_parallel_size = new_ep
+        if tensor_parallel_size is not None:
+            pc.tensor_parallel_size = tensor_parallel_size
+        # Keep e_phys divisible by the new world: top up redundant
+        # replicas to the next multiple (the reference requires the
+        # same invariant of its placement, rebalance_algo.py).
+        if pc.enable_eplb and self.config.model.num_experts:
+            base = getattr(self, "_base_redundant", None)
+            if base is None:
+                self._base_redundant = base = pc.num_redundant_experts
+            e = self.config.model.num_experts + base
+            pc.num_redundant_experts = base + (-e) % max(new_ep, 1)
+        from vllm_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(pc, devices)
+        self.runner = TPUModelRunner(self.config, params,
+                                     self._num_kv_blocks, mesh=mesh)
+        self._install_proposers()
+        if self.scheduler.host_kv_pool is not None:
+            self.runner.host_kv_pool = self.scheduler.host_kv_pool
+        logger.info("elastic EP rescale: ep=%d tp=%d (%d requests "
+                    "re-queued)", pc.expert_parallel_size,
+                    pc.tensor_parallel_size, len(self.scheduler.waiting))
 
     def step(self) -> list[RequestOutput]:
         import time as _time

@@ -46,10 +46,24 @@ def full_param_shardings(cfg: ModelConfig, params: dict,
     # Megatron TP within each expert on the inner dims.
     ep = mesh.shape[AXIS_EP]
     e_ax = AXIS_EP if ep > 1 else None
-    if ep > 1 and cfg.num_experts and cfg.num_experts % ep != 0:
-        raise ValueError(
-            f"expert_parallel_size={ep} must divide num_experts="
-            f"{cfg.num_experts}")
+    if ep > 1 and cfg.num_experts:
+        # Validate against the actual *stack* size, not
+        # cfg.num_experts: under EPLB the stacks are already physical
+        # (num_experts + redundant replicas, runner._init_eplb runs
+        # before sharding) and only e_phys must divide ep.
+        e_stack = cfg.num_experts
+        for layer in params.get("layers", []):
+            leaf = layer.get("w_gate_up")
+            if leaf is not None:
+                arr = (next(iter(leaf.values()))
+                       if isinstance(leaf, dict) else leaf)
+                e_stack = arr.shape[0]
+                break
+        if e_stack % ep != 0:
+            raise ValueError(
+                f"expert_parallel_size={ep} must divide the expert "
+                f"stack size {e_stack} (num_experts + redundant "
+                f"replicas)")
     moe_col = NamedSharding(mesh, P(e_ax, None, AXIS_TP))
     moe_row = NamedSharding(mesh, P(e_ax, AXIS_TP, None))
 

@@ -214,6 +214,14 @@ class TPUModelRunner:
                 sc.num_speculative_tokens_per_batch_size,
                 config.scheduler.max_num_seqs, self.spec_k)
         self.num_kv_blocks = num_kv_blocks
+        # EPLB: physical expert replicas + host load balancer
+        # (parallel/eplb.py). Runs BEFORE sharding so the stacks the
+        # mesh shards are already physical [e_phys, ...] — e_phys (not
+        # the logical count) is what must divide ep, which is what
+        # lets elastic EP pick any world size via redundant top-up.
+        self.eplb = None
+        if config.parallel.enable_eplb:
+            self._init_eplb()
         kv_sh = None
         if mesh is not None and self.pp_size > 1:
             from vllm_tpu.parallel.pipeline import shard_pipeline_params
@@ -228,14 +236,6 @@ class TPUModelRunner:
             kv_sh = kv_cache_sharding(mc, mesh)
         self._kv_sharding = kv_sh
         self._alloc_kv_caches()
-
-        # EPLB: physical expert replicas + host load balancer
-        # (parallel/eplb.py). Must precede jit-program creation only in
-        # the sense that the eplb leaves join the params pytree before
-        # the first trace.
-        self.eplb = None
-        if config.parallel.enable_eplb:
-            self._init_eplb()
 
         from vllm_tpu import envs
         xla_opts = envs.VLLM_TPU_XLA_OPTS
@@ -370,7 +370,10 @@ class TPUModelRunner:
                 src = np.asarray([first_phys[int(e)] for e in phys_to_log],
                                  np.int32)
             out = jnp.take(a, jnp.asarray(src), axis=0)
-            return jax.device_put(out, a.sharding)
+            sh = getattr(a, "sharding", None)
+            # Pre-shard install (elastic/first boot): no mesh sharding
+            # to preserve yet; shard_params picks the layout later.
+            return jax.device_put(out, sh) if sh is not None else out
 
         for key in ("w_gate_up", "w_down"):
             leaf = layer[key]
@@ -383,6 +386,39 @@ class TPUModelRunner:
             "layer_idx": jnp.asarray(layer_idx, jnp.int32),
         }
         self._eplb_p2l[layer_idx] = np.asarray(phys_to_log)
+
+    def export_logical_params(self) -> dict:
+        """Collapse EPLB physical expert stacks back to logical
+        ``[E, ...]`` stacks (first replica of each logical expert) and
+        drop the map leaves — the weight handoff format for an elastic
+        EP rescale (ref analog: the expert rearrangement that precedes
+        group reconfiguration, vllm/distributed/elastic_ep/
+        elastic_state.py). No-op when EPLB is off: stacks are already
+        logical."""
+        if self.eplb is None:
+            return self.params
+        import jax.numpy as jnp
+        from vllm_tpu.parallel.eplb import set_active_state
+        E = self.config.model.num_experts
+        for i, p2l in self._eplb_p2l.items():
+            layer = self.params["layers"][i]
+            first: dict[int, int] = {}
+            for p, e in enumerate(p2l):
+                first.setdefault(int(e), p)
+            src = jnp.asarray([first[e] for e in range(E)], jnp.int32)
+
+            def tolog(a):
+                return jnp.take(a, src, axis=0)
+
+            for key in ("w_gate_up", "w_down"):
+                leaf = layer[key]
+                layer[key] = (jax.tree.map(tolog, leaf)
+                              if isinstance(leaf, dict) else tolog(leaf))
+            layer.pop("eplb", None)
+        set_active_state(None)
+        self.eplb = None
+        self._eplb_p2l = {}
+        return self.params
 
     def maybe_rebalance_eplb(self) -> None:
         """Engine-step hook: every eplb_step_interval steps recompute
