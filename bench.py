@@ -109,6 +109,11 @@ def main() -> None:
                           enable_prefix_caching=False),
         scheduler=SchedulerConfig(
             max_num_batched_tokens=2048, max_num_seqs=num_reqs,
+            # Pipelined multi-step decode: horizon N+1 launches off the
+            # device-side token carry while N's outputs are processed
+            # on host (llm_engine._step_async drain-before-launch).
+            async_scheduling=(os.environ.get(
+                "VLLM_TPU_BENCH_ASYNC", "1") == "1"),
             multi_step_decode_horizon=int(
                 os.environ.get("VLLM_TPU_BENCH_HORIZON", "64"))),
     )

@@ -156,6 +156,12 @@ class CacheConfig:
     # re-admit on content-hash hits (0 = off; ref analog:
     # vllm/v1/kv_offload CPU backend / swap_space).
     host_swap_bytes: int = 0
+    # Filesystem spill tier below the RAM tier (ref analog:
+    # vllm/v1/kv_offload/tiering/ fs backend): RAM-tier evictions
+    # demote to one-file-per-block with async write-behind; lookups
+    # reach through RAM into disk. Requires host_swap_bytes > 0.
+    offload_dir: str | None = None
+    offload_dir_bytes: int = 16 * 2**30
 
     @property
     def is_quantized(self) -> bool:

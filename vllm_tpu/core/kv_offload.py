@@ -71,12 +71,17 @@ class HostKVPool:
         entry = (data, scales)
         need = self._nbytes(entry)
         while self._bytes + need > self.max_bytes and self._entries:
-            oldest = next(iter(self._entries))
-            self._bytes -= self._nbytes(self._entries.pop(oldest))
-            self.evictions += 1
+            self._evict_oldest()
         if need <= self.max_bytes:
             self._entries[h] = entry
             self._bytes += need
+
+    def _evict_oldest(self) -> None:
+        """Drop the LRU entry. TieredHostKVPool overrides this to
+        demote to the next tier instead of discarding."""
+        oldest = next(iter(self._entries))
+        self._bytes -= self._nbytes(self._entries.pop(oldest))
+        self.evictions += 1
 
     def get(self, h: BlockHash) -> Optional[tuple]:
         entry = self._entries.get(h)
@@ -90,3 +95,169 @@ class HostKVPool:
     @property
     def num_blocks(self) -> int:
         return len(self._entries)
+
+
+class FileKVTier:
+    """Filesystem spill tier with asynchronous write-behind.
+
+    Ref analog: the fs/object tiers under vllm/v1/kv_offload/tiering/
+    and the async CPU<->storage swap machinery (cpu/swap_blocks): RAM-
+    tier evictions demote here instead of vanishing; prefix-cache
+    lookups reach through RAM into this tier. One file per block hash
+    (data + optional scale planes), an in-memory LRU index bounded by
+    ``max_bytes``, and a single daemon writer thread so the serving
+    loop never blocks on disk (the reference's dedicated swap CUDA
+    stream, re-expressed as host-side write-behind). An object-store
+    tier is the same interface with put/get re-pointed at a client —
+    this class is the pluggable on-disk implementation.
+    """
+
+    def __init__(self, directory: str, max_bytes: int) -> None:
+        import os
+        import queue
+        import threading
+        self.dir = directory
+        self.max_bytes = max_bytes
+        os.makedirs(directory, exist_ok=True)
+        self._bytes = 0
+        self._index: dict[BlockHash, int] = {}  # LRU: oldest first
+        # Entries queued for write: readable before they land on disk.
+        self._inflight: dict[BlockHash, tuple] = {}
+        self._lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue()
+        self.stores = 0
+        self.hits = 0
+        self.evictions = 0
+        self.write_errors = 0
+        self._writer = threading.Thread(target=self._write_loop,
+                                        daemon=True)
+        self._writer.start()
+
+    def _path(self, h: BlockHash) -> str:
+        import os
+        return os.path.join(self.dir, h.hex() + ".npz")
+
+    def _write_loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            h, entry = item
+            try:
+                self._write_one(h, entry)
+            except Exception:  # disk full / perms: tier degrades, the
+                self.write_errors += 1  # pool above keeps serving
+                with self._lock:
+                    self._inflight.pop(h, None)
+            self._q.task_done()
+
+    def _write_one(self, h: BlockHash, entry: tuple) -> None:
+        import os
+        data, scales = entry
+        arrays = {"data": data}
+        if scales is not None:
+            arrays["scales"] = scales
+        tmp = self._path(h) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, self._path(h))
+        size = os.path.getsize(self._path(h))
+        with self._lock:
+            self._inflight.pop(h, None)
+            if h in self._index:
+                self._bytes -= self._index.pop(h)
+            self._index[h] = size
+            self._bytes += size
+            while self._bytes > self.max_bytes and len(self._index) > 1:
+                old, sz = next(iter(self._index.items()))
+                if old == h:
+                    break
+                self._index.pop(old)
+                self._bytes -= sz
+                self.evictions += 1
+                try:
+                    os.remove(self._path(old))
+                except OSError:
+                    pass
+
+    def put(self, h: BlockHash, data: np.ndarray,
+            scales: Optional[np.ndarray]) -> None:
+        with self._lock:
+            if h in self._index or h in self._inflight:
+                return
+            self._inflight[h] = (data, scales)
+        self.stores += 1
+        self._q.put((h, (data, scales)))
+
+    def get(self, h: BlockHash) -> Optional[tuple]:
+        with self._lock:
+            entry = self._inflight.get(h)
+            if entry is not None:
+                self.hits += 1
+                return entry
+            known = h in self._index
+            if known:  # refresh LRU
+                self._index[h] = self._index.pop(h)
+        if not known:
+            return None
+        try:
+            with np.load(self._path(h)) as z:
+                entry = (z["data"], z["scales"] if "scales" in z
+                         else None)
+        except OSError:
+            with self._lock:
+                sz = self._index.pop(h, 0)
+                self._bytes -= sz
+            return None
+        self.hits += 1
+        return entry
+
+    def __contains__(self, h: BlockHash) -> bool:
+        with self._lock:
+            return h in self._index or h in self._inflight
+
+    def flush(self) -> None:
+        """Block until all queued writes are on disk (tests/shutdown)."""
+        self._q.join()
+
+    @property
+    def num_blocks(self) -> int:
+        with self._lock:
+            return len(self._index) + len(self._inflight)
+
+
+class TieredHostKVPool(HostKVPool):
+    """RAM tier backed by a spill tier (fs/object store).
+
+    Ref analog: OffloadingManager with a tiering backend
+    (vllm/v1/kv_offload/tiering/): RAM evictions demote down, tier
+    hits promote back up. Same interface as HostKVPool, so the
+    scheduler/runner wiring is unchanged.
+    """
+
+    def __init__(self, max_bytes: int, tier: FileKVTier) -> None:
+        super().__init__(max_bytes)
+        self.tier = tier
+        self.demotions = 0
+        self.promotions = 0
+
+    def _evict_oldest(self) -> None:
+        oldest = next(iter(self._entries))
+        entry = self._entries[oldest]
+        self.tier.put(oldest, entry[0], entry[1])
+        self.demotions += 1
+        super()._evict_oldest()
+
+    def get(self, h: BlockHash) -> Optional[tuple]:
+        entry = super().get(h)
+        if entry is None:
+            entry = self.tier.get(h)
+            if entry is not None:
+                self.promotions += 1
+                # Promote into RAM (may demote colder entries).
+                self.store(h, entry[0], entry[1])
+        return entry
+
+    def __contains__(self, h: BlockHash) -> bool:
+        return super().__contains__(h) or h in self.tier

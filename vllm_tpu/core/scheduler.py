@@ -162,8 +162,16 @@ class Scheduler:
                 and not config.model.mamba_num_heads
                 and config.parallel.pipeline_parallel_size == 1
                 and config.parallel.context_parallel_size == 1):
-            from vllm_tpu.core.kv_offload import HostKVPool
-            self.host_kv_pool = HostKVPool(config.cache.host_swap_bytes)
+            from vllm_tpu.core.kv_offload import (FileKVTier, HostKVPool,
+                                                  TieredHostKVPool)
+            if config.cache.offload_dir:
+                self.host_kv_pool = TieredHostKVPool(
+                    config.cache.host_swap_bytes,
+                    FileKVTier(config.cache.offload_dir,
+                               config.cache.offload_dir_bytes))
+            else:
+                self.host_kv_pool = HostKVPool(
+                    config.cache.host_swap_bytes)
             self.kv_cache_manager.block_pool.on_evict = (
                 lambda bid, h: self._pending_offload.append((bid, h)))
 
@@ -469,30 +477,33 @@ class Scheduler:
             return
         reqs = [self.requests[r] for r in out.num_scheduled_tokens]
         # Penalties and logprobs need per-token host data: single-step.
+        # (In-flight async tokens are fine: the runner's multi-step
+        # carry feeds them device-side, and the engine drains before
+        # launch when the carry doesn't cover — llm_engine._step_async.)
         for r in reqs:
             sp = r.sampling_params
             if r.pooling_params is not None:
                 return
-            # Async pipeline in flight: the latest token is only on
-            # device, and _execute_multi_step reads host token lists.
-            # (num_async_scheduled counts THIS step too — in-flight
-            # means more than the one token just scheduled.)
-            if r.num_async_scheduled > out.num_scheduled_tokens[
-                    r.request_id]:
-                return
             if (sp.logprobs or sp.guided
                     or sp.has_penalties):
                 return
-        # Cap so no request can cross max_model_len mid-horizon.
+        # Cap so no request can cross max_model_len mid-horizon
+        # (num_tokens + in-flight emissions the host hasn't seen yet).
         h = min([horizon] +
-                [self.max_model_len - r.num_tokens for r in reqs])
+                [self.max_model_len - r.num_tokens - r.num_async_emits
+                 for r in reqs])
         if h <= 1:
             return
         # Lookahead KV slots for the h-1 future tokens (unverified:
-        # never prefix-cached).
+        # never prefix-cached). In the async pipeline the in-flight
+        # horizon's slots (num_async_scheduled beyond this step's one
+        # token) inflate the demand — allocate_slots sizes from
+        # num_computed_tokens, which trails the in-flight writes.
         for request in reqs:
+            sched = out.num_scheduled_tokens[request.request_id]
+            inflight = max(0, request.num_async_scheduled - sched)
             got = self.kv_cache_manager.allocate_slots(
-                request, 1, num_lookahead_tokens=h - 1)
+                request, 1 + inflight, num_lookahead_tokens=h - 1)
             if got is None:
                 h = 1
                 break
@@ -502,6 +513,12 @@ class Scheduler:
                         cr.new_block_ids.extend(got.get_block_ids())
         if h > 1:
             out.decode_horizon = h
+            if self.async_scheduling:
+                # The device consumes/emits h tokens this step, not 1:
+                # top up the in-flight counters (phase 1 counted one).
+                for r in reqs:
+                    r.num_async_scheduled += h - 1
+                    r.num_async_emits += h - 1
 
     def _find_preemption_victim(self, req_index: int) -> Request:
         # FCFS: newest request loses. Priority policy: highest priority
@@ -563,11 +580,18 @@ class Scheduler:
             if request.status != RequestStatus.RUNNING:
                 continue  # preempted after this step launched (async)
             if self.async_scheduling:
+                # Multi-step horizons consumed/emitted len(sampled)
+                # tokens on device, not the 1 that phase 1 scheduled.
+                n_s = runner_output.sampled_token_ids[i]
+                if scheduler_output.decode_horizon > 1 and n_s:
+                    consumed = emitted = len(n_s)
+                else:
+                    consumed = sched_tokens
+                    emitted = 1 if n_s else 0
                 request.num_async_scheduled = max(
-                    0, request.num_async_scheduled - sched_tokens)
-                if runner_output.sampled_token_ids[i]:
-                    request.num_async_emits = max(
-                        0, request.num_async_emits - 1)
+                    0, request.num_async_scheduled - consumed)
+                request.num_async_emits = max(
+                    0, request.num_async_emits - emitted)
 
             if request.pooling_params is not None:
                 request.num_computed_tokens += sched_tokens

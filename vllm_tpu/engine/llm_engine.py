@@ -577,13 +577,21 @@ class LLMEngine:
         import time as _time
         t0 = _time.monotonic()
         sched_out = self.scheduler.schedule()
-        handle = self.runner.launch_step(sched_out)
         results: list[RequestOutput] = []
+        # Pipelined multi-step: a horizon launch whose current tokens
+        # are neither host-known nor device-carried must wait for the
+        # in-flight step's results first (drain-before-launch). When
+        # the carry covers (steady-state decode), horizon N+1 launches
+        # while N's outputs are still on device — host bookkeeping of
+        # N overlaps device compute of N+1.
+        if (sched_out.decode_horizon > 1 and self._inflight is not None
+                and not self.runner.ms_carry_covers(sched_out)):
+            results += self._finish_inflight()
+        handle = self.runner.launch_step(sched_out)
         if self._inflight is not None:
             results += self._finish_inflight()
         self._inflight = (sched_out, handle, t0)
-        if sched_out.decode_horizon > 1 or self._needs_host_data(
-                sched_out):
+        if self._needs_host_data(sched_out):
             results += self._finish_inflight()
         return results
 

@@ -118,6 +118,7 @@ class StepHandle(NamedTuple):
     np_logits_indices: Optional[np.ndarray] = None
     plp: Optional[tuple] = None  # (vals [T,k], ids [T,k], tgt [T])
     spans: Optional[list] = None  # (req_id, t0, start, n) per request
+    ms_samples: Optional[jax.Array] = None  # multi-step [h, R] device
 
 
 class TPUModelRunner:
@@ -173,6 +174,12 @@ class TPUModelRunner:
         self.host_kv_pool = None
         self.kv_payloads: dict[str, object] = {}
         self._last_spans = None
+
+        # Pipelined multi-step decode: device-side token carry between
+        # horizon launches (req_id -> position the carry token feeds).
+        self._ms_next: dict[str, int] = {}
+        self._ms_carry = None  # [R] device tokens (final scan carry)
+        self.ms_carry_hits = 0
 
         # Encoder cache store (scheduler does the budget bookkeeping,
         # core/encoder_cache.py): image hash -> embedding rows [P, E].
@@ -305,6 +312,8 @@ class TPUModelRunner:
         self.batch = InputBatch(self.max_num_reqs,
                                 self.max_blocks_per_req,
                                 self.config.seed)
+        self._ms_next = {}
+        self._ms_carry = None
         self.kv_payloads.clear()
         self.encoder_store.clear()
         self.kv_caches = None  # release before reallocating
@@ -1014,8 +1023,11 @@ class TPUModelRunner:
         if out.total_num_scheduled_tokens == 0:
             return StepHandle(out=out, result=ModelRunnerOutput())
         if out.decode_horizon > 1:
-            return StepHandle(out=out,
-                              result=self._execute_multi_step(out))
+            return self._launch_multi_step(out)
+        # Any other program advances requests outside the multi-step
+        # carry: invalidate it (the engine falls back to drained
+        # launches until the next horizon rebuilds it).
+        self._ms_next = {}
         inputs, req_ids, emits, q_blk = self.prepare_inputs(out)
         # Top-logprobs bucket (static): 0 disables the gather.
         n_lp = max((self.batch.reqs[r].sampling_params.logprobs or 0
@@ -1050,6 +1062,8 @@ class TPUModelRunner:
         """Block on the device step and run host bookkeeping."""
         if h.result is not None:
             return h.result
+        if h.ms_samples is not None:
+            return self._finish_multi_step(h)
         out, req_ids, emits = h.out, h.req_ids, h.emits
         inputs, sampled, q_blk = h.inputs, h.sampled, h.q_blk
         spec_mats, lp, hidden, pool = (h.spec_mats, h.lp, h.hidden,
@@ -1286,26 +1300,114 @@ class TPUModelRunner:
             mrope_delta=(jnp.asarray(b.mrope_delta.copy())
                          if self.is_mrope else None),
         )
-        self.kv_caches, samples = self._decode_loop_fn(
+        self.kv_caches, samples, _ = self._decode_loop_fn(
             self.params, self.kv_caches, dec, 1)
         jax.block_until_ready(samples)
 
-    def _execute_multi_step(self, out: SchedulerOutput) -> ModelRunnerOutput:
+    def ms_carry_covers(self, out: SchedulerOutput) -> bool:
+        """True when every request this multi-step schedules can source
+        its current token without host knowledge: either the token is
+        already in the host list, or the previous multi-step launch
+        left a device-side carry at exactly this position (_ms_next).
+        The engine uses this to decide whether horizon N+1 can launch
+        before horizon N's outputs are processed (pipelined decode)."""
+        for cr in out.scheduled_cached_reqs:
+            st = self.batch.reqs.get(cr.req_id)
+            if st is None:
+                return False
+            ph = getattr(st, "num_placeholders", 0)
+            host_known = (cr.num_computed_tokens <
+                          len(st.token_ids) - ph)
+            if (not host_known and
+                    self._ms_next.get(cr.req_id) != cr.num_computed_tokens):
+                return False
+        return True
+
+    def _launch_multi_step(self, out: SchedulerOutput) -> "StepHandle":
         h = out.decode_horizon
         R = self.max_num_reqs
         b = self.batch
         cur = np.zeros((R, ), np.int32)
         pos = np.zeros((R, ), np.int32)
         active = np.zeros((R, ), bool)
+        use_carry = np.zeros((R, ), bool)
         req_ids = []
         for req_id in out.num_scheduled_tokens:
             st = b.reqs[req_id]
-            cur[st.row] = st.token_ids[st.num_computed_tokens]
+            tok = st.token_ids[st.num_computed_tokens]
+            if tok < 0:
+                # In-flight token: only the device knows it (final
+                # carry of the previous multi-step launch).
+                assert (self._ms_next.get(req_id) ==
+                        st.num_computed_tokens), (
+                    f"{req_id}: multi-step launched without host token "
+                    f"or device carry at {st.num_computed_tokens}")
+                use_carry[st.row] = True
+                self.ms_carry_hits += 1
+            else:
+                cur[st.row] = tok
             pos[st.row] = st.num_computed_tokens
             active[st.row] = True
             req_ids.append(req_id)
-        dec = DecodeLoopInputs(
-            cur_tokens=jnp.asarray(cur),
+        cur_dev = jnp.asarray(cur)
+        if use_carry.any():
+            cur_dev = jnp.where(jnp.asarray(use_carry), self._ms_carry,
+                                cur_dev)
+        dec = self._build_decode_inputs(cur_dev, pos, active)
+        self.kv_caches, samples, final_tokens = self._decode_loop_fn(
+            self.params, self.kv_caches, dec, h)
+        # Device-side feedback for the NEXT launch (multi-step carry)
+        # and for single-step async placeholders (_step_impl feedback).
+        self._ms_carry = final_tokens
+        self._last_sampled = final_tokens
+        self._ms_next = {}
+        for req_id in req_ids:
+            st = b.reqs[req_id]
+            self._ms_next[req_id] = st.num_computed_tokens + h
+            # Advance RNG sample steps at LAUNCH: the next pipelined
+            # horizon must not reuse this horizon's seeded steps.
+            st.sample_step += h
+            b.sample_steps[st.row] = st.sample_step
+        return StepHandle(out=out, req_ids=req_ids, ms_samples=samples)
+
+    def _finish_multi_step(self, hd: "StepHandle") -> ModelRunnerOutput:
+        out, req_ids = hd.out, hd.req_ids
+        h = out.decode_horizon
+        b = self.batch
+        samples_np = np.asarray(jax.device_get(hd.ms_samples))  # [h, R]
+        result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
+        spec_out: list[list[int]] = []
+        for req_id in req_ids:
+            st = b.reqs.get(req_id)
+            if st is None:
+                # Finished/aborted while in flight (async): row purged.
+                result.sampled_token_ids.append([])
+                spec_out.append([])
+                continue
+            toks = [int(t) for t in samples_np[:, st.row]]
+            result.sampled_token_ids.append(toks)
+            # Backfill -1 placeholders (positions scheduled while these
+            # tokens were in flight), then append the rest.
+            ph = getattr(st, "num_placeholders", 0)
+            fill = min(ph, len(toks))
+            if fill:
+                st.token_ids[len(st.token_ids) - ph:
+                             len(st.token_ids) - ph + fill] = toks[:fill]
+                st.num_placeholders = ph - fill
+            st.token_ids.extend(toks[fill:])
+            if (self.proposer is not None
+                    and st.sampling_params.temperature == 0.0):
+                spec_out.append(self.proposer.propose(st.token_ids))
+            else:
+                spec_out.append([])
+        if self.proposer is not None:
+            result.spec_token_ids = spec_out
+        return result
+
+    def _build_decode_inputs(self, cur_tokens, pos, active):
+        b = self.batch
+        return DecodeLoopInputs(
+            cur_tokens=cur_tokens,
             positions=jnp.asarray(pos),
             block_tables=jnp.asarray(b.block_tables.copy()),
             active=jnp.asarray(active),
@@ -1322,27 +1424,6 @@ class TPUModelRunner:
             mrope_delta=(jnp.asarray(b.mrope_delta.copy())
                          if self.is_mrope else None),
         )
-        self.kv_caches, samples = self._decode_loop_fn(
-            self.params, self.kv_caches, dec, h)
-        samples_np = np.asarray(jax.device_get(samples))  # [h, R]
-
-        result = ModelRunnerOutput(req_ids=req_ids, sampled_token_ids=[])
-        spec_out: list[list[int]] = []
-        for req_id in req_ids:
-            st = b.reqs[req_id]
-            toks = [int(t) for t in samples_np[:, st.row]]
-            result.sampled_token_ids.append(toks)
-            st.token_ids.extend(toks)
-            st.sample_step += h
-            b.sample_steps[st.row] = st.sample_step
-            if (self.proposer is not None
-                    and st.sampling_params.temperature == 0.0):
-                spec_out.append(self.proposer.propose(st.token_ids))
-            else:
-                spec_out.append([])
-        if self.proposer is not None:
-            result.spec_token_ids = spec_out
-        return result
 
 
 @functools.partial(jax.jit, donate_argnums=(0, ))
@@ -1394,10 +1475,14 @@ def _decode_loop_impl(model, mc, block_size, params, kv_caches,
                          dec.sampling._replace(steps=dec.sampling.steps + i))
         return (kv_caches, sampled, positions + 1), sampled
 
-    (kv_caches, _, _), samples = jax.lax.scan(
+    (kv_caches, final_tokens, _), samples = jax.lax.scan(
         body, (kv_caches, dec.cur_tokens, dec.positions),
         jnp.arange(horizon, dtype=jnp.int32))
-    return kv_caches, samples  # [horizon, R]
+    # final_tokens [R] is the device-side carry: the next horizon's
+    # cur_tokens can be consumed without a host round trip (pipelined
+    # multi-step decode — the host processes horizon N's outputs while
+    # the device runs horizon N+1).
+    return kv_caches, samples, final_tokens  # [horizon, R], [R]
 
 
 def _unpack_grammar_mask(packed: jax.Array, vocab_size: int) -> jax.Array:
