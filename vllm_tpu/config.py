@@ -85,6 +85,10 @@ class ModelConfig:
     mamba_num_heads: int = 0  # 0 == model has no mamba layers
     mamba_d_inner: int = 0
     mamba_time_step_limit: tuple[float, float] = (0.0, float("inf"))
+    # Mamba1 (selective scan) low-rank dt projection; > 0 marks a v1
+    # mixer (A [d_inner, N], x_proj/dt_proj path — ops/mamba.py
+    # mamba1_mixer; ref: mamba_mixer.py time_step_rank).
+    mamba_dt_rank: int = 0
     layer_types: tuple[str, ...] | None = None  # hybrid layer map
     # Multimodal (llava-family): vision tower geometry + the token id
     # the processor expands to one-per-patch (ref: llava config).

@@ -21,6 +21,7 @@ SUPPORTED_ARCHS = {
     "MixtralForCausalLM": "mixtral",
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
+    "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
     "LlavaForConditionalGeneration": "llava",  # VLM
@@ -40,6 +41,7 @@ _MODEL_TYPE_ARCHS = {
     "mixtral": "MixtralForCausalLM",
     "qwen2_moe": "Qwen2MoeForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
+    "mamba": "MambaForCausalLM",
     "mamba2": "Mamba2ForCausalLM",
     "bamba": "BambaForCausalLM",
     "deepseek_v2": "DeepseekV2ForCausalLM",
@@ -71,6 +73,37 @@ def model_config_from_hf(
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
             f"{sorted(SUPPORTED_ARCHS)}")
+    if arch == "MambaForCausalLM":
+        d_inner = hf.get("intermediate_size") or (
+            hf.get("expand", 2) * hf["hidden_size"])
+        dt_rank = hf.get("time_step_rank", "auto")
+        if dt_rank in (None, "auto"):
+            dt_rank = -(-hf["hidden_size"] // 16)  # ceil(E/16)
+        cfg = ModelConfig(
+            model=model_path,
+            architecture=arch,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=d_inner,
+            num_layers=hf["num_hidden_layers"],
+            num_heads=1,
+            num_kv_heads=1,
+            head_dim=64,
+            rms_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            max_model_len=max_model_len or 2048,
+            dtype=dtype,
+            tie_word_embeddings=hf.get("tie_word_embeddings", True),
+            mamba_d_state=hf.get("state_size", 16),
+            mamba_d_conv=hf.get("conv_kernel", 4),
+            mamba_num_heads=1,  # gates the shared SSM engine paths
+            mamba_d_inner=d_inner,
+            mamba_dt_rank=int(dt_rank),
+            hf_config=hf,
+        )
+        eos = hf.get("eos_token_id")
+        cfg.eos_token_ids = (  # type: ignore[attr-defined]
+            [eos] if isinstance(eos, int) else list(eos or []))
+        return cfg
     if arch == "Mamba2ForCausalLM":
         d_inner = hf.get("expand", 2) * hf["hidden_size"]
         cfg = ModelConfig(

@@ -105,6 +105,8 @@ def load_llama_params(
         return _load_llava_params(model_path, cfg)
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
+    if cfg.mamba_dt_rank:
+        return _load_mamba1_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
         return _load_mamba2_params(model_path, cfg)
     if cfg.layer_types is not None and cfg.mamba_num_heads:
@@ -708,6 +710,55 @@ def _load_qwen2_moe_params(model_path: str, cfg: ModelConfig) -> dict:
             dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_mamba1_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Mamba v1 mapping (HF backbone.* keys; ref analog: mamba.py
+    load_weights). conv1d [d_inner, 1, K] -> conv_w [K, d_inner];
+    projections transpose to [in, out]."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "backbone.embeddings.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "backbone.norm_f.weight":
+            params["norm"] = to_jax(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("backbone.layers."):
+            rest = name[len("backbone.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            layer = layers[int(idx_s)]
+            if tail == "norm.weight":
+                layer["norm"] = to_jax(w)
+            elif tail in ("mixer.in_proj.weight", "mixer.x_proj.weight",
+                          "mixer.out_proj.weight"):
+                key = tail.split(".")[1]
+                layer[key] = {"weight": to_jax(w.T)}
+            elif tail == "mixer.dt_proj.weight":
+                layer.setdefault("dt_proj", {})["weight"] = to_jax(w.T)
+            elif tail == "mixer.dt_proj.bias":
+                layer.setdefault("dt_proj", {})["bias"] = to_jax(w)
+            elif tail == "mixer.conv1d.weight":
+                layer["conv_w"] = to_jax(w[:, 0, :].T)  # [K, d_inner]
+            elif tail == "mixer.conv1d.bias":
+                layer["conv_b"] = to_jax(w)
+            elif tail in ("mixer.A_log", "mixer.D"):
+                layer[tail.split(".")[1]] = jnp.asarray(w).astype(
+                    jnp.float32)
+            else:
+                logger.warning("unmapped weight %s", name)
+        else:
+            logger.warning("unmapped weight %s", name)
     return params
 
 

@@ -470,3 +470,178 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
 def _out(cfg, layer, y, gate, eps):
     y = _gated_rms_norm(y, gate, layer["mixer_norm"], eps)
     return linear(layer["out_proj"], y)
+
+
+# ---------------------------------------------------------------------------
+# Mamba1 (selective scan) — ref analog: vllm/model_executor/layers/
+# mamba/mamba_mixer.py + csrc selective_scan_fwd / causal_conv1d and
+# the v1 backend vllm/v1/attention/backends/mamba1_attn.py.
+#
+# Differences from mamba2/SSD: A is a full [d_inner, N] matrix (decay
+# per channel-state, not per head), dt comes from a low-rank
+# projection of the post-conv stream (x_proj -> dt_rank -> dt_proj),
+# and the output gate is a plain silu multiply (no gated RMSNorm).
+# Because the decay is per (channel, state), the SSD chunk-matmul
+# trick doesn't apply; the TPU-native prefill is a Blelloch-style
+# ``jax.lax.associative_scan`` over the linear recurrence
+# h_t = a_t * h_{t-1} + b_t — O(log T) depth, fully parallel on the
+# VPU, where the reference runs a sequential CUDA scan. Ragged
+# streams fold in by zeroing ``a`` at segment starts and injecting
+# the carried per-row state into ``b`` there.
+#
+# Layer leaf schema (mamba1 mixer):
+#     in_proj:  {"weight": [E, 2*d_inner]}
+#     conv_w:   [K, d_inner]          conv_b: [d_inner] (optional)
+#     x_proj:   {"weight": [d_inner, dt_rank + 2N]}
+#     dt_proj:  {"weight": [dt_rank, d_inner], "bias": [d_inner]}
+#     A_log:    [d_inner, N]          D: [d_inner]
+#     out_proj: {"weight": [d_inner, E]}
+# ---------------------------------------------------------------------------
+
+
+def make_mamba1_state(max_num_reqs: int, cfg: ModelConfig,
+                      dtype) -> MambaState:
+    d_inner = cfg.mamba_d_inner
+    return MambaState(
+        conv=jnp.zeros((max_num_reqs, cfg.mamba_d_conv - 1, d_inner),
+                       dtype),
+        ssm=jnp.zeros((max_num_reqs, d_inner, cfg.mamba_d_state),
+                      jnp.float32),
+    )
+
+
+def _m1_ssm_inputs(cfg: ModelConfig, layer: dict, u: jax.Array):
+    """Post-conv stream -> (a, b, C) of the recurrence
+    h = a * h_prev + b;  y = (h * C).sum(-1) + D * u."""
+    N = cfg.mamba_d_state
+    dtr = cfg.mamba_dt_rank
+    xdbc = linear(layer["x_proj"], u.astype(jnp.float32))
+    dt_r = xdbc[..., :dtr]
+    B = xdbc[..., dtr:dtr + N]
+    C = xdbc[..., dtr + N:]
+    dt = jax.nn.softplus(linear(layer["dt_proj"], dt_r))  # [.., d_inner]
+    A = -jnp.exp(layer["A_log"].astype(jnp.float32))  # [d_inner, N]
+    a = jnp.exp(dt[..., None] * A)  # [.., d_inner, N]
+    b = (dt * u)[..., None] * B[..., None, :]
+    return a, b, C
+
+
+def mamba1_mixer(
+    cfg: ModelConfig,
+    layer: dict,
+    x: jax.Array,  # [T, E]
+    positions: jax.Array,  # [T]
+    state: MambaState,
+    row_of: jax.Array,  # [T]
+    decode_rows: bool,
+) -> tuple[jax.Array, MambaState]:
+    d_inner = cfg.mamba_d_inner
+    K = cfg.mamba_d_conv
+    proj = linear(layer["in_proj"], x)  # [T, 2*d_inner]
+    xs = proj[..., :d_inner]
+    gate = proj[..., d_inner:]
+    conv_w = layer["conv_w"].astype(jnp.float32)  # [K, d_inner]
+    conv_b = layer.get("conv_b")
+    R = state.conv.shape[0]
+    D = layer["D"].astype(jnp.float32)
+
+    if decode_rows:
+        reset = positions == 0
+        conv_prev = jnp.where(reset[:, None, None], 0.0,
+                              state.conv.astype(jnp.float32))
+        ssm_prev = jnp.where(reset[:, None, None], 0.0, state.ssm)
+        window = jnp.concatenate(
+            [conv_prev, xs.astype(jnp.float32)[:, None, :]], axis=1)
+        conv_out = jnp.sum(window * conv_w[None], axis=1)
+        if conv_b is not None:
+            conv_out = conv_out + conv_b.astype(jnp.float32)
+        u = jax.nn.silu(conv_out)
+        a, b, C = _m1_ssm_inputs(cfg, layer, u)
+        h = a * ssm_prev + b  # [R, d_inner, N]
+        y = jnp.einsum("rdn,rn->rd", h, C) + D * u
+        active = row_of < R
+        new_state = MambaState(
+            conv=jnp.where(active[:, None, None], window[:, 1:],
+                           state.conv.astype(jnp.float32)).astype(
+                               state.conv.dtype),
+            ssm=jnp.where(active[:, None, None], h, state.ssm),
+        )
+        return _m1_out(layer, y, gate, x.dtype), new_state
+
+    # Ragged prefill. Segment structure identical to the SSD path.
+    T = x.shape[0]
+    idx_t = jnp.arange(T, dtype=jnp.int32)
+    safe_row = jnp.minimum(row_of, R - 1)
+    prev_row = jnp.concatenate(
+        [jnp.full((1, ), -1, row_of.dtype), row_of[:-1]])
+    is_start = ((idx_t == 0) | (row_of != prev_row)
+                | ((positions == 0) & (row_of < R)))
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx_t, 0))
+    m = idx_t - seg_start
+    reset_seg = positions[seg_start] == 0
+
+    # Depthwise causal conv via K-1 shifted masked adds with per-row
+    # carry splicing (same construction as the SSD chunked path).
+    xf = xs.astype(jnp.float32)
+    conv_f = state.conv.astype(jnp.float32)
+    Km1 = K - 1
+    conv_out = xf * conv_w[K - 1]
+    exts = [xf]
+    for k in range(1, K):
+        shifted = jnp.roll(xf, k, axis=0)
+        in_stream = m >= k
+        carry_idx = jnp.clip(Km1 - (k - m), 0, Km1 - 1)
+        cv = conv_f[safe_row, carry_idx]
+        use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
+        ext = jnp.where(in_stream[:, None], shifted,
+                        jnp.where(use_carry[:, None], cv, 0.0))
+        conv_out = conv_out + ext * conv_w[K - 1 - k]
+        if k <= K - 2:
+            exts.append(ext)
+    if conv_b is not None:
+        conv_out = conv_out + conv_b.astype(jnp.float32)
+    u = jax.nn.silu(conv_out)
+
+    a, b, C = _m1_ssm_inputs(cfg, layer, u)  # [T, d, N] x2, [T, N]
+    # Fold the ragged structure into the recurrence: the first token
+    # of every segment cuts the chain (a' = 0) and, when the segment
+    # continues a previous engine step, injects the carried row state
+    # (b' = b + a * h_carry). After that, one associative scan
+    # computes every h_t in parallel.
+    carry = jnp.where(reset_seg[:, None, None], 0.0,
+                      state.ssm[safe_row])  # [T, d, N]
+    b = jnp.where(is_start[:, None, None], b + a * carry, b)
+    a = jnp.where(is_start[:, None, None], 0.0, a)
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a2 * a1, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (a, b), axis=0)
+    y = jnp.einsum("tdn,tn->td", h, C) + D * u
+
+    # Final per-row state: h at each row's last token.
+    next_row = jnp.concatenate(
+        [row_of[1:], jnp.full((1, ), -1, row_of.dtype)])
+    is_last = row_of != next_row
+    r_ar = jnp.arange(R, dtype=jnp.int32)
+    row_last = jnp.max(
+        jnp.where((row_of[None, :] == r_ar[:, None]) & is_last[None, :],
+                  idx_t[None, :], -1), axis=1)
+    has_last = row_last >= 0
+    ssm_new = jnp.where(has_last[:, None, None],
+                        h[jnp.clip(row_last, 0, T - 1)], state.ssm)
+    # New conv window per row (same gather-at-last as the SSD path).
+    gidx = jnp.clip(row_last, 0, T - 1)
+    planes = [ext[gidx] for ext in exts]  # value at pos_last - j
+    new_win = jnp.stack(planes[::-1], axis=1)
+    conv_new = jnp.where(has_last[:, None, None],
+                         new_win.astype(state.conv.dtype), state.conv)
+    return (_m1_out(layer, y, gate, x.dtype),
+            MambaState(conv=conv_new, ssm=ssm_new))
+
+
+def _m1_out(layer, y, gate, dtype):
+    y = y * jax.nn.silu(gate.astype(jnp.float32))
+    return linear(layer["out_proj"], y.astype(dtype))
