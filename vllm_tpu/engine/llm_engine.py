@@ -62,6 +62,21 @@ class LLMEngine:
             # (ref analog: prefix caching disabled for mamba models).
             config.cache.enable_prefix_caching = False
 
+        # Encoder-only models (BERT-class embedders) attend
+        # bidirectionally: a prompt must never split across prefill
+        # chunks (ref analog: chunked prefill disabled for pooling
+        # models, vllm/config/__init__.py verify_with_model).
+        from vllm_tpu.models.registry import get_model
+        if getattr(get_model(mc.architecture), "REQUIRES_FULL_PREFILL",
+                   False):
+            config.scheduler.enable_chunked_prefill = False
+            config.cache.enable_prefix_caching = False
+            if config.scheduler.max_num_batched_tokens < mc.max_model_len:
+                raise ValueError(
+                    "encoder-only models need max_num_batched_tokens "
+                    f">= max_model_len ({mc.max_model_len}): whole-"
+                    "prompt bidirectional attention cannot chunk")
+
         if params is None:
             params = self._load_params()
 

@@ -21,6 +21,7 @@ SUPPORTED_ARCHS = {
     "MixtralForCausalLM": "mixtral",
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
+    "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
     "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
@@ -41,6 +42,7 @@ _MODEL_TYPE_ARCHS = {
     "mixtral": "MixtralForCausalLM",
     "qwen2_moe": "Qwen2MoeForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
+    "bert": "BertModel",
     "mamba": "MambaForCausalLM",
     "mamba2": "Mamba2ForCausalLM",
     "bamba": "BambaForCausalLM",
@@ -73,6 +75,24 @@ def model_config_from_hf(
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
             f"{sorted(SUPPORTED_ARCHS)}")
+    if arch == "BertModel":
+        cfg = ModelConfig(
+            model=model_path,
+            architecture=arch,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf["num_attention_heads"],
+            head_dim=hf["hidden_size"] // hf["num_attention_heads"],
+            rms_norm_eps=hf.get("layer_norm_eps", 1e-12),
+            max_model_len=min(max_model_len or 10**9,
+                              hf.get("max_position_embeddings", 512)),
+            dtype=dtype,
+            hf_config=hf,
+        )
+        return cfg
     if arch == "MambaForCausalLM":
         d_inner = hf.get("intermediate_size") or (
             hf.get("expand", 2) * hf["hidden_size"])

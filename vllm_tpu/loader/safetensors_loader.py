@@ -105,6 +105,8 @@ def load_llama_params(
         return _load_llava_params(model_path, cfg)
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
+    if cfg.architecture == "BertModel":
+        return _load_bert_params(model_path, cfg)
     if cfg.mamba_dt_rank:
         return _load_mamba1_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
@@ -710,6 +712,79 @@ def _load_qwen2_moe_params(model_path: str, cfg: ModelConfig) -> dict:
             dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_bert_params(model_path: str, cfg: ModelConfig) -> dict:
+    """BERT encoder mapping (HF BertModel names; ref analog: bert.py
+    load_weights). q/k/v fuse into qkv_proj; torch Linear [out, in]
+    transposes to [in, out]."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    qkv_parts: list[dict] = [dict() for _ in range(cfg.num_layers)]
+
+    def to_jax(a):
+        return jnp.asarray(np.asarray(a)).astype(dtype)
+
+    emb_map = {
+        "embeddings.word_embeddings.weight":
+            lambda w: params.setdefault("embed_tokens",
+                                        {"weight": to_jax(w)}),
+        "embeddings.position_embeddings.weight":
+            lambda w: params.__setitem__("pos_embed", to_jax(w)),
+        "embeddings.token_type_embeddings.weight":
+            lambda w: params.__setitem__("tt_embed", to_jax(w)),
+    }
+    for name, w in _iter_safetensors(model_path):
+        name = name.removeprefix("bert.")
+        if name in emb_map:
+            emb_map[name](w)
+        elif name.startswith("embeddings.LayerNorm."):
+            params.setdefault("embed_ln", {})[
+                name.rsplit(".", 1)[1]] = to_jax(w)
+        elif name.startswith("encoder.layer."):
+            rest = name[len("encoder.layer."):]
+            idx_s, _, tail = rest.partition(".")
+            i = int(idx_s)
+            layer = layers[i]
+            part, _, wk = tail.rpartition(".")  # wk = weight|bias
+            if part in ("attention.self.query", "attention.self.key",
+                        "attention.self.value"):
+                qkv_parts[i][part.rsplit(".", 1)[1] + "." + wk] = (
+                    np.asarray(w))
+            elif part == "attention.output.dense":
+                layer.setdefault("o_proj", {})[wk] = (
+                    to_jax(w.T) if wk == "weight" else to_jax(w))
+            elif part == "attention.output.LayerNorm":
+                layer.setdefault("attn_ln", {})[wk] = to_jax(w)
+            elif part == "intermediate.dense":
+                layer.setdefault("up_proj", {})[wk] = (
+                    to_jax(w.T) if wk == "weight" else to_jax(w))
+            elif part == "output.dense":
+                layer.setdefault("down_proj", {})[wk] = (
+                    to_jax(w.T) if wk == "weight" else to_jax(w))
+            elif part == "output.LayerNorm":
+                layer.setdefault("out_ln", {})[wk] = to_jax(w)
+            else:
+                logger.warning("unmapped weight %s", name)
+        elif name.startswith("pooler."):
+            pass  # CLS-tanh pooler: PoolingParams handles pooling
+        else:
+            logger.warning("unmapped weight %s", name)
+    for i, parts in enumerate(qkv_parts):
+        layers[i]["qkv_proj"] = {
+            "weight": jnp.asarray(np.concatenate(
+                [parts["query.weight"].T, parts["key.weight"].T,
+                 parts["value.weight"].T], axis=1)).astype(dtype),
+            "bias": jnp.asarray(np.concatenate(
+                [parts["query.bias"], parts["key.bias"],
+                 parts["value.bias"]])).astype(dtype),
+        }
     return params
 
 

@@ -48,6 +48,11 @@ class InputBatch:
         self.max_num_reqs = max_num_reqs
         self.max_blocks_per_req = max_blocks_per_req
         self.engine_seed = engine_seed
+        # Bumped on any sampling-relevant mutation; the runner caches
+        # device-resident copies of the per-row sampling arrays keyed
+        # on this (multi-step launches through the remote tunnel paid
+        # ~10 small H2D round trips each without it).
+        self.version = 0
         self.reqs: dict[str, CachedReqState] = {}
         self._free_rows = list(range(max_num_reqs - 1, -1, -1))
         self.row_to_req: list[Optional[CachedReqState]] = \
@@ -109,6 +114,7 @@ class InputBatch:
                 (self.engine_seed ^ hash(req_id)) & 0x7FFFFFFF)
         self.sample_steps[row] = 0
         self.mrope_delta[row] = 0
+        self.version += 1
         return state
 
     def remove_request(self, req_id: str) -> None:
@@ -119,6 +125,7 @@ class InputBatch:
         self.lora_slots[state.row] = 0
         self.mrope_delta[state.row] = 0
         self._free_rows.append(state.row)
+        self.version += 1
 
     def append_block_ids(self, req_id: str,
                          new_block_ids: list[int]) -> None:
@@ -132,3 +139,4 @@ class InputBatch:
         state = self.reqs[req_id]
         state.sample_step += 1
         self.sample_steps[state.row] = state.sample_step
+        self.version += 1

@@ -314,6 +314,7 @@ class TPUModelRunner:
                                 self.config.seed)
         self._ms_next = {}
         self._ms_carry = None
+        self._dec_cache_ver = None
         self.kv_payloads.clear()
         self.encoder_store.clear()
         self.kv_caches = None  # release before reallocating
@@ -785,6 +786,7 @@ class TPUModelRunner:
             state.mrope_pos3 = pos3
             state.mrope_delta = delta
             self.batch.mrope_delta[state.row] = delta
+            self.batch.version += 1
         else:
             from vllm_tpu.models import llava
             if not hasattr(self, "_mm_encode"):
@@ -1281,25 +1283,9 @@ class TPUModelRunner:
         from vllm_tpu.parallel.mesh import set_current_mesh
         set_current_mesh(self.mesh)
         R = self.max_num_reqs
-        b = self.batch
-        dec = DecodeLoopInputs(
-            cur_tokens=jnp.zeros((R, ), jnp.int32),
-            positions=jnp.zeros((R, ), jnp.int32),
-            block_tables=jnp.asarray(b.block_tables.copy()),
-            active=jnp.zeros((R, ), bool),
-            sampling=SamplingMetadata(
-                temperature=jnp.asarray(b.temperature.copy()),
-                top_k=jnp.asarray(b.top_k.copy()),
-                top_p=jnp.asarray(b.top_p.copy()),
-                min_p=jnp.asarray(b.min_p.copy()),
-                seeds=jnp.asarray(b.seeds.copy()),
-                steps=jnp.asarray(b.sample_steps.copy()),
-            ),
-            lora_idx=(jnp.asarray(b.lora_slots.copy())
-                      if "lora" in self.params else None),
-            mrope_delta=(jnp.asarray(b.mrope_delta.copy())
-                         if self.is_mrope else None),
-        )
+        dec = self._build_decode_inputs(jnp.zeros((R, ), jnp.int32),
+                                        jnp.zeros((R, ), jnp.int32),
+                                        jnp.zeros((R, ), bool))
         self.kv_caches, samples, _ = self._decode_loop_fn(
             self.params, self.kv_caches, dec, 1)
         jax.block_until_ready(samples)
@@ -1349,11 +1335,16 @@ class TPUModelRunner:
             pos[st.row] = st.num_computed_tokens
             active[st.row] = True
             req_ids.append(req_id)
-        cur_dev = jnp.asarray(cur)
+        # ONE packed host->device transfer for the per-launch scalars
+        # (the remote tunnel charges a round trip per small upload).
+        packed = jnp.asarray(
+            np.stack([cur, pos, active.astype(np.int32),
+                      use_carry.astype(np.int32)]))
+        cur_dev = packed[0]
         if use_carry.any():
-            cur_dev = jnp.where(jnp.asarray(use_carry), self._ms_carry,
-                                cur_dev)
-        dec = self._build_decode_inputs(cur_dev, pos, active)
+            cur_dev = jnp.where(packed[3] > 0, self._ms_carry, cur_dev)
+        dec = self._build_decode_inputs(cur_dev, packed[1],
+                                        packed[2] > 0, advance_steps=h)
         self.kv_caches, samples, final_tokens = self._decode_loop_fn(
             self.params, self.kv_caches, dec, h)
         # Device-side feedback for the NEXT launch (multi-step carry)
@@ -1404,25 +1395,47 @@ class TPUModelRunner:
             result.spec_token_ids = spec_out
         return result
 
-    def _build_decode_inputs(self, cur_tokens, pos, active):
+    def _build_decode_inputs(self, cur_tokens, pos, active,
+                             advance_steps: int = 0):
+        """Decode-loop inputs with device-resident sampling metadata.
+
+        The per-row sampling arrays, LoRA slots and mrope deltas are
+        cached on device keyed on InputBatch.version, so a pipelined
+        horizon launch uploads only the packed scalar buffer and the
+        block tables. RNG steps live on device and advance by
+        ``advance_steps`` per launch (the host mirror is kept in sync
+        without re-upload)."""
         b = self.batch
-        return DecodeLoopInputs(
-            cur_tokens=cur_tokens,
-            positions=jnp.asarray(pos),
-            block_tables=jnp.asarray(b.block_tables.copy()),
-            active=jnp.asarray(active),
-            sampling=SamplingMetadata(
+        if getattr(self, "_dec_cache_ver", None) != b.version:
+            self._dec_sampling_dev = SamplingMetadata(
                 temperature=jnp.asarray(b.temperature.copy()),
                 top_k=jnp.asarray(b.top_k.copy()),
                 top_p=jnp.asarray(b.top_p.copy()),
                 min_p=jnp.asarray(b.min_p.copy()),
                 seeds=jnp.asarray(b.seeds.copy()),
-                steps=jnp.asarray(b.sample_steps.copy()),
-            ),
-            lora_idx=(jnp.asarray(b.lora_slots.copy())
-                      if "lora" in self.params else None),
-            mrope_delta=(jnp.asarray(b.mrope_delta.copy())
-                         if self.is_mrope else None),
+                steps=None,
+            )
+            self._dec_steps_dev = jnp.asarray(b.sample_steps.copy())
+            self._dec_lora_dev = (jnp.asarray(b.lora_slots.copy())
+                                  if "lora" in self.params else None)
+            self._dec_mrope_dev = (jnp.asarray(b.mrope_delta.copy())
+                                   if self.is_mrope else None)
+            self._dec_cache_ver = b.version
+        steps = self._dec_steps_dev
+        if advance_steps:
+            # Advance only the rows this horizon actually decodes —
+            # a skipped row's stream position must not drift from the
+            # host mirror.
+            self._dec_steps_dev = steps + (
+                advance_steps * jnp.asarray(active).astype(jnp.int32))
+        return DecodeLoopInputs(
+            cur_tokens=cur_tokens,
+            positions=jnp.asarray(pos),
+            block_tables=jnp.asarray(b.block_tables),
+            active=jnp.asarray(active),
+            sampling=self._dec_sampling_dev._replace(steps=steps),
+            lora_idx=self._dec_lora_dev,
+            mrope_delta=self._dec_mrope_dev,
         )
 
 
