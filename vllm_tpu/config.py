@@ -93,6 +93,10 @@ class ModelConfig:
     # Multimodal (llava-family): vision tower geometry + the token id
     # the processor expands to one-per-patch (ref: llava config).
     vision: dict[str, Any] | None = None
+    # Audio encoder geometry (Whisper-class encoder-decoder models):
+    # num_mel_bins / encoder_layers / encoder_attention_heads /
+    # max_source_positions (models/whisper.py).
+    audio: dict[str, Any] | None = None
     image_token_index: int = -1
     video_token_index: int = -1
     # logit softcap (gemma2-style); None == disabled

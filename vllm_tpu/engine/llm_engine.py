@@ -257,7 +257,23 @@ class LLMEngine:
                 raise ValueError(str(e)) from e
         mm_hash = None
         mm_item_hashes = mm_item_tokens = None
-        if multi_modal_data is not None:
+        if (multi_modal_data is not None
+                and "audio" in multi_modal_data):
+            # Whisper-class: audio enters via cross-attention, not
+            # token expansion. Hash the mel features for encoder-cache
+            # reuse (ref analog: the transcription request path,
+            # vllm/entrypoints/openai/speech_to_text.py).
+            import hashlib as _hashlib
+            assert self.config.model.audio is not None, (
+                "model has no audio encoder")
+            mel = np.ascontiguousarray(multi_modal_data["audio"])
+            mm_hash = _hashlib.sha256(mel.tobytes()).hexdigest()
+            mm_item_hashes = [mm_hash]
+            # Encoder-cache budget accounting in frames (the slab the
+            # runner keeps per cached audio clip).
+            mm_item_tokens = [
+                self.config.model.audio["max_source_positions"]]
+        elif multi_modal_data is not None:
             # Expand each image placeholder to one token per patch
             # (the processor's replacement step, ref: llava input
             # mapper) and fold the image content into block hashing.

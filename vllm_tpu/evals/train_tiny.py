@@ -173,9 +173,10 @@ def train(steps: int = 3000, batch: int = 32, seq: int = 256,
                                        jnp.asarray(toks))
         if it % 200 == 0 or it == steps - 1:
             vl = float(val_loss(params, jnp.asarray(val_batch)))
-            logger.info("step %d: train loss %.4f, val loss %.4f "
-                        "(ppl %.2f)", it, float(loss), vl,
-                        float(np.exp(vl)))
+            import sys
+            print(f"step {it}: train loss {float(loss):.4f}, val loss "
+                  f"{vl:.4f} (ppl {np.exp(vl):.2f})", file=sys.stderr,
+                  flush=True)
     return params, float(loss)
 
 

@@ -22,6 +22,7 @@ SUPPORTED_ARCHS = {
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
     "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
+    "WhisperForConditionalGeneration": "whisper",  # speech-to-text
     "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
@@ -43,6 +44,7 @@ _MODEL_TYPE_ARCHS = {
     "qwen2_moe": "Qwen2MoeForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
     "bert": "BertModel",
+    "whisper": "WhisperForConditionalGeneration",
     "mamba": "MambaForCausalLM",
     "mamba2": "Mamba2ForCausalLM",
     "bamba": "BambaForCausalLM",
@@ -75,6 +77,37 @@ def model_config_from_hf(
         raise ValueError(
             f"unsupported architecture {arch}; supported: "
             f"{sorted(SUPPORTED_ARCHS)}")
+    if arch == "WhisperForConditionalGeneration":
+        cfg = ModelConfig(
+            model=model_path,
+            architecture=arch,
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["d_model"],
+            intermediate_size=hf.get("decoder_ffn_dim",
+                                     4 * hf["d_model"]),
+            num_layers=hf["decoder_layers"],
+            num_heads=hf["decoder_attention_heads"],
+            num_kv_heads=hf["decoder_attention_heads"],
+            head_dim=hf["d_model"] // hf["decoder_attention_heads"],
+            max_model_len=min(max_model_len or 10**9,
+                              hf.get("max_target_positions", 448)),
+            dtype=dtype,
+            tie_word_embeddings=True,
+            audio={
+                "num_mel_bins": hf.get("num_mel_bins", 80),
+                "encoder_layers": hf["encoder_layers"],
+                "encoder_attention_heads": hf["encoder_attention_heads"],
+                "encoder_ffn_dim": hf.get("encoder_ffn_dim",
+                                          4 * hf["d_model"]),
+                "max_source_positions": hf.get("max_source_positions",
+                                               1500),
+            },
+            hf_config=hf,
+        )
+        eos = hf.get("eos_token_id")
+        cfg.eos_token_ids = (  # type: ignore[attr-defined]
+            [eos] if isinstance(eos, int) else list(eos or []))
+        return cfg
     if arch == "BertModel":
         cfg = ModelConfig(
             model=model_path,

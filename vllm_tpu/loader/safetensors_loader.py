@@ -107,6 +107,8 @@ def load_llama_params(
         return _load_deepseek_params(model_path, cfg)
     if cfg.architecture == "BertModel":
         return _load_bert_params(model_path, cfg)
+    if cfg.architecture == "WhisperForConditionalGeneration":
+        return _load_whisper_params(model_path, cfg)
     if cfg.mamba_dt_rank:
         return _load_mamba1_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
@@ -712,6 +714,106 @@ def _load_qwen2_moe_params(model_path: str, cfg: ModelConfig) -> dict:
             dn.append(ws["down_proj"].T)
         layers[li]["w_gate_up"] = to_jax(np.stack(gu))
         layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_whisper_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Whisper mapping (HF model.encoder/model.decoder names; ref
+    analog: whisper.py load_weights). Self-attn q/k/v fuse (k has no
+    bias in HF - zero-filled); cross-attn stays split because cross-K/V
+    project encoder states at admission, not decode time."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    L, EL = cfg.num_layers, cfg.audio["encoder_layers"]
+    E = cfg.hidden_size
+    dec_layers: list[dict] = [dict() for _ in range(L)]
+    enc_layers: list[dict] = [dict() for _ in range(EL)]
+    enc: dict = {"layers": enc_layers}
+    params: dict = {"layers": dec_layers, "audio_encoder": enc}
+    qkv: dict[tuple, dict] = {}
+
+    def to_jax(a):
+        return jnp.asarray(np.asarray(a)).astype(dtype)
+
+    def put_dense(d, key, wk, w):
+        d.setdefault(key, {})[wk] = (to_jax(w.T) if wk == "weight"
+                                     else to_jax(w))
+
+    ln_map = {"self_attn_layer_norm": "attn_ln",
+              "final_layer_norm": "final_ln"}
+    dec_ln_map = {"self_attn_layer_norm": "self_ln",
+                  "encoder_attn_layer_norm": "cross_ln",
+                  "final_layer_norm": "fc_ln"}
+    cross_map = {"q_proj": "cross_q", "k_proj": "cross_k",
+                 "v_proj": "cross_v", "out_proj": "cross_o"}
+
+    for name, w in _iter_safetensors(model_path):
+        if name == "proj_out.weight":
+            continue  # tied lm head
+        name = name.removeprefix("model.")
+        side, _, rest = name.partition(".")
+        if side == "encoder":
+            if rest.startswith("conv"):
+                part, _, wk = rest.partition(".")
+                enc.setdefault(part, {})[wk] = (
+                    jnp.asarray(np.asarray(w)).astype(jnp.float32))
+            elif rest == "embed_positions.weight":
+                enc["pos"] = to_jax(w)
+            elif rest.startswith("layer_norm."):
+                enc.setdefault("ln", {})[rest.split(".")[1]] = to_jax(w)
+            elif rest.startswith("layers."):
+                idx_s, _, tail = rest[len("layers."):].partition(".")
+                layer = enc_layers[int(idx_s)]
+                part, _, wk = tail.rpartition(".")
+                if part.startswith("self_attn."):
+                    qkv.setdefault(("e", int(idx_s)), {})[
+                        part.split(".")[1] + "." + wk] = np.asarray(w)
+                    if part == "self_attn.out_proj":
+                        put_dense(layer, "o_proj", wk, w)
+                elif part in ("fc1", "fc2"):
+                    put_dense(layer, part, wk, w)
+                elif part in ln_map:
+                    layer.setdefault(ln_map[part], {})[wk] = to_jax(w)
+        elif side == "decoder":
+            if rest == "embed_tokens.weight":
+                params["embed_tokens"] = {"weight": to_jax(w)}
+            elif rest == "embed_positions.weight":
+                params["dec_pos"] = to_jax(w)
+            elif rest.startswith("layer_norm."):
+                params.setdefault("norm", {})[
+                    rest.split(".")[1]] = to_jax(w)
+            elif rest.startswith("layers."):
+                idx_s, _, tail = rest[len("layers."):].partition(".")
+                layer = dec_layers[int(idx_s)]
+                part, _, wk = tail.rpartition(".")
+                if part.startswith("self_attn."):
+                    qkv.setdefault(("d", int(idx_s)), {})[
+                        part.split(".")[1] + "." + wk] = np.asarray(w)
+                    if part == "self_attn.out_proj":
+                        put_dense(layer, "o_proj", wk, w)
+                elif part.startswith("encoder_attn."):
+                    put_dense(layer, cross_map[part.split(".")[1]], wk, w)
+                elif part in ("fc1", "fc2"):
+                    put_dense(layer, part, wk, w)
+                elif part in dec_ln_map:
+                    layer.setdefault(dec_ln_map[part], {})[wk] = (
+                        to_jax(w))
+    for (side, i), parts in qkv.items():
+        target = enc_layers[i] if side == "e" else dec_layers[i]
+        target["qkv_proj"] = {
+            "weight": jnp.asarray(np.concatenate(
+                [parts["q_proj.weight"].T, parts["k_proj.weight"].T,
+                 parts["v_proj.weight"].T], axis=1)).astype(dtype),
+            "bias": jnp.asarray(np.concatenate(
+                [parts["q_proj.bias"],
+                 parts.get("k_proj.bias", np.zeros((E, ), np.float32)),
+                 parts["v_proj.bias"]])).astype(dtype),
+        }
+    # Cross-attn k has no bias in HF either; the dense helper treats a
+    # missing bias as zero, so nothing to fill.
     return params
 
 

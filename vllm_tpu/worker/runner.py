@@ -756,6 +756,32 @@ class TPUModelRunner:
         import functools as _ft
         mc = self.config.model
         hashes = getattr(nr, "mm_item_hashes", None)
+        if getattr(self.model, "IS_ENCODER_DECODER", False):
+            # Whisper-class: run the audio encoder + cross-KV
+            # projection once (the audio analog of the vision tower)
+            # and scatter the slabs into this request's row
+            # (models/whisper.py serving design).
+            from vllm_tpu.models import whisper
+            if not hasattr(self, "_audio_encode"):
+                self._audio_encode = jax.jit(
+                    _ft.partial(whisper.encode_cross_kv, self.params,
+                                mc))
+            h = hashes[0] if hashes else None
+            if h is not None and h in self.encoder_store:
+                ks, vs = self.encoder_store[h]
+            else:
+                self.vision_tower_calls += 1
+                ks, vs = self._audio_encode(
+                    jnp.asarray(np.asarray(nr.mm_data["audio"])))
+                if h is not None:
+                    self.encoder_store[h] = (ks, vs)
+            row = state.row
+            self.kv_caches = [
+                (paged, _set_cache_row(ck, row, ks[i]),
+                 _set_cache_row(cv, row, vs[i]))
+                for i, (paged, ck, cv) in enumerate(self.kv_caches)
+            ]
+            return
         if self.is_mrope:
             # Qwen2-VL: grid-shaped patches + mrope position grid.
             from vllm_tpu.models import qwen2_vl
@@ -1444,6 +1470,13 @@ def _scatter_blocks(cache: jax.Array, idx: jax.Array,
                     data: jax.Array) -> jax.Array:
     """In-place (donated) block upload: cache[idx] = data."""
     return cache.at[idx].set(data)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _set_cache_row(cache: jax.Array, row: jax.Array,
+                   data: jax.Array) -> jax.Array:
+    """In-place (donated) per-row slab write (whisper cross-KV)."""
+    return cache.at[row].set(data.astype(cache.dtype))
 
 
 def _decode_loop_impl(model, mc, block_size, params, kv_caches,
