@@ -336,3 +336,58 @@ def test_completion_logit_bias(tokenizer):
         assert r.status == 200
 
     with_client(t, tokenizer)
+
+
+def test_transcriptions_endpoint(tmp_path):
+    """/v1/audio/transcriptions over the whisper path (ref analog:
+    vllm/entrypoints/openai/speech_to_text.py): JSON mel features in,
+    transcribed token ids out (no tokenizer -> empty text)."""
+    import numpy as np
+    import torch
+    from transformers import (WhisperConfig,
+                              WhisperForConditionalGeneration)
+
+    from vllm_tpu.loader.hf_config import model_config_from_hf
+    from vllm_tpu.loader.safetensors_loader import load_llama_params
+
+    torch.manual_seed(0)
+    hf_cfg = WhisperConfig(
+        vocab_size=256, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=80,
+        max_source_positions=48, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None)
+    path = str(tmp_path / "whisper")
+    WhisperForConditionalGeneration(hf_cfg).eval().to(
+        torch.float32).save_pretrained(path, safe_serialization=True)
+
+    mcfg = model_config_from_hf(path, dtype="float32")
+    cfg = EngineConfig(
+        model=mcfg,
+        cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+        scheduler=SchedulerConfig(max_num_batched_tokens=64,
+                                  max_num_seqs=2),
+    )
+    params = load_llama_params(path, mcfg)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((80, 96)).astype(np.float32)
+
+    async def main():
+        from aiohttp.test_utils import TestClient, TestServer
+        llm = AsyncLLM(cfg, params=params, tokenizer=None)
+        try:
+            app = OpenAIServer(llm, model_name="whisper").build_app()
+            async with TestClient(TestServer(app)) as client:
+                r = await client.post("/v1/audio/transcriptions",
+                                      json={"mel": mel.tolist()})
+                assert r.status == 200, await r.text()
+                data = await r.json()
+                assert isinstance(data["tokens"], list)
+                assert len(data["tokens"]) >= 1
+                assert data["usage"]["total_tokens"] > 1
+        finally:
+            llm.shutdown()
+
+    run(main())

@@ -122,11 +122,12 @@ class AsyncLLM:
     def _handle(self, item) -> None:
         kind, payload = item
         if kind == "add":
-            req_id, prompt, params, lora_name, pooling = payload
+            req_id, prompt, params, lora_name, pooling, mm = payload
             try:
                 self.engine.add_request(prompt, params, req_id,
                                         lora_name=lora_name,
-                                        pooling_params=pooling)
+                                        pooling_params=pooling,
+                                        multi_modal_data=mm)
             except (ValueError, KeyError, AssertionError) as e:
                 self._emit_error(req_id, e)
         elif kind == "add_lora":
@@ -205,6 +206,7 @@ class AsyncLLM:
         sampling_params: Optional[SamplingParams] = None,
         request_id: Optional[str] = None,
         lora_name: Optional[str] = None,
+        multi_modal_data=None,
     ) -> AsyncGenerator[RequestOutput, None]:
         """Yields incremental RequestOutputs until finished."""
         self.start()
@@ -213,7 +215,7 @@ class AsyncLLM:
         out_q: asyncio.Queue = asyncio.Queue()
         self._request_queues[req_id] = out_q
         self._new_requests.put(("add", (req_id, prompt, params, lora_name,
-                                        None)))
+                                        None, multi_modal_data)))
         # Wake the engine thread if it's blocked on the queue.
         try:
             while True:
@@ -242,7 +244,7 @@ class AsyncLLM:
         self._request_queues[req_id] = out_q
         self._new_requests.put(
             ("add", (req_id, prompt, SamplingParams(max_tokens=1),
-                     None, pp)))
+                     None, pp, None)))
         try:
             while True:
                 item = await out_q.get()

@@ -135,6 +135,9 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/v1/audio/transcriptions",
+                            self.transcriptions)
+        app.router.add_post("/v1/audio/translations", self.transcriptions)
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         app.router.add_post("/start_profile", self.start_profile)
         app.router.add_post("/stop_profile", self.stop_profile)
@@ -223,6 +226,73 @@ class OpenAIServer:
                 "prompt_tokens": total_tokens,
                 "total_tokens": total_tokens,
             },
+        })
+
+    async def transcriptions(self, request: web.Request) -> web.Response:
+        """OpenAI audio transcription API over the whisper path (ref
+        analog: vllm/entrypoints/openai/speech_to_text.py). Accepts
+        multipart form with a WAV ``file`` (PCM16/PCM32) or JSON with a
+        raw ``audio`` float waveform / precomputed ``mel`` features."""
+        import numpy as np
+
+        from vllm_tpu.audio import HOP, log_mel_spectrogram
+
+        mc = self.llm.engine.config.model
+        if mc.audio is None:
+            return _err("model has no audio encoder", 400)
+        temperature = 0.0
+        mel = None
+        if request.content_type.startswith("multipart/"):
+            form = await request.post()
+            f = form.get("file")
+            if f is None:
+                return _err("missing 'file'")
+            temperature = float(form.get("temperature", 0.0) or 0.0)
+            import io
+            import wave
+            with wave.open(io.BytesIO(f.file.read())) as w:
+                sw = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+                dt = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
+                wav = (np.frombuffer(raw, dt).astype(np.float32) /
+                       float(2**(8 * sw - 1)))
+                if w.getnchannels() > 1:
+                    wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
+        else:
+            body = await request.json()
+            temperature = float(body.get("temperature") or 0.0)
+            if body.get("mel") is not None:
+                mel = np.asarray(body["mel"], np.float32)
+            elif body.get("audio") is not None:
+                wav = np.asarray(body["audio"], np.float32)
+            else:
+                return _err("missing 'file'/'audio'/'mel'")
+        F = mc.audio["max_source_positions"]
+        if mel is None:
+            mel = log_mel_spectrogram(wav, n_samples=2 * F * HOP)
+        mel = mel[:, :2 * F]
+        # Decoder prompt: start token (+ any checkpoint-forced ids).
+        hf = mc.hf_config or {}
+        prompt = [hf.get("decoder_start_token_id", 50258)]
+        for _, tok in (hf.get("forced_decoder_ids") or []):
+            prompt.append(tok)
+        params = SamplingParams(temperature=temperature,
+                                max_tokens=mc.max_model_len -
+                                len(prompt) - 1)
+        req_id = f"transcribe-{uuid.uuid4().hex[:24]}"
+        final = None
+        async for out in self.llm.generate(prompt, params, req_id,
+                                           multi_modal_data={
+                                               "audio": mel}):
+            final = out
+        toks = final.outputs[0].token_ids
+        tok = self.llm.tokenizer
+        text = (tok.decode(toks, skip_special_tokens=True)
+                if tok is not None else "")
+        return web.json_response({
+            "text": text,
+            "tokens": toks,
+            "usage": {"total_tokens": len(prompt) + len(toks)},
         })
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
