@@ -41,6 +41,24 @@ def unpack_w4_halfsplit_jnp(packed: jax.Array,
     return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
 
 
+def unpack_w2_jnp(packed: jax.Array) -> jax.Array:
+    """[K/4, N] uint8 -> [K, N] uint8 (4 x 2-bit per byte, K-major)."""
+    K4, N = packed.shape
+    vals = jnp.stack([(packed >> (2 * j)) & 0x3 for j in range(4)],
+                     axis=1)
+    return vals.reshape(K4 * 4, N)
+
+
+def unpack_w3_jnp(packed: jax.Array) -> jax.Array:
+    """[3K/8, N] uint8 -> [K, N] uint8 (8 x 3-bit in 3 bytes)."""
+    K38, N = packed.shape
+    b = packed.reshape(K38 // 3, 3, N).astype(jnp.uint32)
+    word = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+    vals = jnp.stack([(word >> (3 * j)) & 0x7 for j in range(8)],
+                     axis=1)
+    return vals.astype(jnp.uint8).reshape(K38 // 3 * 8, N)
+
+
 def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the bf16 weight [K, N] (reference path)."""
     qw = leaf["qweight"]
@@ -49,7 +67,12 @@ def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
     if qw.ndim == 4:  # tile-major prepack (pallas_w4a16.prepack_tiled)
         from vllm_tpu.quant.pallas_w4a16 import unpack_tiled
         qw = unpack_tiled(qw)
-    if qw.dtype == jnp.uint8:
+    bits = leaf["bits"].shape[0] if "bits" in leaf else None
+    if bits == 2:
+        q = unpack_w2_jnp(qw).astype(jnp.float32)
+    elif bits == 3:
+        q = unpack_w3_jnp(qw).astype(jnp.float32)
+    elif qw.dtype == jnp.uint8:
         q = unpack_w4_halfsplit_jnp(qw).astype(jnp.float32)
     else:
         q = qw.astype(jnp.float32)
@@ -79,7 +102,7 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     from vllm_tpu.ops.dispatch import attention_backend
     x_k = x.shape[-1]
     if (attention_backend() == "pallas" and leaf["qweight"].dtype
-            == jnp.uint8
+            == jnp.uint8 and "bits" not in leaf
             and leaf["scales"].shape[0] * 128 == x_k):
         from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
         if "perm" in leaf:

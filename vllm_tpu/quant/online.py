@@ -51,6 +51,47 @@ def _quant_weight_fp8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scale.astype(np.float32)
 
 
+def _quant_weight_low_bit(w: np.ndarray, bits: int,
+                          group: int = 64) -> dict:
+    """Asymmetric {2,3}-bit group quant, densely packed.
+
+    Ref analog: the reference's INC low-bit WNA16 path
+    (vllm/model_executor/layers/quantization/inc/, bits {2,3}).
+    Packing is byte-granular and TPU-friendly: 2-bit packs 4 values
+    per byte ([K/4, N]); 3-bit packs 8 values into 3 bytes
+    ([3K/8, N]) — denser than nibble storage, unpacked with a handful
+    of vectorized shifts (quant/kernels.py unpack_w2/unpack_w3).
+    Leaf contract matches W4A16: w ~= q * scale + zbias with unsigned
+    levels; a zero-byte ``bits`` marker array (shape [bits, 0])
+    selects the unpacker without any non-array pytree metadata."""
+    K, N = w.shape
+    assert K % group == 0 and K % 8 == 0
+    L = (1 << bits) - 1
+    wg = w.reshape(K // group, group, N)
+    mn = wg.min(axis=1)
+    mx = wg.max(axis=1)
+    scale = np.where(mx > mn, (mx - mn) / L, 1.0).astype(np.float32)
+    q = np.clip(np.rint((wg - mn[:, None]) / scale[:, None]), 0,
+                L).astype(np.uint8).reshape(K, N)
+    if bits == 2:
+        q4 = q.reshape(K // 4, 4, N)
+        packed = (q4[:, 0] | (q4[:, 1] << 2) | (q4[:, 2] << 4)
+                  | (q4[:, 3] << 6)).astype(np.uint8)
+    else:  # 3-bit: 8 values -> 3 bytes
+        q8 = q.reshape(K // 8, 8, N).astype(np.uint16)
+        word = np.zeros((K // 8, N), np.uint32)
+        for j in range(8):
+            word |= q8[:, j].astype(np.uint32) << (3 * j)
+        packed = np.stack([(word >> (8 * b)) & 0xFF for b in range(3)],
+                          axis=1).astype(np.uint8).reshape(3 * K // 8, N)
+    return {
+        "qweight": jnp.asarray(packed),
+        "scales": jnp.asarray(scale),
+        "zbias": jnp.asarray(mn.astype(np.float32)),
+        "bits": jnp.zeros((bits, 0), jnp.uint8),
+    }
+
+
 def quantize_params_online(params: dict, method: str) -> dict:
     """Replace dense linear leaves with quantized ones (in place)."""
     n = 0
@@ -81,6 +122,10 @@ def quantize_params_online(params: dict, method: str) -> dict:
                 q, s = _quant_weight_fp8(w)
                 leaf["qweight"] = jnp.asarray(q)
                 leaf["wscale"] = jnp.asarray(s)
+            elif method in ("int2", "int3"):
+                bits = int(method[-1])
+                for k2, v2 in _quant_weight_low_bit(w, bits).items():
+                    leaf[k2] = v2
             elif method in ("mxfp4", "mxfp8"):
                 from vllm_tpu.quant.mxfp import (quantize_mxfp4,
                                                  quantize_mxfp8)
