@@ -50,6 +50,11 @@ _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     "VLLM_TPU_BENCH_PROFILE": (str, None),
     # Multi-step decode horizon override (engine).
     "VLLM_TPU_DECODE_HORIZON": (int, None),
+    # Dual-batch overlap in the EP MoE path (ops/moe._ep_moe): split
+    # tokens into two micro-batches so one's combine collective rides
+    # the ICI while the other's expert GEMMs run (ref analog:
+    # vllm/v1/worker/ubatching.py + docs/design/dbo.md).
+    "VLLM_TPU_MOE_DBO": (_bool, True),
     # JSON dict of XLA compiler options applied to the runner's jitted
     # programs (e.g. '{"xla_tpu_scoped_vmem_limit_kib":"65536"}') —
     # the TPU analog of the reference's compilation-config knobs.

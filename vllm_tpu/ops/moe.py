@@ -144,28 +144,53 @@ def _ep_moe(x, weights, expert_ids, w_gate_up, w_down,
         ep_idx = jax.lax.axis_index(AXIS_EP)
         EL = w_gu.shape[0]  # experts per rank
         lo = ep_idx * EL
-        flat = expert_ids.reshape(A)
-        local = (flat >= lo) & (flat < lo + EL)
-        eloc = jnp.where(local, flat - lo, EL)  # EL = overflow group
-        order = jnp.argsort(eloc, stable=True)
-        token_of = order // top_k
-        group_sizes = jnp.bincount(eloc, length=EL + 1)
-        xs = x[token_of]
         gu_pad = jnp.concatenate(
             [w_gu, jnp.zeros_like(w_gu[:1])], 0).astype(x.dtype)
         dn_pad = jnp.concatenate(
             [w_dn, jnp.zeros_like(w_dn[:1])], 0).astype(x.dtype)
-        h = jax.lax.ragged_dot(xs, gu_pad, group_sizes)
-        h = silu_and_mul(h)
-        out = jax.lax.ragged_dot(h, dn_pad, group_sizes)
-        w_flat = jnp.where(local, weights.reshape(A),
-                           0.0)[order].astype(out.dtype)
-        out = out * w_flat[:, None]
-        res = jnp.zeros((T, H), out.dtype).at[token_of].add(out)
+
+        def compute(xs_u, weights_u, ids_u):
+            Tu = xs_u.shape[0]
+            Au = Tu * top_k
+            flat = ids_u.reshape(Au)
+            local = (flat >= lo) & (flat < lo + EL)
+            eloc = jnp.where(local, flat - lo, EL)  # EL = overflow
+            order = jnp.argsort(eloc, stable=True)
+            token_of = order // top_k
+            group_sizes = jnp.bincount(eloc, length=EL + 1)
+            h = jax.lax.ragged_dot(xs_u[token_of], gu_pad, group_sizes)
+            h = silu_and_mul(h)
+            out = jax.lax.ragged_dot(h, dn_pad, group_sizes)
+            w_flat = jnp.where(local, weights_u.reshape(Au),
+                               0.0)[order].astype(out.dtype)
+            out = out * w_flat[:, None]
+            return jnp.zeros((Tu, H), out.dtype).at[token_of].add(out)
+
         # psum in f32: exact accumulation across ranks, and it dodges
         # an XLA:CPU AllReducePromotion crash on bf16 all-reduce.
-        return jax.lax.psum(res.astype(jnp.float32),
-                            AXIS_EP).astype(res.dtype)
+        def combine(res):
+            return jax.lax.psum(res.astype(jnp.float32),
+                                AXIS_EP).astype(res.dtype)
+
+        from vllm_tpu import envs
+        if not envs.VLLM_TPU_MOE_DBO or T < 2:
+            return combine(compute(x, weights, expert_ids))
+        # Dual-batch overlap (ref analog: vllm/v1/worker/ubatching.py
+        # + docs/design/dbo.md): split the tokens into two
+        # micro-batches whose expert GEMMs and combine collectives
+        # have NO cross dependence — ubatch A's psum is in flight on
+        # the ICI while ubatch B's experts run on the MXU. The
+        # reference builds this interleave with paired GPU streams;
+        # under XLA it is pure dataflow + the async collective
+        # scheduler (the all-reduce lowers to an async start/done
+        # pair that the latency-hiding scheduler slides across B's
+        # compute).
+        Ta = T // 2
+        res_a = compute(x[:Ta], weights[:Ta], expert_ids[:Ta])
+        sum_a = combine(res_a)
+        res_b = compute(x[Ta:], weights[Ta:], expert_ids[Ta:])
+        sum_b = combine(res_b)
+        return jnp.concatenate([sum_a, sum_b], axis=0)
 
     fn = jax.shard_map(
         local_fn, mesh=mesh, axis_names=frozenset({AXIS_EP}),
