@@ -86,9 +86,13 @@ class ModelConfig:
     mamba_d_inner: int = 0
     mamba_time_step_limit: tuple[float, float] = (0.0, float("inf"))
     # Mamba1 (selective scan) low-rank dt projection; > 0 marks a v1
-    # mixer (A [d_inner, N], x_proj/dt_proj path — ops/mamba.py
-    # mamba1_mixer; ref: mamba_mixer.py time_step_rank).
+    # mixer (A [d_inner, N], x_proj/dt_proj path — ref: mamba_mixer.py
+    # time_step_rank).
     mamba_dt_rank: int = 0
+    # Gated DeltaNet geometry (Qwen3-Next "linear_attention" layers;
+    # ops/gdn.py): num_v_heads / num_k_heads / head_k_dim /
+    # head_v_dim / conv_kernel.
+    gdn: dict[str, Any] | None = None
     layer_types: tuple[str, ...] | None = None  # hybrid layer map
     # Multimodal (llava-family): vision tower geometry + the token id
     # the processor expands to one-per-patch (ref: llava config).

@@ -160,6 +160,7 @@ class Scheduler:
         if (config.cache.host_swap_bytes > 0
                 and config.cache.enable_prefix_caching
                 and not config.model.mamba_num_heads
+                and config.model.gdn is None
                 and config.parallel.pipeline_parallel_size == 1
                 and config.parallel.context_parallel_size == 1):
             from vllm_tpu.core.kv_offload import (FileKVTier, HostKVPool,

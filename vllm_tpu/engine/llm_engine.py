@@ -56,8 +56,8 @@ class LLMEngine:
                 logger.warning("no tokenizer loaded: %s", e)
         self.tokenizer = tokenizer
 
-        if mc.mamba_num_heads:
-            # SSM state is per-request, not per-block: prefix-cache
+        if mc.mamba_num_heads or mc.gdn:
+            # SSM/GDN state is per-request, not per-block: prefix-cache
             # hits would skip tokens whose state was never accumulated
             # (ref analog: prefix caching disabled for mamba models).
             config.cache.enable_prefix_caching = False

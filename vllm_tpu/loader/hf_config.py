@@ -23,6 +23,7 @@ SUPPORTED_ARCHS = {
     "DeepseekV3ForCausalLM": "deepseek",
     "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
     "WhisperForConditionalGeneration": "whisper",  # speech-to-text
+    "Qwen3NextForCausalLM": "qwen3_next",  # GDN + gated-attn MoE hybrid
     "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
     "Mamba2ForCausalLM": "mamba2",  # pure SSM (state caches)
     "BambaForCausalLM": "bamba",  # hybrid SSM + attention
@@ -45,6 +46,7 @@ _MODEL_TYPE_ARCHS = {
     "qwen3_moe": "Qwen3MoeForCausalLM",
     "bert": "BertModel",
     "whisper": "WhisperForConditionalGeneration",
+    "qwen3_next": "Qwen3NextForCausalLM",
     "mamba": "MambaForCausalLM",
     "mamba2": "Mamba2ForCausalLM",
     "bamba": "BambaForCausalLM",
@@ -272,6 +274,20 @@ def model_config_from_hf(
         cfg.mamba_n_groups = hf.get("mamba_n_groups", 1)
     if arch in ("Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM"):
         cfg.norm_topk_prob = hf.get("norm_topk_prob", False)
+    if arch == "Qwen3NextForCausalLM":  # GDN hybrid
+        cfg.norm_topk_prob = hf.get("norm_topk_prob", True)
+        cfg.layer_types = tuple(hf["layer_types"])
+        cfg.partial_rotary_factor = hf.get("partial_rotary_factor",
+                                           0.25)
+        cfg.intermediate_size = hf.get(
+            "shared_expert_intermediate_size", hf["intermediate_size"])
+        cfg.gdn = {
+            "num_v_heads": hf["linear_num_value_heads"],
+            "num_k_heads": hf["linear_num_key_heads"],
+            "head_k_dim": hf["linear_key_head_dim"],
+            "head_v_dim": hf["linear_value_head_dim"],
+            "conv_kernel": hf["linear_conv_kernel_dim"],
+        }
     if arch == "GptOssForCausalLM":
         cfg.attention_bias = True
         # Interleaved sliding windows, gemma2-style handling (the KV

@@ -109,6 +109,8 @@ def load_llama_params(
         return _load_bert_params(model_path, cfg)
     if cfg.architecture == "WhisperForConditionalGeneration":
         return _load_whisper_params(model_path, cfg)
+    if cfg.architecture == "Qwen3NextForCausalLM":
+        return _load_qwen3_next_params(model_path, cfg)
     if cfg.mamba_dt_rank:
         return _load_mamba1_params(model_path, cfg)
     if cfg.mamba_num_heads and cfg.layer_types is None:
@@ -702,6 +704,111 @@ def _load_qwen2_moe_params(model_path: str, cfg: ModelConfig) -> dict:
         leaf = layers[li].setdefault(leaf_name, {})
         leaf["weight" if kind == "weight" else "bias"] = to_jax(
             cat.T if kind == "weight" else cat)
+    for li in range(cfg.num_layers):
+        ids = sorted(e for (l2, e) in experts if l2 == li)
+        if not ids:
+            continue
+        gu, dn = [], []
+        for e in ids:
+            ws = experts[(li, e)]
+            gu.append(np.concatenate([ws["gate_proj"].T,
+                                      ws["up_proj"].T], axis=1))
+            dn.append(ws["down_proj"].T)
+        layers[li]["w_gate_up"] = to_jax(np.stack(gu))
+        layers[li]["w_down"] = to_jax(np.stack(dn))
+    return params
+
+
+def _load_qwen3_next_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Qwen3-Next mapping (ref analog: qwen3_next.py load_weights):
+    GDN mixer leaves on linear_attention layers (conv1d [C,1,K] ->
+    conv_w [K,C]), split q/k/v on full_attention layers (q_proj is
+    2x-wide: [q | gate] per head), qwen2-moe expert stacking."""
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    experts: dict[tuple[int, int], dict[str, np.ndarray]] = {}
+    shared_gu: dict[int, dict[str, np.ndarray]] = {}
+
+    def to_jax(a):
+        return jnp.asarray(a).astype(dtype)
+
+    gdn_map = {"in_proj_qkvz": "in_proj_qkvz", "in_proj_ba":
+               "in_proj_ba", "out_proj": "out_proj"}
+
+    def to_jax_norm(a):
+        # Qwen3Next zero-centered RMSNorm: stored weight w applies as
+        # (1 + w) (modeling_qwen3_next.Qwen3NextRMSNorm). Folded here
+        # so the serving rms_norm stays the plain multiply. The GDN
+        # gated norm (norm.weight -> gdn_norm) is NOT zero-centered.
+        return jnp.asarray(np.asarray(a) + 1.0).astype(dtype)
+    attn_map = {"q_proj": "q_proj", "k_proj": "k_proj",
+                "v_proj": "v_proj", "o_proj": "o_proj"}
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {"weight": to_jax(w)}
+        elif name == "model.norm.weight":
+            params["norm"] = to_jax_norm(w)
+        elif name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {"weight": to_jax(w.T)}
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, tail = rest.partition(".")
+            li = int(idx_s)
+            layer = layers[li]
+            if tail == "input_layernorm.weight":
+                layer["input_layernorm"] = to_jax_norm(w)
+            elif tail == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = to_jax_norm(w)
+            elif tail.startswith("linear_attn."):
+                part = tail[len("linear_attn."):]
+                mod, _, _kind = part.rpartition(".")
+                if mod in gdn_map:
+                    layer[gdn_map[mod]] = {"weight": to_jax(w.T)}
+                elif part == "conv1d.weight":
+                    layer["conv_w"] = to_jax(w[:, 0, :].T)
+                elif part in ("A_log", "dt_bias"):
+                    layer[part] = jnp.asarray(w).astype(jnp.float32)
+                elif part == "norm.weight":
+                    layer["gdn_norm"] = to_jax(w)
+                else:
+                    logger.warning("unmapped weight %s", name)
+            elif tail.startswith("self_attn."):
+                part = tail[len("self_attn."):]
+                mod, _, _kind = part.rpartition(".")
+                if mod in attn_map:
+                    layer[attn_map[mod]] = {"weight": to_jax(w.T)}
+                elif part == "q_norm.weight":
+                    layer["q_norm"] = to_jax_norm(w)
+                elif part == "k_norm.weight":
+                    layer["k_norm"] = to_jax_norm(w)
+                else:
+                    logger.warning("unmapped weight %s", name)
+            elif tail == "mlp.gate.weight":
+                layer["router"] = {"weight": to_jax(w.T)}
+            elif tail == "mlp.shared_expert_gate.weight":
+                layer["shared_gate"] = {"weight": to_jax(w.T)}
+            elif tail.startswith("mlp.experts."):
+                parts = tail.split(".")
+                experts.setdefault((li, int(parts[2])),
+                                   {})[parts[3]] = w
+            elif tail.startswith("mlp.shared_expert."):
+                which = tail.split(".")[-2]
+                if which == "down_proj":
+                    layer["down_proj"] = {"weight": to_jax(w.T)}
+                else:
+                    shared_gu.setdefault(li, {})[which] = w
+            else:
+                logger.warning("unmapped weight %s", name)
+        else:
+            logger.warning("unmapped weight %s", name)
+    for li, parts in shared_gu.items():
+        cat = np.concatenate([parts["gate_proj"], parts["up_proj"]],
+                             axis=0)
+        layers[li]["gate_up_proj"] = {"weight": to_jax(cat.T)}
     for li in range(cfg.num_layers):
         ids = sorted(e for (l2, e) in experts if l2 == li)
         if not ids:

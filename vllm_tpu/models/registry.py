@@ -20,6 +20,7 @@ _REGISTRY: dict[str, str] = {
     "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
     "BertModel": "vllm_tpu.models.bert",  # encoder-only embedder
     "WhisperForConditionalGeneration": "vllm_tpu.models.whisper",  # STT
+    "Qwen3NextForCausalLM": "vllm_tpu.models.qwen3_next",  # GDN hybrid
     "MambaForCausalLM": "vllm_tpu.models.mamba1",  # v1 selective scan
     "Mamba2ForCausalLM": "vllm_tpu.models.mamba2",  # pure SSM
     "BambaForCausalLM": "vllm_tpu.models.bamba",  # hybrid SSM+attn
