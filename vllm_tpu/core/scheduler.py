@@ -632,12 +632,24 @@ class Scheduler:
             if request.num_computed_tokens >= request.num_tokens:
                 # The forward covered all existing tokens => `sampled`
                 # are genuinely new output tokens.
-                for tok in sampled:
-                    request.append_output_token_ids([tok])
-                    new_token_ids.append(tok)
-                    finished = self._check_stop(request, tok)
-                    if finished:
-                        break
+                sp = request.sampling_params
+                if (len(sampled) > 1 and sp.ignore_eos
+                        and not sp.stop_token_ids
+                        and request.num_output_tokens + len(sampled)
+                        < sp.max_tokens):
+                    # Multi-step fast path: no stop can fire inside
+                    # this horizon — one bulk append instead of
+                    # per-token bookkeeping (the post-launch host tail
+                    # is on the measured decode path).
+                    request.append_output_token_ids(sampled)
+                    new_token_ids = list(sampled)
+                else:
+                    for tok in sampled:
+                        request.append_output_token_ids([tok])
+                        new_token_ids.append(tok)
+                        finished = self._check_stop(request, tok)
+                        if finished:
+                            break
 
             if runner_output.spec_token_ids is not None and not finished:
                 request.spec_token_ids = runner_output.spec_token_ids[i]
