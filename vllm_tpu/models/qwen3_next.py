@@ -36,6 +36,10 @@ from vllm_tpu.ops.layers import apply_rope, rms_norm, rope_cos_sin
 from vllm_tpu.ops.linear import linear
 from vllm_tpu.ops.metadata import AttentionMetadata
 
+# Runner seg hint (static): certifies <= 8 stream segments, enabling
+# the chunked WY-form GDN prefill (ops/gdn.py _chunked_delta).
+USES_SEG_HINT = True
+
 
 def make_caches(cfg: ModelConfig, num_blocks: int, block_size: int,
                 max_num_reqs: int, cache_cfg: CacheConfig,
@@ -91,6 +95,7 @@ def forward(
     kv_caches: list,
     meta: AttentionMetadata,
     q_blk: int = 128,
+    seg_hint: bool = True,
 ) -> tuple[jax.Array, list]:
     x = params["embed_tokens"]["weight"][input_ids]
     T = x.shape[0]
@@ -103,7 +108,8 @@ def forward(
         if "in_proj_qkvz" in layer:
             out, cache = gdn_mixer(cfg, layer, h, positions,
                                    kv_caches[i], row_of,
-                                   decode_rows=(q_blk == 1))
+                                   decode_rows=(q_blk == 1),
+                                   few_segments=seg_hint)
         else:
             out, cache = _gated_attention(cfg, layer, h, cos, sin,
                                           kv_caches[i], meta, q_blk)

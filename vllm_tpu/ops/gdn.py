@@ -116,6 +116,141 @@ def _norm_gate_out(cfg, layer, o, z, dtype):
                   of.reshape(*lead, -1).astype(dtype))
 
 
+def _chunked_delta(q, k, v, g, beta, init_s, row_of, is_start,
+                   seg_start, reset_seg, L):
+    """Chunked WY-form gated delta rule over the ragged stream.
+
+    Ref analog: fla chunk_gated_delta_rule (HF torch_chunk_gated_
+    delta_rule): within an L-token chunk the sequential forward
+    substitution (I - A)^-1 (A = strictly-lower beta-key Gram matrix
+    with decay) is computed as the nilpotent product
+    (I+A)(I+A^2)(I+A^4)... — log2(L) batched MXU matmuls instead of
+    an L-step loop — and one lax.scan passes states between chunks.
+    Ragged streams use the same SEGMENT machinery as ops/mamba.py
+    _prefill_chunked: pairwise terms are same-segment masked (decay
+    differences cancel interleaved foreign tokens), per-(chunk, slot)
+    entry states select densely from the per-row buffer, per-segment
+    end states emit as (row, state) candidates, one gather at the end
+    assembles the final per-row states. <= 8 segments per stream
+    (runner seg hint; decode-heavy streams take the exact scan).
+    Differentially tested against the per-token scan
+    (tests/ops/test_gdn_chunked.py)."""
+    T, Hv, Dk = k.shape
+    Dv = v.shape[-1]
+    R = init_s.shape[0]
+    S_MAX = 8
+    C = T // L
+    idx_t = jnp.arange(T, dtype=jnp.int32)
+    li = jnp.arange(L, dtype=jnp.int32)
+    s_ar = jnp.arange(S_MAX, dtype=jnp.int32)
+    r_ar = jnp.arange(R, dtype=jnp.int32)
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32))
+    fresh_here = reset_seg & ((seg_start // L) == (idx_t // L))
+    next_row = jnp.concatenate(
+        [row_of[1:], jnp.full((1, ), -1, row_of.dtype)])
+    is_last = row_of != next_row
+
+    def resh(a):
+        return a.reshape(C, L, *a.shape[1:])
+
+    kb = k * beta[..., None]
+    vb = v * beta[..., None]
+
+    # Per-chunk slot structure (tiny host-side-shaped arrays).
+    seg_c = resh(seg_id)
+    row_c = resh(row_of)
+    rst_c = resh(fresh_here)
+    sl_all = jnp.clip(seg_c - seg_c[:, :1], 0, S_MAX - 1)  # [C, L]
+    oh_all = sl_all[..., None] == s_ar  # [C, L, S]
+    first_all = jnp.min(
+        jnp.where(oh_all, li[None, :, None], L - 1), axis=1)  # [C, S]
+    seg_row_all = jnp.take_along_axis(row_c, first_all, axis=1)
+    seg_rst_all = jnp.take_along_axis(rst_c, first_all, axis=1)
+    sel_all = ((seg_row_all[..., None] == r_ar)
+               & ~seg_rst_all[..., None])  # [C, S, R]
+
+    eyeL = jnp.eye(L, dtype=jnp.float32)
+    tril_strict = (li[:, None] > li[None, :])
+    tril_incl = (li[:, None] >= li[None, :])
+    n_doublings = max((L - 1).bit_length() - 1, 0)
+
+    def chunk_fn(S_run, inp):
+        qc, kc, vbc, kbc, gc, seg, ist, rl, sel, srow = inp
+        cum = jnp.cumsum(gc, axis=0)  # [L, Hv]
+        start_local = (li == 0) | (seg != jnp.concatenate(
+            [seg[:1], seg[:-1]]))
+        sidx = jax.lax.cummax(jnp.where(start_local, li, 0))
+        base = jnp.where((sidx > 0)[:, None],
+                         cum[jnp.clip(sidx - 1, 0, L - 1)], 0.0)
+        same = seg[:, None] == seg[None, :]
+        dec = jnp.exp(jnp.minimum(cum[:, None] - cum[None, :],
+                                  0.0)).transpose(2, 0, 1)  # [Hv,L,L]
+        A = -(jnp.einsum("ihd,jhd->hij", kbc, kc,
+                         preferred_element_type=jnp.float32) * dec)
+        A = A * (same & tril_strict)[None]
+        # (I - A)^-1 via nilpotent doubling.
+        Tm = eyeL[None] + A
+        Ap = A
+        for _ in range(n_doublings):
+            Ap = jnp.einsum("hij,hjk->hik", Ap, Ap)
+            Tm = jnp.einsum("hij,hjk->hik", Tm, eyeL[None] + Ap)
+        exp_ib = jnp.exp(cum - base)  # [L, Hv] decay from seg entry
+        v_tr = jnp.einsum("hij,jhv->ihv", Tm, vbc)
+        W = jnp.einsum("hij,jhd->ihd", Tm, kbc * exp_ib[..., None])
+        # Per-slot entry states; slot 0 may continue the running
+        # segment from the previous chunk.
+        prev = jnp.einsum("sr,rhdv->shdv", sel.astype(jnp.float32),
+                          init_s)
+        continues = ~ist[0]
+        prev = jnp.where(((s_ar == 0) & continues)[:, None, None, None],
+                         S_run[None], prev)
+        sl = jnp.clip(seg - seg[0], 0, S_MAX - 1)
+        v_pr = jnp.take_along_axis(
+            jnp.einsum("ihd,shdv->sihv", W, prev),
+            sl[None, :, None, None], axis=0)[0]
+        v_new = v_tr - v_pr
+        o_inter = jnp.take_along_axis(
+            jnp.einsum("ihd,shdv->sihv", qc * exp_ib[..., None], prev),
+            sl[None, :, None, None], axis=0)[0]
+        M = (jnp.einsum("ihd,jhd->hij", qc, kc,
+                        preferred_element_type=jnp.float32) * dec *
+             (same & tril_incl)[None])
+        o_intra = jnp.einsum("hij,jhv->ihv", M, v_new)
+        # Per-segment end states.
+        oh = sl[:, None] == s_ar  # [L, S]
+        last = jnp.max(jnp.where(oh, li[:, None], 0), axis=0)  # [S]
+        cum_last = cum[last]  # [S, Hv]
+        u = jnp.exp(jnp.minimum(cum_last[sl] - cum, 0.0))  # [L, Hv]
+        S_add = jnp.einsum("ls,lhd,lhv->shdv", oh.astype(jnp.float32),
+                           kc * u[..., None], v_new)
+        S_new = prev * exp_ib[last][..., None, None] + S_add
+        n_seg = seg[-1] - seg[0]
+        ends = rl[last]
+        cand_rows = jnp.where((s_ar <= n_seg) & (srow < R) & ends,
+                              srow, R)
+        new_run = S_new[jnp.clip(n_seg, 0, S_MAX - 1)]
+        return new_run, (cand_rows, S_new, o_inter + o_intra)
+
+    run0 = jnp.zeros(init_s.shape[1:], jnp.float32)
+    _, (cand_rows, cand_states, os_) = jax.lax.scan(
+        chunk_fn, run0,
+        (resh(q), resh(k), resh(vb), resh(kb), resh(g), seg_c,
+         resh(is_start), resh(is_last), sel_all, seg_row_all))
+
+    # Assemble final per-row states (same as ops/mamba.py).
+    Kc = C * S_MAX
+    rows_flat = cand_rows.reshape(Kc)
+    states_flat = cand_states.reshape((Kc, ) + init_s.shape[1:])
+    match = rows_flat[None, :] == r_ar[:, None]
+    found = jnp.any(match, axis=1)
+    last_k = Kc - 1 - jnp.argmax(match[:, ::-1], axis=1)
+    sel_last = match & (jnp.arange(Kc)[None, :] == last_k[:, None])
+    gathered = jnp.einsum("rk,khdv->rhdv", sel_last.astype(jnp.float32),
+                          states_flat)
+    s_final = jnp.where(found[:, None, None, None], gathered, init_s)
+    return os_.reshape(T, Hv, Dv), s_final
+
+
 def gdn_mixer(
     cfg: ModelConfig,
     layer: dict,
@@ -124,6 +259,7 @@ def gdn_mixer(
     state: GDNState,
     row_of: jax.Array,
     decode_rows: bool,
+    few_segments: bool = True,
 ) -> tuple[jax.Array, GDNState]:
     g_cfg = cfg.gdn
     Hk, Hv = g_cfg["num_k_heads"], g_cfg["num_v_heads"]
@@ -174,10 +310,65 @@ def gdn_mixer(
         )
         return _norm_gate_out(cfg, layer, o, z, x.dtype), new_state
 
-    # Ragged prefill: exact per-token scan (the reference's torch
-    # fallback is the same sequential rule; chunked WY-form is the
-    # optimization TODO).
+    # Ragged prefill. Chunked WY form when the stream length chunks
+    # cleanly AND the host certifies few segments (runner seg hint) —
+    # MXU-dense intra-chunk matmuls, O(T/L) sequential steps (ref
+    # analog: fla chunk_gated_delta_rule / torch_chunk_gated_delta_
+    # rule). Decode-heavy mixed streams take the exact per-token scan.
     T = x.shape[0]
+    chunk = next((L for L in (64, 32, 16) if T % L == 0), None)
+    if chunk is not None and few_segments:
+        reset = positions == 0
+        conv_prev_rows = state.conv.astype(jnp.float32)
+        # Depthwise conv over the ragged stream: K-1 shifted masked
+        # adds with per-row carry splicing (same construction as
+        # ops/mamba.py _prefill_chunked).
+        idx_t = jnp.arange(T, dtype=jnp.int32)
+        safe_row = jnp.minimum(row_of, R - 1)
+        prev_row = jnp.concatenate(
+            [jnp.full((1, ), -1, row_of.dtype), row_of[:-1]])
+        is_start = ((idx_t == 0) | (row_of != prev_row)
+                    | (reset & (row_of < R)))
+        seg_start = jax.lax.cummax(jnp.where(is_start, idx_t, 0))
+        m = idx_t - seg_start
+        reset_seg = positions[seg_start] == 0
+        xf = mixed.astype(jnp.float32)
+        Km1 = K - 1
+        conv_out = xf * conv_w[K - 1]
+        exts = [xf]
+        for kk in range(1, K):
+            shifted = jnp.roll(xf, kk, axis=0)
+            in_stream = m >= kk
+            carry_idx = jnp.clip(Km1 - (kk - m), 0, Km1 - 1)
+            cv = conv_prev_rows[safe_row, carry_idx]
+            use_carry = ((~in_stream) & (~reset_seg)
+                         & (positions - kk >= 0))
+            ext = jnp.where(in_stream[:, None], shifted,
+                            jnp.where(use_carry[:, None], cv, 0.0))
+            conv_out = conv_out + ext * conv_w[K - 1 - kk]
+            if kk <= K - 2:
+                exts.append(ext)
+        conv_act = jax.nn.silu(conv_out)
+        qn, kn, vc = qkv_from_conv(conv_act)
+        o, s_new = _chunked_delta(qn, kn, vc, g, beta, state.s,
+                                  row_of, is_start, seg_start,
+                                  reset_seg, chunk)
+        # New conv windows at each row's last token.
+        next_row = jnp.concatenate(
+            [row_of[1:], jnp.full((1, ), -1, row_of.dtype)])
+        is_last = row_of != next_row
+        r_ar = jnp.arange(R, dtype=jnp.int32)
+        row_last = jnp.max(
+            jnp.where((row_of[None, :] == r_ar[:, None])
+                      & is_last[None, :], idx_t[None, :], -1), axis=1)
+        has_last = row_last >= 0
+        gidx = jnp.clip(row_last, 0, T - 1)
+        new_win = jnp.stack([ext[gidx] for ext in exts][::-1], axis=1)
+        conv_new = jnp.where(has_last[:, None, None],
+                             new_win.astype(state.conv.dtype),
+                             state.conv)
+        return (_norm_gate_out(cfg, layer, o, z, x.dtype),
+                GDNState(conv=conv_new, s=s_new))
 
     def step(carry, t):
         conv_s, s_s = carry
