@@ -88,3 +88,20 @@ def test_pipelined_new_request_mid_stream(params):
         assert steps < 200
     assert done[rid_a] == ref_a[0].token_ids
     assert done[rid_b] == ref_b[0].token_ids
+
+
+def test_model_len_cap_inside_horizon(params):
+    """A request that reaches max_model_len at a horizon boundary must
+    finish LENGTH_CAPPED via the slow path — the bulk-append fast path
+    must not let it schedule past the model length (review finding:
+    block-table overflow / learned-position OOB)."""
+    sps = [SamplingParams(temperature=0.0, max_tokens=1000,
+                          ignore_eos=True)]
+    for prompt in ([1, 5, 9, 13], [7] * 6):
+        eng = make_engine(8, params, async_scheduling=True)
+        got, _ = generate(eng, [prompt], sps)
+        # max_model_len=128 in make_engine's config.
+        assert len(prompt) + len(got[0].token_ids) == 128
+        ref_eng = make_engine(1, params)
+        ref, _ = generate(ref_eng, [prompt], sps)
+        assert got[0].token_ids == ref[0].token_ids

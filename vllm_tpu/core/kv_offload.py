@@ -163,6 +163,7 @@ class FileKVTier:
             np.savez(f, **arrays)
         os.replace(tmp, self._path(h))
         size = os.path.getsize(self._path(h))
+        evicted: list[BlockHash] = []
         with self._lock:
             self._inflight.pop(h, None)
             if h in self._index:
@@ -176,10 +177,14 @@ class FileKVTier:
                 self._index.pop(old)
                 self._bytes -= sz
                 self.evictions += 1
-                try:
-                    os.remove(self._path(old))
-                except OSError:
-                    pass
+                evicted.append(old)
+        # Unlink OUTSIDE the lock: the serving thread's get()/put()
+        # must not wait on an eviction sweep's disk I/O.
+        for old in evicted:
+            try:
+                os.remove(self._path(old))
+            except OSError:
+                pass
 
     def put(self, h: BlockHash, data: np.ndarray,
             scales: Optional[np.ndarray]) -> None:

@@ -452,13 +452,19 @@ class Scheduler:
                             request.num_tokens):
                         request.num_async_emits += 1
 
-        if self._pending_offload:
-            out.offload_blocks = self._pending_offload
-            self._pending_offload = []
         out.total_num_scheduled_tokens = sum(
             out.num_scheduled_tokens.values())
         out.preempted_req_ids = preempted_this_step
         self._maybe_enable_multi_step(out)
+        # Drain pending offloads LAST: the lookahead allocation inside
+        # _maybe_enable_multi_step can evict cached blocks too, and an
+        # eviction must ride THIS step's SchedulerOutput — the runner
+        # copies offloaded blocks out before the forward overwrites
+        # them; deferring to the next step would save the new owner's
+        # bytes under the old content hash.
+        if self._pending_offload:
+            out.offload_blocks = self._pending_offload
+            self._pending_offload = []
         return out
 
     def _maybe_enable_multi_step(self, out: SchedulerOutput) -> None:
@@ -636,7 +642,9 @@ class Scheduler:
                 if (len(sampled) > 1 and sp.ignore_eos
                         and not sp.stop_token_ids
                         and request.num_output_tokens + len(sampled)
-                        < sp.max_tokens):
+                        < sp.max_tokens
+                        and request.num_tokens + len(sampled)
+                        < self.max_model_len):
                     # Multi-step fast path: no stop can fire inside
                     # this horizon — one bulk append instead of
                     # per-token bookkeeping (the post-launch host tail

@@ -253,9 +253,13 @@ class OpenAIServer:
             with wave.open(io.BytesIO(f.file.read())) as w:
                 sw = w.getsampwidth()
                 raw = w.readframes(w.getnframes())
-                dt = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
-                wav = (np.frombuffer(raw, dt).astype(np.float32) /
-                       float(2**(8 * sw - 1)))
+                if sw == 1:  # 8-bit WAV PCM is UNSIGNED (128 bias)
+                    wav = (np.frombuffer(raw, np.uint8).astype(
+                        np.float32) - 128.0) / 128.0
+                else:
+                    dt = {2: np.int16, 4: np.int32}[sw]
+                    wav = (np.frombuffer(raw, dt).astype(np.float32) /
+                           float(2**(8 * sw - 1)))
                 if w.getnchannels() > 1:
                     wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
         else:

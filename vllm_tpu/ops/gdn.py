@@ -332,22 +332,12 @@ def gdn_mixer(
         seg_start = jax.lax.cummax(jnp.where(is_start, idx_t, 0))
         m = idx_t - seg_start
         reset_seg = positions[seg_start] == 0
+        from vllm_tpu.ops.mamba import (conv_windows_at_last,
+                                        ragged_causal_conv)
         xf = mixed.astype(jnp.float32)
-        Km1 = K - 1
-        conv_out = xf * conv_w[K - 1]
-        exts = [xf]
-        for kk in range(1, K):
-            shifted = jnp.roll(xf, kk, axis=0)
-            in_stream = m >= kk
-            carry_idx = jnp.clip(Km1 - (kk - m), 0, Km1 - 1)
-            cv = conv_prev_rows[safe_row, carry_idx]
-            use_carry = ((~in_stream) & (~reset_seg)
-                         & (positions - kk >= 0))
-            ext = jnp.where(in_stream[:, None], shifted,
-                            jnp.where(use_carry[:, None], cv, 0.0))
-            conv_out = conv_out + ext * conv_w[K - 1 - kk]
-            if kk <= K - 2:
-                exts.append(ext)
+        conv_out, exts = ragged_causal_conv(
+            xf, conv_prev_rows, conv_w, safe_row, m, reset_seg,
+            positions)
         conv_act = jax.nn.silu(conv_out)
         qn, kn, vc = qkv_from_conv(conv_act)
         o, s_new = _chunked_delta(qn, kn, vc, g, beta, state.s,
@@ -363,10 +353,8 @@ def gdn_mixer(
                       & is_last[None, :], idx_t[None, :], -1), axis=1)
         has_last = row_last >= 0
         gidx = jnp.clip(row_last, 0, T - 1)
-        new_win = jnp.stack([ext[gidx] for ext in exts][::-1], axis=1)
-        conv_new = jnp.where(has_last[:, None, None],
-                             new_win.astype(state.conv.dtype),
-                             state.conv)
+        conv_new = conv_windows_at_last(exts, gidx, has_last,
+                                        state.conv)
         return (_norm_gate_out(cfg, layer, o, z, x.dtype),
                 GDNState(conv=conv_new, s=s_new))
 

@@ -217,6 +217,43 @@ def _prefill_scan(cfg, layer, xBC, dt_raw, gate, positions, state,
             MambaState(conv=conv_s, ssm=ssm_s))
 
 
+def ragged_causal_conv(xf, conv_state_rows, conv_w, safe_row, m,
+                       reset_seg, positions):
+    """Depthwise causal conv over a ragged stream as K-1 shifted
+    masked adds, splicing each row's carried conv state where a
+    window crosses into the previous engine step (shared by the
+    mamba2-SSD, mamba1 and GDN chunked prefills).
+
+    xf [T, C] f32 stream; conv_state_rows [R, K-1, C] f32;
+    conv_w [K, C]; m = in-segment offset per token; reset_seg /
+    positions gate the carry. Returns (conv_out [T, C] pre-bias/act,
+    exts) where exts[j] is the value of "token at stream offset -j"
+    (j < K-1) — the inputs to conv_windows_at_last."""
+    K = conv_w.shape[0]
+    conv_out = xf * conv_w[K - 1]
+    exts = [xf]
+    for k in range(1, K):
+        shifted = jnp.roll(xf, k, axis=0)
+        in_stream = m >= k
+        carry_idx = jnp.clip((K - 1) - (k - m), 0, K - 2)
+        cv = conv_state_rows[safe_row, carry_idx]
+        use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
+        ext = jnp.where(in_stream[:, None], shifted,
+                        jnp.where(use_carry[:, None], cv, 0.0))
+        conv_out = conv_out + ext * conv_w[K - 1 - k]
+        if k <= K - 2:
+            exts.append(ext)
+    return conv_out, exts
+
+
+def conv_windows_at_last(exts, gidx, has_last, old_conv):
+    """New per-row conv windows gathered at each row's last token
+    (oldest -> newest); rows with no token keep their old state."""
+    new_win = jnp.stack([ext[gidx] for ext in exts][::-1], axis=1)
+    return jnp.where(has_last[:, None, None],
+                     new_win.astype(old_conv.dtype), old_conv)
+
+
 def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
                      row_of, L):
     """Chunked SSD prefill (ref analog: csrc/libtorch_stable/mamba/
@@ -272,20 +309,9 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
     # never materializing a [T, K-1, conv_dim] per-token copy of the
     # carry buffer.
     conv_w = layer["conv_w"].astype(jnp.float32)  # [K, conv_dim]
-    conv_f = state.conv.astype(jnp.float32)
-    conv_out = xf * conv_w[K - 1]
-    exts = [xf]  # value of "token at stream offset -k" per k
-    for k in range(1, K):
-        shifted = jnp.roll(xf, k, axis=0)
-        in_stream = m >= k  # i-k stays inside this token's segment
-        carry_idx = jnp.clip(Km1 - (k - m), 0, Km1 - 1)
-        cv = conv_f[safe_row, carry_idx]  # [T, conv_dim]
-        use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
-        ext = jnp.where(in_stream[:, None], shifted,
-                        jnp.where(use_carry[:, None], cv, 0.0))
-        conv_out = conv_out + ext * conv_w[K - 1 - k]
-        if k <= K - 2:
-            exts.append(ext)
+    conv_out, exts = ragged_causal_conv(
+        xf, state.conv.astype(jnp.float32), conv_w, safe_row, m,
+        reset_seg, positions)
     conv_b = layer.get("conv_b")
     if conv_b is not None:
         conv_out = conv_out + conv_b.astype(jnp.float32)
@@ -305,12 +331,7 @@ def _prefill_chunked(cfg, layer, xBC, dt_raw, positions, state,
                   idx_t[None, :], -1), axis=1)  # [R] or -1
     has_last = row_last >= 0
     gidx = jnp.clip(row_last, 0, T - 1)
-    planes = []
-    for j, ext in enumerate(exts):  # ext j = value at pos_last - j
-        planes.append(ext[gidx])  # [R, conv_dim]
-    new_win = jnp.stack(planes[::-1], axis=1)  # oldest -> newest
-    new_conv = jnp.where(has_last[:, None, None],
-                         new_win.astype(state.conv.dtype), state.conv)
+    new_conv = conv_windows_at_last(exts, gidx, has_last, state.conv)
 
     # SSM inputs.
     x_h = xBC_act[:, :d_inner].reshape(T, nh, p)
@@ -580,24 +601,12 @@ def mamba1_mixer(
     m = idx_t - seg_start
     reset_seg = positions[seg_start] == 0
 
-    # Depthwise causal conv via K-1 shifted masked adds with per-row
-    # carry splicing (same construction as the SSD chunked path).
+    # Depthwise causal conv with per-row carry splicing (shared with
+    # the SSD chunked path).
     xf = xs.astype(jnp.float32)
-    conv_f = state.conv.astype(jnp.float32)
-    Km1 = K - 1
-    conv_out = xf * conv_w[K - 1]
-    exts = [xf]
-    for k in range(1, K):
-        shifted = jnp.roll(xf, k, axis=0)
-        in_stream = m >= k
-        carry_idx = jnp.clip(Km1 - (k - m), 0, Km1 - 1)
-        cv = conv_f[safe_row, carry_idx]
-        use_carry = (~in_stream) & (~reset_seg) & (positions - k >= 0)
-        ext = jnp.where(in_stream[:, None], shifted,
-                        jnp.where(use_carry[:, None], cv, 0.0))
-        conv_out = conv_out + ext * conv_w[K - 1 - k]
-        if k <= K - 2:
-            exts.append(ext)
+    conv_out, exts = ragged_causal_conv(
+        xf, state.conv.astype(jnp.float32), conv_w, safe_row, m,
+        reset_seg, positions)
     if conv_b is not None:
         conv_out = conv_out + conv_b.astype(jnp.float32)
     u = jax.nn.silu(conv_out)
@@ -634,10 +643,7 @@ def mamba1_mixer(
                         h[jnp.clip(row_last, 0, T - 1)], state.ssm)
     # New conv window per row (same gather-at-last as the SSD path).
     gidx = jnp.clip(row_last, 0, T - 1)
-    planes = [ext[gidx] for ext in exts]  # value at pos_last - j
-    new_win = jnp.stack(planes[::-1], axis=1)
-    conv_new = jnp.where(has_last[:, None, None],
-                         new_win.astype(state.conv.dtype), state.conv)
+    conv_new = conv_windows_at_last(exts, gidx, has_last, state.conv)
     return (_m1_out(layer, y, gate, x.dtype),
             MambaState(conv=conv_new, ssm=ssm_new))
 

@@ -1457,7 +1457,10 @@ class TPUModelRunner:
         return DecodeLoopInputs(
             cur_tokens=cur_tokens,
             positions=jnp.asarray(pos),
-            block_tables=jnp.asarray(b.block_tables),
+            # .copy(): the H2D transfer is asynchronous and pipelined
+            # launches mean the NEXT step's append_block_ids can
+            # mutate b.block_tables before this upload drains.
+            block_tables=jnp.asarray(b.block_tables.copy()),
             active=jnp.asarray(active),
             sampling=self._dec_sampling_dev._replace(steps=steps),
             lora_idx=self._dec_lora_dev,
