@@ -176,6 +176,13 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    # One regime for all bt: deferred-scale epilogue — raw levels feed
+    # the MXU, scales/zbias apply to the accumulator (docstring #1).
+    # (A prefill variant that scaled the WEIGHTS and merged the gsup
+    # groups into one fat K=gsup*128 dot was built and measured
+    # neutral on v5e — prefill is VPU-dequant-bound, not short-K
+    # bound — so the more precise deferred-scale path stays; the
+    # remaining prefill lever is fewer dequant VPU ops, not dot shape.)
     acc = jnp.zeros_like(acc_ref)
     for j in range(gsup):
         w = _decode_group(qw_ref[0, j], x.dtype, interpret)
