@@ -161,9 +161,13 @@ class CacheConfig:
     gpu_memory_utilization: float = 0.9
     cache_dtype: CacheDType = "auto"
     enable_prefix_caching: bool = True
-    # sha256 is the reference default hash for prefix blocks
-    # (ref: vllm/config/cache.py:39 PrefixCachingHashAlgo).
-    prefix_caching_hash_algo: Literal["sha256", "builtin"] = "builtin"
+    # Prefix-block hash (ref: vllm/config/cache.py:39
+    # PrefixCachingHashAlgo). "fnv" (default since r4) is chained
+    # FNV-1a-64 — process-stable (valid FileKVTier / disagg keys,
+    # unlike Python's salted builtin) and batch-computed natively
+    # (csrc/block_hash.cc); "sha256" for collision-hardened mode.
+    prefix_caching_hash_algo: Literal["sha256", "builtin",
+                                      "fnv"] = "fnv"
     # Host (CPU RAM) KV tier: evicted cached blocks spill here and
     # re-admit on content-hash hits (0 = off; ref analog:
     # vllm/v1/kv_offload CPU backend / swap_space).

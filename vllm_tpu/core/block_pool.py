@@ -37,6 +37,10 @@ def hash_block_tokens(
     hashing). ``extra_key`` carries anything that changes KV content for
     identical tokens (e.g. LoRA name, mm hashes).
     """
+    if algo == "fnv":
+        return chain_hashes_fnv(parent_hash, list(token_ids),
+                                len(token_ids),
+                                _extra_blob(extra_key))[0]
     key = (parent_hash, token_ids, extra_key)
     if algo == "builtin":
         # Fast path for tests/dev. Collision risk accepted like the
@@ -44,6 +48,70 @@ def hash_block_tokens(
         return hash(key).to_bytes(8, "little", signed=True)
     blob = pickle.dumps(key, protocol=pickle.HIGHEST_PROTOCOL)
     return hashlib.sha256(blob).digest()
+
+
+def _extra_blob(extra_key: Optional[tuple]) -> bytes:
+    return repr(extra_key).encode() if extra_key else b""
+
+
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a(h: int, data: bytes) -> int:
+    for byte in data:
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def chain_hashes_fnv(
+    parent_hash: Optional[BlockHash],
+    token_ids: list[int],
+    block_size: int,
+    extra_blob: bytes = b"",
+) -> list[BlockHash]:
+    """Whole-request chained FNV-1a-64 block hashes in one pass.
+
+    The default prefix-cache hash since r4: process-STABLE (unlike the
+    salted builtin mode — fnv hashes are valid cross-process keys for
+    the FileKVTier / disagg payloads) and batch-computed natively
+    (csrc/block_hash.cc) when the toolchain is available; this Python
+    loop is the byte-identical fallback (parity-tested)."""
+    import numpy as np
+    num_full = len(token_ids) // block_size
+    if num_full == 0:
+        return []
+    toks = np.asarray(token_ids[:num_full * block_size], dtype="<i4")
+    from vllm_tpu.csrc import load
+    lib = load("block_hash")
+    if lib is not None:
+        import ctypes as Ct
+        out = np.empty(num_full, np.uint64)
+        p64 = int.from_bytes((parent_hash or b"")[:8].ljust(8, b"\0"),
+                             "little")
+        lib.fnv_chain_hashes(
+            Ct.c_uint64(p64), Ct.c_int32(1 if parent_hash else 0),
+            toks.ctypes.data_as(Ct.POINTER(Ct.c_int32)),
+            Ct.c_int64(num_full), Ct.c_int64(block_size),
+            extra_blob, Ct.c_int64(len(extra_blob)),
+            out.ctypes.data_as(Ct.POINTER(Ct.c_uint64)))
+        return [int(v).to_bytes(8, "little") for v in out]
+    hashes: list[BlockHash] = []
+    prev = parent_hash[:8] if parent_hash else None
+    tok_bytes = toks.tobytes()
+    bs4 = block_size * 4
+    for b in range(num_full):
+        h = _FNV_OFF
+        if prev is not None:
+            h = _fnv1a(h, prev)
+        if extra_blob:
+            h = _fnv1a(h, extra_blob)
+        h = _fnv1a(h, tok_bytes[b * bs4:(b + 1) * bs4])
+        hb = h.to_bytes(8, "little")
+        hashes.append(hb)
+        prev = hb
+    return hashes
 
 
 @dataclass

@@ -138,6 +138,19 @@ class KVCacheManager:
         if getattr(request, "mm_hash", None):
             extra_parts.append(request.mm_hash)
         extra = tuple(extra_parts) if extra_parts else None
+        if self.hash_algo == "fnv" and len(hashes) < num_full:
+            # Batch path: the whole new-block span hashes in one
+            # native call (csrc/block_hash.cc) — the per-admission
+            # hot path for long prompts.
+            from vllm_tpu.core.block_pool import (_extra_blob,
+                                                  chain_hashes_fnv)
+            start = len(hashes)
+            hashes.extend(chain_hashes_fnv(
+                hashes[-1] if hashes else None,
+                tokens[start * self.block_size:num_full *
+                       self.block_size], self.block_size,
+                _extra_blob(extra)))
+            return hashes
         while len(hashes) < num_full:
             i = len(hashes)
             parent = hashes[-1] if hashes else None
