@@ -105,7 +105,9 @@ def pick_bt(T: int) -> int:
 def pick_gsup(G: int, bn: int, bt: int) -> int:
     """Groups per grid step: fatter weight DMAs / fewer grid steps,
     bounded so the double-buffered weight+x blocks stay in VMEM
-    (bn=6144 decode -> 4 groups = one contiguous 1.5MB read)."""
+    (bn=6144 decode -> 4 groups = one contiguous 1.5MB read; gsup=8
+    was measured neutral-to-worse on v5e — the 1.5MB bursts already
+    saturate the stream, and halving grid steps bought nothing)."""
     for g in (4, 2, 1):
         if G % g == 0 and g * (BROWS * bn + bt * BK * 2) <= (2 << 20):
             return g
