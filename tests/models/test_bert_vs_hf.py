@@ -96,3 +96,35 @@ def test_bert_engine_embeddings(tiny_bert):
     for out, hs in zip(outs, want):
         np.testing.assert_allclose(np.asarray(out.embedding), hs[0],
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_roberta_engine_embeddings(tmp_path):
+    """Roberta-class (pad-offset learned positions): engine mean
+    pooling matches HF last_hidden_state."""
+    import torch
+    from transformers import RobertaConfig, RobertaModel
+    from vllm_tpu import LLM
+    from vllm_tpu.sample.params import PoolingParams
+
+    torch.manual_seed(0)
+    cfg = RobertaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=130, pad_token_id=1)
+    hf = RobertaModel(cfg).eval().to(torch.float32)
+    path = str(tmp_path / "roberta")
+    hf.save_pretrained(path, safe_serialization=True)
+
+    llm = LLM(path, dtype="float32", max_model_len=64, block_size=16,
+              max_num_seqs=2, max_num_batched_tokens=64,
+              num_kv_blocks=17)
+    assert llm.engine.config.model.architecture == "RobertaModel"
+    prompts = [[2, 45, 99, 200, 7, 13], [42, 77, 150, 3]]
+    outs = llm.embed(prompts, PoolingParams(pooling_type="mean",
+                                            normalize=False))
+    with torch.no_grad():
+        for p, out in zip(prompts, outs):
+            hs = hf(torch.tensor([p])).last_hidden_state[0].numpy()
+            np.testing.assert_allclose(np.asarray(out.embedding),
+                                       hs.mean(axis=0), rtol=2e-4,
+                                       atol=2e-4)

@@ -22,6 +22,8 @@ SUPPORTED_ARCHS = {
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
     "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
+    "RobertaModel": "bert",  # roberta-class (pad-offset positions)
+    "XLMRobertaModel": "bert",
     "WhisperForConditionalGeneration": "whisper",  # speech-to-text
     "Qwen3NextForCausalLM": "qwen3_next",  # GDN + gated-attn MoE hybrid
     "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
@@ -45,6 +47,8 @@ _MODEL_TYPE_ARCHS = {
     "qwen2_moe": "Qwen2MoeForCausalLM",
     "qwen3_moe": "Qwen3MoeForCausalLM",
     "bert": "BertModel",
+    "roberta": "RobertaModel",
+    "xlm-roberta": "XLMRobertaModel",
     "whisper": "WhisperForConditionalGeneration",
     "qwen3_next": "Qwen3NextForCausalLM",
     "mamba": "MambaForCausalLM",
@@ -110,7 +114,12 @@ def model_config_from_hf(
         cfg.eos_token_ids = (  # type: ignore[attr-defined]
             [eos] if isinstance(eos, int) else list(eos or []))
         return cfg
-    if arch == "BertModel":
+    if arch in ("BertModel", "RobertaModel", "XLMRobertaModel"):
+        # Roberta-class positions are offset by pad_token_id + 1
+        # (create_position_ids_from_input_ids); the offset also
+        # shrinks the usable context below max_position_embeddings.
+        pos_off = (hf.get("pad_token_id", 1) + 1
+                   if arch != "BertModel" else 0)
         cfg = ModelConfig(
             model=model_path,
             architecture=arch,
@@ -123,7 +132,8 @@ def model_config_from_hf(
             head_dim=hf["hidden_size"] // hf["num_attention_heads"],
             rms_norm_eps=hf.get("layer_norm_eps", 1e-12),
             max_model_len=min(max_model_len or 10**9,
-                              hf.get("max_position_embeddings", 512)),
+                              hf.get("max_position_embeddings", 512)
+                              - pos_off),
             dtype=dtype,
             hf_config=hf,
         )

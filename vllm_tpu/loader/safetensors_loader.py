@@ -105,7 +105,8 @@ def load_llama_params(
         return _load_llava_params(model_path, cfg)
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
-    if cfg.architecture == "BertModel":
+    if cfg.architecture in ("BertModel", "RobertaModel",
+                            "XLMRobertaModel"):
         return _load_bert_params(model_path, cfg)
     if cfg.architecture == "WhisperForConditionalGeneration":
         return _load_whisper_params(model_path, cfg)
@@ -950,7 +951,7 @@ def _load_bert_params(model_path: str, cfg: ModelConfig) -> dict:
             lambda w: params.__setitem__("tt_embed", to_jax(w)),
     }
     for name, w in _iter_safetensors(model_path):
-        name = name.removeprefix("bert.")
+        name = name.removeprefix("bert.").removeprefix("roberta.")
         if name in emb_map:
             emb_map[name](w)
         elif name.startswith("embeddings.LayerNorm."):

@@ -76,8 +76,14 @@ def forward(
     D = cfg.head_dim
     eps = cfg.rms_norm_eps  # layer_norm_eps rides the same field
 
+    # Roberta-class checkpoints offset learned positions by
+    # pad_token_id + 1 (HF create_position_ids_from_input_ids);
+    # plain BERT starts at 0.
+    off = 0
+    if cfg.architecture in ("RobertaModel", "XLMRobertaModel"):
+        off = (cfg.hf_config or {}).get("pad_token_id", 1) + 1
     x = (params["embed_tokens"]["weight"][input_ids] +
-         params["pos_embed"][positions] + params["tt_embed"][0])
+         params["pos_embed"][positions + off] + params["tt_embed"][0])
     x = _layer_norm(x, params["embed_ln"], eps)
 
     # Same-request bidirectional mask from the ragged layout.

@@ -19,6 +19,8 @@ _REGISTRY: dict[str, str] = {
     "DeepseekV2ForCausalLM": "vllm_tpu.models.deepseek",  # MLA + MoE
     "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
     "BertModel": "vllm_tpu.models.bert",  # encoder-only embedder
+    "RobertaModel": "vllm_tpu.models.bert",  # + position offset
+    "XLMRobertaModel": "vllm_tpu.models.bert",
     "WhisperForConditionalGeneration": "vllm_tpu.models.whisper",  # STT
     "Qwen3NextForCausalLM": "vllm_tpu.models.qwen3_next",  # GDN hybrid
     "MambaForCausalLM": "vllm_tpu.models.mamba1",  # v1 selective scan
