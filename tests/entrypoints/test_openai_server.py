@@ -391,3 +391,30 @@ def test_transcriptions_endpoint(tmp_path):
             llm.shutdown()
 
     run(main())
+
+
+def test_tokenize_detokenize_version(tokenizer):
+    """/tokenize, /detokenize, /version, /ping (ref analog:
+    serving_tokenization.py + api_server utility routes)."""
+    async def t(client):
+        r = await client.get("/version")
+        assert r.status == 200 and "version" in await r.json()
+        r = await client.get("/ping")
+        assert r.status == 200
+        r = await client.post("/tokenize", json={"prompt": "a b c"})
+        assert r.status == 200
+        data = await r.json()
+        ids = data["tokens"]
+        assert data["count"] == len(ids) > 0
+        assert data["max_model_len"] == 128
+        r = await client.post("/detokenize", json={"tokens": ids})
+        assert r.status == 200
+        text = (await r.json())["prompt"]
+        assert "a" in text and "c" in text
+        # chat-messages form routes through the chat template/fallback
+        r = await client.post("/tokenize", json={
+            "messages": [{"role": "user", "content": "hi"}]})
+        assert r.status == 200
+        assert (await r.json())["count"] > 0
+
+    with_client(t, tokenizer)

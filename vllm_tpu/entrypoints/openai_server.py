@@ -138,6 +138,11 @@ class OpenAIServer:
         app.router.add_post("/v1/audio/transcriptions",
                             self.transcriptions)
         app.router.add_post("/v1/audio/translations", self.transcriptions)
+        app.router.add_post("/tokenize", self.tokenize)
+        app.router.add_post("/detokenize", self.detokenize)
+        app.router.add_get("/version", self.version)
+        app.router.add_get("/ping", self.health)
+        app.router.add_post("/ping", self.health)
         app.router.add_post("/v1/load_lora_adapter", self.load_lora)
         app.router.add_post("/start_profile", self.start_profile)
         app.router.add_post("/stop_profile", self.stop_profile)
@@ -227,6 +232,57 @@ class OpenAIServer:
                 "total_tokens": total_tokens,
             },
         })
+
+    async def version(self, request: web.Request) -> web.Response:
+        from vllm_tpu import __version__
+        return web.json_response({"version": __version__})
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        """Tokenization API (ref analog: vllm/entrypoints/openai/
+        serving_tokenization.py /tokenize): prompt or chat messages ->
+        token ids (+count, model max)."""
+        tok = self.llm.tokenizer
+        if tok is None:
+            return _err("server has no tokenizer", 400)
+        body = await request.json()
+        if body.get("messages"):
+            try:
+                text = tok.apply_chat_template(
+                    body["messages"],
+                    add_generation_prompt=bool(
+                        body.get("add_generation_prompt", True)))
+            except Exception:
+                text = "".join(f"{m['role']}: {m['content']}\n"
+                               for m in body["messages"])
+        else:
+            text = body.get("prompt")
+            if text is None:
+                return _err("missing 'prompt' or 'messages'")
+        if isinstance(text, str):
+            ids = tok.encode(
+                text,
+                add_special_tokens=bool(
+                    body.get("add_special_tokens", True)))
+        else:
+            ids = list(text)
+        mc = self.llm.engine.config.model
+        return web.json_response({
+            "tokens": list(ids),
+            "count": len(ids),
+            "max_model_len": mc.max_model_len,
+        })
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        """Inverse of /tokenize (ref analog: serving_tokenization.py
+        /detokenize)."""
+        tok = self.llm.tokenizer
+        if tok is None:
+            return _err("server has no tokenizer", 400)
+        body = await request.json()
+        ids = body.get("tokens")
+        if ids is None:
+            return _err("missing 'tokens'")
+        return web.json_response({"prompt": tok.decode(list(ids))})
 
     async def transcriptions(self, request: web.Request) -> web.Response:
         """OpenAI audio transcription API over the whisper path (ref
