@@ -418,3 +418,86 @@ def test_tokenize_detokenize_version(tokenizer):
         assert (await r.json())["count"] > 0
 
     with_client(t, tokenizer)
+
+
+def test_control_endpoints(tokenizer):
+    """/v1/unload_lora_adapter, /reset_prefix_cache, /sleep, /wake_up,
+    /is_sleeping (ref analog: api_server.py control routes)."""
+    async def t(client):
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is False
+        r = await client.post("/reset_prefix_cache")
+        assert r.status == 200
+        # Unknown adapter -> 404; loaded-then-unloaded -> ok, and a
+        # request naming it afterwards fails.
+        r = await client.post("/v1/unload_lora_adapter",
+                              json={"lora_name": "nope"})
+        assert r.status == 404
+        # Sleep with no traffic, then wake and serve again.
+        r = await client.post("/sleep?level=1")
+        assert r.status == 200
+        r = await client.get("/is_sleeping")
+        assert (await r.json())["is_sleeping"] is True
+        r = await client.post("/wake_up")
+        assert r.status == 200
+        r = await client.post("/v1/completions", json={
+            "prompt": "a b", "max_tokens": 4, "temperature": 0,
+            "ignore_eos": True})
+        assert r.status == 200
+        assert (await r.json())["usage"]["completion_tokens"] == 4
+
+    with_client(t, tokenizer)
+
+
+def test_unload_lora_roundtrip():
+    """Engine-level: add -> serve -> unload -> slot recycled; removal
+    blocked while a request is mid-flight on the adapter."""
+    import numpy as np
+    from vllm_tpu.config import (CacheConfig, EngineConfig, ModelConfig,
+                                 SchedulerConfig)
+    from vllm_tpu.engine.llm_engine import LLMEngine
+    from vllm_tpu.lora import from_arrays
+    from vllm_tpu.models import llama
+    from vllm_tpu.sample.params import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig(vocab_size=256, hidden_size=64,
+                          intermediate_size=128, num_layers=2,
+                          num_heads=4, num_kv_heads=2, max_model_len=64,
+                          dtype="float32"),
+        cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+        scheduler=SchedulerConfig(max_num_batched_tokens=64,
+                                  max_num_seqs=2))
+    params = llama.random_params(cfg.model, seed=2)
+    eng = LLMEngine(cfg, params=params, tokenizer=None)
+    rng = np.random.default_rng(0)
+
+    def mk(name):
+        tensors = {}
+        for li in range(2):
+            tensors[(li, "q_proj")] = (
+                rng.standard_normal((64, 4)).astype(np.float32) * 0.01,
+                rng.standard_normal((4, 64)).astype(np.float32) * 0.01)
+        return from_arrays(name, 4, 1.0, tensors)
+
+    eng.add_lora("a", adapter=mk("a"))
+    eng.add_lora("b", adapter=mk("b"))
+    rid = eng.add_request([1, 2, 3], SamplingParams(
+        temperature=0.0, max_tokens=3, ignore_eos=True), lora_name="a")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.remove_lora("a")  # in use
+    while eng.has_unfinished_requests():
+        eng.step()
+    eng.remove_lora("a")
+    # Slot 1 recycles; adapter b (slot 2) still resolves and serves.
+    eng.add_lora("c", adapter=mk("c"))
+    assert eng.runner.lora_registry.adapters == {"b": 2, "c": 1}
+    rid2 = eng.add_request([4, 5], SamplingParams(
+        temperature=0.0, max_tokens=3, ignore_eos=True), lora_name="b")
+    toks = []
+    while eng.has_unfinished_requests():
+        for o in eng.step():
+            if o.finished and o.request_id == rid2:
+                toks = o.outputs[0].token_ids
+    assert len(toks) == 3

@@ -136,6 +136,14 @@ class AsyncLLM:
                 self.engine.add_lora(name, path, adapter)
             except Exception:  # noqa: BLE001 — log, keep serving
                 logger.exception("add_lora(%r) failed", name)
+        elif kind == "control":
+            fn, args, done, err = payload
+            try:
+                fn(*args)
+            except Exception as e:  # noqa: BLE001 — ack the caller
+                err.append(e)
+            finally:
+                done.set()
         elif kind == "abort":
             self.engine.abort_request(payload)
         elif kind == "weights":
@@ -194,6 +202,41 @@ class AsyncLLM:
             self.engine.add_lora(name, adapter=adapter)
         else:
             self._new_requests.put(("add_lora", (name, None, adapter)))
+
+    def _control(self, fn, *args) -> None:
+        """Run an engine control call ON the engine thread (between
+        steps) and wait for it — /sleep, /wake_up, unload_lora,
+        reset_prefix_cache (ref analog: the RPC-dispatched engine
+        control methods, vllm/v1/engine/core.py)."""
+        import threading as _threading
+        if not self._started:
+            fn(*args)
+            return
+        done = _threading.Event()
+        err: list = []
+        self._new_requests.put(("control", (fn, args, done, err)))
+        if not done.wait(timeout=120):
+            raise TimeoutError("engine did not run the control call")
+        if err:
+            raise err[0]
+
+    def remove_lora(self, name: str) -> None:
+        self._control(self.engine.remove_lora, name)
+
+    def sleep(self, level: int = 1) -> None:
+        self._control(self.engine.sleep, level)
+
+    def wake_up(self) -> None:
+        self._control(self.engine.wake_up)
+
+    def is_sleeping(self) -> bool:
+        return self.engine.is_sleeping  # property on the sync engine
+
+    def reset_prefix_cache(self) -> bool:
+        out: list = []
+        self._control(lambda: out.append(
+            self.engine.scheduler.kv_cache_manager.reset_prefix_cache()))
+        return bool(out and out[0])
 
     @property
     def lora_adapters(self) -> list[str]:

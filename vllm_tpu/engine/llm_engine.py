@@ -224,6 +224,20 @@ class LLMEngine:
         self.runner.set_lora_registry(reg)
         return slot
 
+    def remove_lora(self, name: str) -> None:
+        """Unload a LoRA adapter (ref analog: /v1/unload_lora_adapter
+        -> LoRAModelManager.remove_adapter). Refused while any live
+        request still routes through it."""
+        reg = self.runner.lora_registry
+        if reg is None:
+            raise KeyError(f"unknown LoRA adapter {name!r}")
+        for req in self.scheduler.requests.values():
+            if getattr(req, "lora_name", None) == name:
+                raise ValueError(
+                    f"LoRA {name!r} is in use by {req.request_id}")
+        reg.remove(name)
+        self.runner.set_lora_registry(reg)
+
     def add_request(
         self,
         prompt: Union[str, list[int]],

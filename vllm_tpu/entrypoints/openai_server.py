@@ -138,6 +138,12 @@ class OpenAIServer:
         app.router.add_post("/v1/audio/transcriptions",
                             self.transcriptions)
         app.router.add_post("/v1/audio/translations", self.transcriptions)
+        app.router.add_post("/v1/unload_lora_adapter", self.unload_lora)
+        app.router.add_post("/reset_prefix_cache",
+                            self.reset_prefix_cache)
+        app.router.add_post("/sleep", self.sleep)
+        app.router.add_post("/wake_up", self.wake_up)
+        app.router.add_get("/is_sleeping", self.is_sleeping)
         app.router.add_post("/tokenize", self.tokenize)
         app.router.add_post("/detokenize", self.detokenize)
         app.router.add_get("/version", self.version)
@@ -232,6 +238,43 @@ class OpenAIServer:
                 "total_tokens": total_tokens,
             },
         })
+
+    async def unload_lora(self, request: web.Request) -> web.Response:
+        """Ref analog: /v1/unload_lora_adapter (api_server.py)."""
+        body = await request.json()
+        name = body.get("lora_name")
+        if not name:
+            return _err("missing 'lora_name'")
+        try:
+            self.llm.remove_lora(name)
+        except KeyError as e:
+            return _err(str(e), 404)
+        except ValueError as e:
+            return _err(str(e), 409)
+        return web.json_response({"status": "ok"})
+
+    async def reset_prefix_cache(self,
+                                 request: web.Request) -> web.Response:
+        """Ref analog: /reset_prefix_cache (api_server.py)."""
+        ok = self.llm.reset_prefix_cache()
+        return web.json_response({"status": "ok" if ok else "busy"})
+
+    async def sleep(self, request: web.Request) -> web.Response:
+        """Ref analog: /sleep?level= (RL idle periods; engine/state.py
+        SleepManager frees HBM, weights staged to host at level 1)."""
+        level = int(request.query.get("level", "1"))
+        try:
+            self.llm.sleep(level)
+        except AssertionError as e:
+            return _err(str(e), 409)
+        return web.json_response({"status": "sleeping", "level": level})
+
+    async def wake_up(self, request: web.Request) -> web.Response:
+        self.llm.wake_up()
+        return web.json_response({"status": "awake"})
+
+    async def is_sleeping(self, request: web.Request) -> web.Response:
+        return web.json_response({"is_sleeping": self.llm.is_sleeping()})
 
     async def version(self, request: web.Request) -> web.Response:
         from vllm_tpu import __version__

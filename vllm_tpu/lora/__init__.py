@@ -122,8 +122,11 @@ class LoRARegistry:
     def add(self, adapter: LoRAAdapter) -> int:
         if adapter.name in self.adapters:
             return self.adapters[adapter.name]
-        slot = len(self.adapters) + 1
-        if slot > self.max_loras:
+        # First free slot (slots recycle after remove()).
+        used = set(self.adapters.values())
+        slot = next((s for s in range(1, self.max_loras + 1)
+                     if s not in used), None)
+        if slot is None:
             raise ValueError(f"max_loras={self.max_loras} exceeded")
         self.adapters[adapter.name] = slot
         self._host[slot] = adapter
@@ -131,6 +134,18 @@ class LoRARegistry:
         logger.info("registered LoRA %r in slot %d (rank %d)",
                     adapter.name, slot, adapter.rank)
         return slot
+
+    def remove(self, name: str) -> None:
+        """Unload an adapter and free its slot (ref analog:
+        LoRAModelManager.remove_adapter). The stacks rebuild with the
+        slot zeroed, so rows carrying the dead slot fall back to the
+        base model."""
+        slot = self.adapters.pop(name, None)
+        if slot is None:
+            raise KeyError(f"unknown LoRA adapter {name!r}")
+        self._host[slot] = None
+        self._stacks = None
+        logger.info("unloaded LoRA %r (slot %d freed)", name, slot)
 
     def slot_of(self, name: Optional[str]) -> int:
         if name is None:
@@ -151,7 +166,9 @@ class LoRARegistry:
         if self._stacks is not None:
             return self._stacks
         import jax.numpy as jnp
-        L = len(self.adapters)
+        # Highest slot in use, NOT the adapter count: remove() leaves
+        # holes and later slots must stay addressable.
+        L = max(self.adapters.values(), default=0)
         # Fused leaves (qkv, gate_up): each sub-module's adapter
         # concatenates along r with a block-diagonal B, so
         # x @ A_cat @ B_blockdiag == [x A_q B_q | x A_k B_k | ...]
