@@ -100,3 +100,51 @@ def test_distilled_ppl_ordering():
     assert base < rep["int3"] < rep["int2"]
     assert (rep["int3"] - base) / base < DEFAULT_BUDGETS["int3"]
     assert (rep["int2"] - base) / base < DEFAULT_BUDGETS["int2"]
+
+
+def test_nf4_roundtrip_and_matmul():
+    """bnb-class NF4: exact levels round-trip, matmul error within the
+    codebook grid, engine serves it."""
+    from vllm_tpu.quant.kernels import dequant_nf4_xla
+    from vllm_tpu.quant.online import NF4_LEVELS, _quant_weight_nf4
+
+    rng = np.random.default_rng(5)
+    K, N = 128, 32
+    # Weights exactly on codebook levels scaled per block round-trip.
+    scale = rng.random((K // 64, 1, N)).astype(np.float32) + 0.5
+    # Force one exact -1.0/+1.0 per block so absmax == the scale.
+    lv = NF4_LEVELS[rng.integers(0, 16, (K // 64, 64, N))]
+    lv[:, 0, :] = 1.0
+    w = (lv * scale).reshape(K, N).astype(np.float32)
+    leaf = _quant_weight_nf4(w)
+    deq = np.asarray(dequant_nf4_xla(leaf, jnp.float32))
+    np.testing.assert_allclose(deq, w, rtol=2e-6, atol=2e-6)
+    # Random weights: error bounded by half the coarsest level gap.
+    w2 = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    leaf2 = _quant_weight_nf4(w2)
+    deq2 = np.asarray(dequant_nf4_xla(leaf2, jnp.float32))
+    gap = np.max(np.diff(NF4_LEVELS)) / 2
+    bound = gap * np.abs(w2.reshape(K // 64, 64, N)).max(axis=1)
+    assert (np.abs(deq2 - w2).reshape(K // 64, 64, N).max(axis=1)
+            <= bound + 1e-6).all()
+    x = rng.standard_normal((3, K)).astype(np.float32)
+    out = np.asarray(quantized_matmul(jnp.asarray(x), leaf2))
+    np.testing.assert_allclose(out, x @ deq2, rtol=1e-4, atol=1e-4)
+
+
+def test_nf4_distilled_gate():
+    """NF4 on the trained checkpoint: inside its budget and better
+    than plain int3 (16 well-placed levels beat 8 uniform ones)."""
+    import os
+    from vllm_tpu.evals.corpus import eval_token_ids
+    from vllm_tpu.evals.gate import DEFAULT_BUDGETS, quant_ppl_report
+    from vllm_tpu.evals.train_tiny import load_npz, model_config
+
+    asset = os.path.join(os.path.dirname(__file__), "..", "assets",
+                         "tiny_distilled.npz")
+    params = load_npz(asset)
+    ids = eval_token_ids(vocab_size=512)[:768]
+    rep = quant_ppl_report(params, model_config(), ["nf4", "int3"], ids)
+    base = rep["baseline"]
+    assert (rep["nf4"] - base) / base < DEFAULT_BUDGETS["nf4"]
+    assert rep["nf4"] < rep["int3"]

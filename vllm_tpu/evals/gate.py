@@ -30,6 +30,7 @@ DEFAULT_BUDGETS = {
     "mxfp8": 0.03,
     "int4": 0.10,      # W4A16 g128
     "mxfp4": 0.25,
+    "nf4": 0.12,       # bnb-class NF4 codebook (block-64 absmax)
     "int3": 0.40,      # W3A16 g64 (ref inc bits=3 tier)
     "int2": 4.00,      # W2A16 g64 — research tier; plain RTN 2-bit
     #                  is lossy (the ref pairs it with INC error comp)

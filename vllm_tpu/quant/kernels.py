@@ -91,6 +91,19 @@ def quantized_matmul_xla(x: jax.Array, leaf: dict) -> jax.Array:
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
 
+def dequant_nf4_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """bnb-class NF4 codebook dequant: nibble pairs -> 16-level lookup
+    * per-block absmax scale (quant/online._quant_weight_nf4)."""
+    qw = leaf["qweight"]  # [K/2, N], rows (2i, 2i+1) in (lo, hi)
+    K2, N = qw.shape
+    q = jnp.stack([qw & 0xF, qw >> 4], axis=1).reshape(2 * K2, N)
+    wn = leaf["codebook"].astype(jnp.float32)[q]
+    G = leaf["scales"].shape[0]
+    s = jnp.repeat(leaf["scales"].astype(jnp.float32),
+                   (2 * K2) // G, axis=0)
+    return (wn * s).astype(compute_dtype)
+
+
 def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     """Production entry point used by ops/linear.py."""
     if "mx_scale" in leaf:  # OCP microscaling (MXFP4/MXFP8)
@@ -99,6 +112,9 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     if "wscale" in leaf:  # dynamic activation quant (W8A8 int8 / fp8)
         from vllm_tpu.quant.online import w8a8_matmul
         return w8a8_matmul(x, leaf)
+    if "codebook" in leaf:  # NF4 (bnb-class) codebook weights
+        w = dequant_nf4_xla(leaf, x.dtype)
+        return jnp.dot(x, w, preferred_element_type=x.dtype)
     from vllm_tpu.ops.dispatch import attention_backend
     x_k = x.shape[-1]
     if (attention_backend() == "pallas" and leaf["qweight"].dtype

@@ -92,6 +92,43 @@ def _quant_weight_low_bit(w: np.ndarray, bits: int,
     }
 
 
+# bitsandbytes NF4 codebook: the 16 "normal-float" levels (zero-
+# centered quantiles of N(0,1), normalized to [-1, 1]) — ref analog:
+# the bnb 4-bit path (vllm/model_executor/layers/quantization/
+# bitsandbytes.py); here as an ONLINE weight format over per-block
+# absmax scaling, served via the same codebook-dequant machinery as
+# the tq KV formats.
+NF4_LEVELS = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534,
+    0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
+    0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0,
+], np.float32)
+
+
+def _quant_weight_nf4(w: np.ndarray, block: int = 64) -> dict:
+    """bnb-style NF4: per-block absmax scale, nearest NF4 level,
+    nibble-packed (2/byte, K-major pairs). Leaf carries the codebook
+    so dequant is a 16-entry lookup (quant/kernels.py nf4 path)."""
+    K, N = w.shape
+    assert K % block == 0 and K % 2 == 0
+    wb = w.reshape(K // block, block, N)
+    absmax = np.abs(wb).max(axis=1)
+    scale = np.where(absmax > 0, absmax, 1.0).astype(np.float32)
+    normed = wb / scale[:, None]
+    # Nearest codebook level (levels sorted: midpoint thresholds).
+    mids = (NF4_LEVELS[1:] + NF4_LEVELS[:-1]) / 2
+    q = np.searchsorted(mids, normed.reshape(K, N)).astype(np.uint8)
+    q2 = q.reshape(K // 2, 2, N)
+    packed = (q2[:, 0] | (q2[:, 1] << 4)).astype(np.uint8)
+    return {
+        "qweight": packed,
+        "scales": jnp.asarray(scale),
+        "codebook": jnp.asarray(NF4_LEVELS),
+    }
+
+
 def quantize_params_online(params: dict, method: str) -> dict:
     """Replace dense linear leaves with quantized ones (in place)."""
     n = 0
@@ -122,6 +159,11 @@ def quantize_params_online(params: dict, method: str) -> dict:
                 q, s = _quant_weight_fp8(w)
                 leaf["qweight"] = jnp.asarray(q)
                 leaf["wscale"] = jnp.asarray(s)
+            elif method == "nf4":
+                for k2, v2 in _quant_weight_nf4(w).items():
+                    leaf[k2] = (jnp.asarray(v2)
+                                if not hasattr(v2, "dtype") or
+                                isinstance(v2, np.ndarray) else v2)
             elif method in ("int2", "int3"):
                 bits = int(method[-1])
                 for k2, v2 in _quant_weight_low_bit(w, bits).items():
