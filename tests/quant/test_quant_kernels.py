@@ -95,3 +95,38 @@ def test_desc_act_pallas_path_matches_xla():
                        leaf["zbias"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_w4a16_sym_no_zbias():
+    """Symmetric fast path: zbias=None must equal the explicit
+    zb = -8*s leaf (the plane prepare_weights drops)."""
+    rng = np.random.default_rng(5)
+    leaf, w_ref = make_leaf(rng, 256, 128, 4, sym=True)
+    assert np.allclose(np.asarray(leaf["zbias"]),
+                       -8.0 * np.asarray(leaf["scales"]))
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    ref = np.asarray(
+        w4a16_matmul(x, leaf["qweight"], leaf["scales"], leaf["zbias"],
+                     interpret=True))
+    got = np.asarray(
+        w4a16_matmul(x, leaf["qweight"], leaf["scales"], None,
+                     interpret=True))
+    # (y - 136*xs)*s vs y*s + xs*(zb - 128*s): same math, different
+    # f32 rounding order.
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_weights_drops_sym_zbias(monkeypatch):
+    """prepare_weights detects zeros==8 symmetry and deletes the zbias
+    plane; the XLA fallback reconstructs it."""
+    import vllm_tpu.ops.dispatch as dispatch
+    from vllm_tpu.quant.kernels import prepare_weights
+    monkeypatch.setattr(dispatch, "attention_backend", lambda: "pallas")
+    rng = np.random.default_rng(6)
+    sym_leaf, w_sym = make_leaf(rng, 256, 256, 4, sym=True)
+    asym_leaf, w_asym = make_leaf(rng, 256, 256, 4, sym=False)
+    out = prepare_weights({"a": sym_leaf, "b": asym_leaf})
+    assert "zbias" not in out["a"]
+    assert "zbias" in out["b"]
+    w = np.asarray(dequant_weight_xla(out["a"], jnp.float32))
+    np.testing.assert_allclose(w, w_sym, rtol=1e-2, atol=2e-3)

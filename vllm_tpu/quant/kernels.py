@@ -63,7 +63,10 @@ def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the bf16 weight [K, N] (reference path)."""
     qw = leaf["qweight"]
     scales = leaf["scales"]
-    zbias = leaf["zbias"]
+    # Symmetric leaves (prepare_weights drops the plane) => zb = -8*s.
+    zbias = leaf.get("zbias")
+    if zbias is None:
+        zbias = -8.0 * scales.astype(jnp.float32)
     if qw.ndim == 4:  # tile-major prepack (pallas_w4a16.prepack_tiled)
         from vllm_tpu.quant.pallas_w4a16 import unpack_tiled
         qw = unpack_tiled(qw)
@@ -129,7 +132,7 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         out = w4a16_matmul(x2, leaf["qweight"], leaf["scales"],
-                           leaf["zbias"])
+                           leaf.get("zbias"))
         return out.reshape(*orig_shape[:-1], out.shape[-1])
     return quantized_matmul_xla(x, leaf)
 
@@ -180,8 +183,23 @@ def prepare_weights(params):
                     # decode weight bytes at f32; bf16 halves that for
                     # ~0.4% relative scale error (small next to the
                     # int4 grid). The kernel upcasts in the epilogue.
+                    # Symmetric checkpoints (GPTQ/AutoRound sym=true:
+                    # all zeros == 8 => zbias == -8*scales exactly; the
+                    # loader's -zeros*scales and the *8 here are both
+                    # exact in f32) drop the zbias plane entirely — it
+                    # is never streamed; the kernel folds -8*s into its
+                    # epilogue constant. ~2.7% of the decode step's HBM
+                    # bytes at 8B INT4. Checked BEFORE the bf16 scale
+                    # cast (the identity holds in the checkpoint dtype).
+                    if "zbias" in node and bool(
+                            jnp.all(node["zbias"] == -8.0 *
+                                    node["scales"].astype(
+                                        node["zbias"].dtype))):
+                        del node["zbias"]
                     node["scales"] = node["scales"].astype(jnp.bfloat16)
-                    node["zbias"] = node["zbias"].astype(jnp.bfloat16)
+                    if "zbias" in node:
+                        node["zbias"] = node["zbias"].astype(
+                            jnp.bfloat16)
             elif (qw is not None
                   and getattr(qw, "dtype", None) == jnp.uint8
                   and qw.ndim == 3 and qw.shape[1] % 128 == 0

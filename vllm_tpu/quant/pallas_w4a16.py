@@ -102,16 +102,23 @@ def pick_bt(T: int) -> int:
     return min(256, max(8, 1 << (T - 1).bit_length()))
 
 
-def pick_gsup(G: int, bn: int, bt: int) -> int:
+def pick_gsup(G: int, bn: int, bt: int, n_n: int = 1) -> int:
     """Groups per grid step: fatter weight DMAs / fewer grid steps,
-    bounded so the double-buffered weight+x blocks stay in VMEM
-    (bn=6144 decode -> 4 groups = one contiguous 1.5MB read; gsup=8
-    was measured neutral-to-worse on v5e — the 1.5MB bursts already
-    saturate the stream, and halving grid steps bought nothing)."""
-    for g in (4, 2, 1):
-        if G % g == 0 and g * (BROWS * bn + bt * BK * 2) <= (2 << 20):
-            return g
-    return 1
+    bounded two ways (r5 retune, measured per-shape on v5e):
+    - double-buffered weight+x blocks stay in scoped VMEM;
+    - the TOTAL grid (n_n * G/gsup) keeps >= 8 steps, so the pipeline
+      prologue/epilogue bubbles stay a small fraction. gsup=8 was
+      +2.7% on long-pipeline shapes (gate_up/down/lm_head) but -9% on
+      short ones (qkv/o: 4 steps) — the r4 "gsup=8 neutral-to-worse"
+      negative only holds when it shortens the pipeline below ~8."""
+    best = 1
+    for g in (8, 4, 2, 1):
+        if G % g == 0 and g * (BROWS * bn + bt * BK * 2) <= (4 << 20):
+            if best == 1:
+                best = g  # largest VMEM-feasible (fallback)
+            if n_n * (G // g) >= 8:
+                return g
+    return best
 
 
 def prepack_tiled(qweight: jax.Array, bn: int) -> jax.Array:
@@ -132,7 +139,7 @@ def prepack_tiled(qweight: jax.Array, bn: int) -> jax.Array:
 def unpack_tiled(tiled: jax.Array) -> jax.Array:
     """Inverse of prepack_tiled -> canonical half-split [K/2, N]."""
     n_n, G, brows, bn = tiled.shape
-    p = tiled.transpose(1, 2, 0, 3)  # [G, BROWS, N]
+    p = tiled.transpose(1, 2, 0, 3).reshape(G, brows, n_n * bn)
     q = (p[:, _ROW] >> _SHIFT[None, :, None]) & 0xF  # [G, BK, N]
     K = G * BK
     q = q.reshape(K, n_n * bn)
@@ -193,9 +200,15 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
                                 preferred_element_type=jnp.float32)
         xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
         s = s_ref[0, j:j + 1].astype(jnp.float32)  # [1, bn]
-        zb = zb_ref[0, j:j + 1].astype(jnp.float32)
-        # w = 128 + q  =>  x@q = y - 128*xs: fold into the zero-bias.
-        acc += y * s + xs * (zb - 128.0 * s)
+        if zb_ref is None:
+            # Symmetric checkpoint (zeros == 8 => zb = -8*s, detected
+            # at prepare_weights): the zbias plane is never stored or
+            # streamed. w = 128 + q => x@(q-8) = y - 136*xs.
+            acc += (y - 136.0 * xs) * s
+        else:
+            zb = zb_ref[0, j:j + 1].astype(jnp.float32)
+            # w = 128 + q  =>  x@q = y - 128*xs: fold into the zero-bias.
+            acc += y * s + xs * (zb - 128.0 * s)
     acc_ref[...] += acc
 
     @pl.when(k == n_k - 1)
@@ -203,12 +216,16 @@ def _kernel(x_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _kernel_sym(x_ref, qw_ref, s_ref, out_ref, acc_ref, **kw):
+    _kernel(x_ref, qw_ref, s_ref, None, out_ref, acc_ref, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", ))
 def w4a16_matmul(
     x: jax.Array,  # [T, K] bf16/f32
     qweight: jax.Array,  # [n_n, G, BROWS, bn] prepacked (or [K/2, N])
     scales: jax.Array,  # [K//128, N]
-    zbias: jax.Array,  # [K//128, N]
+    zbias: jax.Array | None = None,  # [K//128, N]; None => zb = -8*s
     interpret: bool = False,
 ) -> jax.Array:
     T, K = x.shape
@@ -223,7 +240,7 @@ def w4a16_matmul(
     assert G2 == G
     N = n_n * bn
     n_t = cdiv(T, bt)
-    gsup = pick_gsup(G, bn, bt)
+    gsup = pick_gsup(G, bn, bt, n_n)
     n_kg = G // gsup
 
     # Leading-indexed scale layout: pipeline indexes only the untiled
@@ -231,23 +248,25 @@ def w4a16_matmul(
     # dtype passes through: prepare_weights ships bf16 scales (halves
     # ~19% of the weight stream); the kernel upcasts in the epilogue.
     s3 = scales.reshape(n_kg, gsup, N)
-    zb3 = zbias.reshape(n_kg, gsup, N)
-
+    sym = zbias is None
+    scale_spec = pl.BlockSpec((1, gsup, bn), lambda t, n, k: (k, 0, n),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bt, gsup * BK), lambda t, n, k: (t, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, gsup, BROWS, bn),
+                     lambda t, n, k: (n, k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        scale_spec,
+    ] + ([] if sym else [scale_spec])
+    args = ((_pad_rows(x, n_t * bt), qweight, s3) if sym else
+            (_pad_rows(x, n_t * bt), qweight, s3,
+             zbias.reshape(n_kg, gsup, N)))
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_kg, gsup=gsup,
-                          interpret=interpret),
+        functools.partial(_kernel_sym if sym else _kernel, n_k=n_kg,
+                          gsup=gsup, interpret=interpret),
         grid=(n_t, n_n, n_kg),
-        in_specs=[
-            pl.BlockSpec((bt, gsup * BK), lambda t, n, k: (t, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsup, BROWS, bn),
-                         lambda t, n, k: (n, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsup, bn), lambda t, n, k: (k, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gsup, bn), lambda t, n, k: (k, 0, n),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, bn), lambda t, n, k: (t, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_t * bt, N), x.dtype),
@@ -260,7 +279,7 @@ def w4a16_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(_pad_rows(x, n_t * bt), qweight, s3, zb3)
+    )(*args)
     return out[:T]
 
 
