@@ -119,8 +119,15 @@ def _kernel(
     max_blocks: int,
     sliding_window: int | None,
     logit_softcap: float | None,
+    fused: bool = False,
     interpret: bool = False,
 ):
+    # fused=True (HG == KH, the GQA common case): K and V planes of a
+    # block are one contiguous [2KH, bs, Dp] slab — ONE DMA fetches
+    # both (halves descriptor issues + waits; the decode chain was
+    # scalar-core-bound at the bench shape: ~0.4 us/superstep of
+    # issue/wait overhead). k_buf then holds both plane sets
+    # ([RING, 2HG, F*bs, Dp]); v_buf is a dummy.
     t = pl.program_id(0)
     hg = pl.program_id(1)
     head0 = hg * HG  # first K-plane slot of this group (V at KH +)
@@ -142,20 +149,29 @@ def _kernel(
     D = q_ref.shape[-1]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
 
-    def dmas(slot, p):
+    def dmas(slot, p, for_wait=False):
         """K+V slab copies for superstep p (= iter * RB + r), each
         gated on the block actually existing for its row — a short row
         in a long batch otherwise streams up to F-1 garbage blocks per
-        superstep (measured 60% KV overfetch at the bench shape)."""
+        superstep (measured 60% KV overfetch at the bench shape).
+        for_wait=True builds shape-identical copy objects with STATIC
+        src addresses (a wait only needs the semaphore + byte count —
+        skip the block-table load + address arithmetic)."""
         it = p // RB
         r = p % RB
         nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
         cps = []
         for f in range(F):
             blk = it * F + f
-            bidx = jnp.minimum(blk, max_blocks - 1)
-            bid = bt_ref[row0 + r, bidx]
+            bidx = 0 if for_wait else jnp.minimum(blk, max_blocks - 1)
+            bid = 0 if for_wait else bt_ref[row0 + r, bidx]
             sub = pl.ds(f * block_size, block_size)
+            if fused:
+                cps.append((pltpu.make_async_copy(
+                    kv_hbm.at[bid],
+                    k_buf.at[slot, :, sub, :], sems.at[slot, f, 0]),
+                    blk < nblk_r))
+                continue
             cps.append((pltpu.make_async_copy(
                 kv_hbm.at[bid, pl.ds(head0, HG)],
                 k_buf.at[slot, :, sub, :], sems.at[slot, f, 0]),
@@ -173,7 +189,7 @@ def _kernel(
                 cp.start()
 
     def wait(slot, p):
-        for cp, cond in dmas(slot, p):
+        for cp, cond in dmas(slot, p, for_wait=True):
             @pl.when(cond)
             def _(cp=cp):
                 cp.wait()
@@ -208,12 +224,14 @@ def _kernel(
             def _(r=r, slot=slot_h):
                 sub = pl.ds((last_blks[r] % F) * block_size, block_size)
                 for h in range(HG):
+                    vrow = HG + h if fused else h
                     ktile = k_buf[slot, h, sub, :]
                     k_buf[slot, h, sub, :] = jnp.where(
                         row_iota == offs[r],
                         new_kv_ref[r, h, :][None, :], ktile)
-                    vtile = v_buf[slot, h, sub, :]
-                    v_buf[slot, h, sub, :] = jnp.where(
+                    vbuf = k_buf if fused else v_buf
+                    vtile = vbuf[slot, vrow, sub, :]
+                    vbuf[slot, vrow, sub, :] = jnp.where(
                         row_iota == offs[r],
                         new_kv_ref[r, HG + h, :][None, :], vtile)
                 # Stage the modified tiles and write back ASYNC —
@@ -221,17 +239,23 @@ def _kernel(
                 # program (the staging copy decouples the ring slot,
                 # which the next superstep refills); the matching
                 # waits run once after the flash loop.
-                wk_buf[r] = k_buf[slot, :, sub, :]
-                wv_buf[r] = v_buf[slot, :, sub, :]
                 bid = bt_ref[row0 + r, last_blks[r]]
-                pltpu.make_async_copy(
-                    wk_buf.at[r],
-                    kv_out.at[bid, pl.ds(head0, HG)],
-                    wsem.at[r, 0]).start()
-                pltpu.make_async_copy(
-                    wv_buf.at[r],
-                    kv_out.at[bid, pl.ds(KH + head0, HG)],
-                    wsem.at[r, 1]).start()
+                if fused:
+                    wk_buf[r] = k_buf[slot, :, sub, :]
+                    pltpu.make_async_copy(
+                        wk_buf.at[r], kv_out.at[bid],
+                        wsem.at[r, 0]).start()
+                else:
+                    wk_buf[r] = k_buf[slot, :, sub, :]
+                    wv_buf[r] = v_buf[slot, :, sub, :]
+                    pltpu.make_async_copy(
+                        wk_buf.at[r],
+                        kv_out.at[bid, pl.ds(head0, HG)],
+                        wsem.at[r, 0]).start()
+                    pltpu.make_async_copy(
+                        wv_buf.at[r],
+                        kv_out.at[bid, pl.ds(KH + head0, HG)],
+                        wsem.at[r, 1]).start()
 
             # All HG heads of this row in ONE pair of MXU dots:
             # scores [HG*G, HG*FS] = q_all @ K_all^T with a block-
@@ -261,13 +285,19 @@ def _kernel(
                 # rides q for the score dot and p_ for the output dot,
                 # never applied after a dot: FTZ flushes denormal MXU
                 # products).
+                vbuf, voff = (k_buf, HG) if fused else (v_buf, 0)
                 k_all = jnp.concatenate(
                     [e4m3_quad_bf16(k_buf[slot_h, h], interpret)
                      for h in range(HG)], axis=0).astype(q_all.dtype)
                 v_all = jnp.concatenate(
-                    [e4m3_quad_bf16(v_buf[slot_h, h], interpret)
+                    [e4m3_quad_bf16(vbuf[slot_h, voff + h], interpret)
                      for h in range(HG)], axis=0).astype(q_all.dtype)
                 q_all = q_all * jnp.asarray(E4M3_MAG_FIX, q_all.dtype)
+            elif fused:
+                k_all = k_buf[slot_h, :HG].reshape(
+                    HG * FS, D).astype(q_all.dtype)
+                v_all = k_buf[slot_h, HG:].reshape(
+                    HG * FS, D).astype(q_all.dtype)
             else:
                 k_all = k_buf[slot_h].reshape(HG * FS,
                                               D).astype(q_all.dtype)
@@ -304,16 +334,20 @@ def _kernel(
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
     for r in range(RB):
-        # Drain this row's (conditional) write-back before returning.
+        # Drain this row's (conditional) write-back before returning
+        # (static-address wait objects: sem + byte count suffice).
         @pl.when(seq_lens[r] > 0)
         def _(r=r):
-            bid = bt_ref[row0 + r, last_blks[r]]
-            pltpu.make_async_copy(
-                wk_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
-                wsem.at[r, 0]).wait()
-            pltpu.make_async_copy(
-                wv_buf.at[r], kv_out.at[bid, pl.ds(KH + head0, HG)],
-                wsem.at[r, 1]).wait()
+            if fused:
+                pltpu.make_async_copy(
+                    wk_buf.at[r], kv_out.at[0], wsem.at[r, 0]).wait()
+            else:
+                pltpu.make_async_copy(
+                    wk_buf.at[r], kv_out.at[0, pl.ds(head0, HG)],
+                    wsem.at[r, 0]).wait()
+                pltpu.make_async_copy(
+                    wv_buf.at[r], kv_out.at[0, pl.ds(KH + head0, HG)],
+                    wsem.at[r, 1]).wait()
         m, l, acc = final[r]
         out = acc / jnp.where(l == 0.0, 1.0, l)
         o_ref[r, :, :] = out.astype(o_ref.dtype)
@@ -354,6 +388,7 @@ def _qkernel(
     logit_softcap: float | None,
     packed: bool = False,
     levels: tuple | None = None,
+    fused: bool = False,
     interpret: bool = False,
 ):
     """Per-token-head quantized variant of _kernel — same multi-block
@@ -395,7 +430,9 @@ def _qkernel(
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1)
 
-    def dmas(slot, p):
+    def dmas(slot, p, for_wait=False):
+        # for_wait=True: static-address copy objects (wait needs only
+        # the semaphore + byte count; skip bt_ref loads + addressing).
         it = p // RB
         r = p % RB
         nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
@@ -403,11 +440,20 @@ def _qkernel(
         for f in range(F):
             blk = it * F + f
             cond = blk < nblk_r
-            bidx = jnp.minimum(blk, max_blocks - 1)
-            bid = bt_ref[row0 + r, bidx]
+            if for_wait:
+                bid = 0
+            else:
+                bidx = jnp.minimum(blk, max_blocks - 1)
+                bid = bt_ref[row0 + r, bidx]
             if packed:
                 cps.append((pltpu.make_async_copy(
                     kv_hbm.at[bid, pl.ds(head0, HG)],
+                    data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
+            elif fused:
+                # HG == KH: the whole [2KH, bs, Dp] K+V slab in ONE
+                # DMA (halves descriptor issues + waits).
+                cps.append((pltpu.make_async_copy(
+                    kv_hbm.at[bid],
                     data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
             else:
                 cps.append((pltpu.make_async_copy(
@@ -428,7 +474,7 @@ def _qkernel(
                 cp.start()
 
     def wait(slot, p):
-        for cp, cond in dmas(slot, p):
+        for cp, cond in dmas(slot, p, for_wait=True):
             @pl.when(cond)
             def _(cp=cp):
                 cp.wait()
@@ -534,11 +580,13 @@ def _qkernel(
                     else:
                         kq, k_sc = _quant_row(kf)
                         vq, v_sc = _quant_row(vf)
+                        vbuf = data_buf if fused else v_buf
+                        vrow = KH + h if fused else h
                         ktile = data_buf[slot, fl, h]
                         data_buf[slot, fl, h] = jnp.where(
                             row_iota == offs[r], kq, ktile)
-                        vtile = v_buf[slot, fl, h]
-                        v_buf[slot, fl, h] = jnp.where(
+                        vtile = vbuf[slot, fl, vrow]
+                        vbuf[slot, fl, vrow] = jnp.where(
                             row_iota == offs[r], vq, vtile)
                     k_srow = jnp.where(lane_iota == lane, k_sc, k_srow)
                     v_srow = jnp.where(lane_iota == lane, v_sc, v_srow)
@@ -551,9 +599,11 @@ def _qkernel(
                 ws_buf[r] = s_buf[slot, fl]
                 bid = bt_ref[row0 + r, last_blks[r]]
                 pltpu.make_async_copy(
-                    wd_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
+                    wd_buf.at[r],
+                    kv_out.at[bid] if fused else
+                    kv_out.at[bid, pl.ds(head0, HG)],
                     wsem.at[r, 0]).start()
-                if not packed:
+                if not packed and not fused:
                     wv_buf[r] = v_buf[slot, fl]
                     pltpu.make_async_copy(
                         wv_buf.at[r],
@@ -604,10 +654,16 @@ def _qkernel(
                     v_all = (pltpu.bitcast(v_i | 0x4B000000, jnp.float32)
                              - (8388608.0 + 8.0)).astype(q_all.dtype)
             elif qdtype == jnp.int8:
-                k_all = int8_to_f32(
-                    data_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
-                v_all = int8_to_f32(
-                    v_buf[slot_h].reshape(N, D)).astype(q_all.dtype)
+                if fused:
+                    k_all = int8_to_f32(data_buf[slot_h, :, :KH].reshape(
+                        N, D)).astype(q_all.dtype)
+                    v_all = int8_to_f32(data_buf[slot_h, :, KH:].reshape(
+                        N, D)).astype(q_all.dtype)
+                else:
+                    k_all = int8_to_f32(data_buf[slot_h].reshape(
+                        N, D)).astype(q_all.dtype)
+                    v_all = int8_to_f32(v_buf[slot_h].reshape(
+                        N, D)).astype(q_all.dtype)
             else:
                 # fp8: quad-byte magnitude decode per (block, head)
                 # tile (fp8.py e4m3_quad_bf16; ~3.5x fewer VPU ops
@@ -616,12 +672,13 @@ def _qkernel(
                 # 2**120 rides q (scores) and s_v (output dot) — on
                 # an *operand*, never after a dot (FTZ flushes
                 # denormal products).
+                vbuf, voff = (data_buf, KH) if fused else (v_buf, 0)
                 k_all = jnp.concatenate([
                     e4m3_quad_bf16(data_buf[slot_h, f, h], interpret)
                     for f in range(F) for h in range(HG)
                 ], axis=0).astype(q_all.dtype)
                 v_all = jnp.concatenate([
-                    e4m3_quad_bf16(v_buf[slot_h, f, h], interpret)
+                    e4m3_quad_bf16(vbuf[slot_h, f, voff + h], interpret)
                     for f in range(F) for h in range(HG)
                 ], axis=0).astype(q_all.dtype)
                 q_all = q_all * jnp.asarray(E4M3_MAG_FIX, q_all.dtype)
@@ -656,19 +713,21 @@ def _qkernel(
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
     for r in range(RB):
+        # Static-address wait objects (sem + byte count suffice).
         @pl.when(seq_lens[r] > 0)
         def _(r=r):
-            bid = bt_ref[row0 + r, last_blks[r]]
             pltpu.make_async_copy(
-                wd_buf.at[r], kv_out.at[bid, pl.ds(head0, HG)],
+                wd_buf.at[r],
+                kv_out.at[0] if fused else
+                kv_out.at[0, pl.ds(head0, HG)],
                 wsem.at[r, 0]).wait()
-            if not packed:
+            if not packed and not fused:
                 pltpu.make_async_copy(
                     wv_buf.at[r],
-                    kv_out.at[bid, pl.ds(KH + head0, HG)],
+                    kv_out.at[0, pl.ds(KH + head0, HG)],
                     wsem.at[r, 1]).wait()
             pltpu.make_async_copy(
-                ws_buf.at[r], sc_out.at[bid], wsem.at[r, 2]).wait()
+                ws_buf.at[r], sc_out.at[0], wsem.at[r, 2]).wait()
         m, l, acc = final[r]
         out = acc / jnp.where(l == 0.0, 1.0, l)
         o_ref[r, :, :] = out.astype(o_ref.dtype)
@@ -742,6 +801,7 @@ def decode_paged_attention(
     new_kv = new_kv.astype(kv_cache.dtype)
 
     F = F_BLOCKS
+    fused = HG == KH  # one DMA fetches the contiguous K+V slab
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R // RB, n_hg),
@@ -758,10 +818,14 @@ def decode_paged_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
-            pltpu.VMEM((RING, HG, F * block_size, Dp), kv_cache.dtype),
-            pltpu.VMEM((RB, HG, block_size, Dp), kv_cache.dtype),
-            pltpu.VMEM((RB, HG, block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RING, 2 * HG if fused else HG,
+                        F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((1, 1, 1, 1) if fused else
+                       (RING, HG, F * block_size, Dp), kv_cache.dtype),
+            pltpu.VMEM((RB, 2 * HG if fused else HG, block_size, Dp),
+                       kv_cache.dtype),
+            pltpu.VMEM((1, 1, 1, 1) if fused else
+                       (RB, HG, block_size, Dp), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((RING, F, 2)),
             pltpu.SemaphoreType.DMA((RB, 2)),
         ],
@@ -773,7 +837,7 @@ def decode_paged_attention(
                           max_blocks=block_tables.shape[1],
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap,
-                          interpret=interpret),
+                          fused=fused, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, H, Dp), q.dtype),
@@ -824,15 +888,19 @@ def _decode_quant(
               TQ4_LEVELS if kv_cache.codebook.shape[0] == 16 else
               TQ3_LEVELS)
 
+    fused = (not packed) and HG == KH  # one DMA per K+V block slab
     scratch = [
-        pltpu.VMEM((RING, F, HG, block_size, Dp), data.dtype),
-        # v_buf is unused for packed modes (K|V share a byte plane);
-        # a minimal dummy keeps the kernel signature uniform.
-        pltpu.VMEM((1, 1) if packed else
+        pltpu.VMEM((RING, F, 2 * HG if fused else HG, block_size, Dp),
+                   data.dtype),
+        # v_buf is unused for packed modes (K|V share a byte plane)
+        # and for fused (V rides in data_buf's upper planes); a
+        # minimal dummy keeps the kernel signature uniform.
+        pltpu.VMEM((1, 1) if (packed or fused) else
                    (RING, F, HG, block_size, Dp), data.dtype),
         pltpu.VMEM((RING, F, SUB, SL), jnp.float32),
-        pltpu.VMEM((RB, HG, block_size, Dp), data.dtype),
-        pltpu.VMEM((1, 1) if packed else
+        pltpu.VMEM((RB, 2 * HG if fused else HG, block_size, Dp),
+                   data.dtype),
+        pltpu.VMEM((1, 1) if (packed or fused) else
                    (RB, HG, block_size, Dp), data.dtype),
         pltpu.VMEM((RB, SUB, SL), jnp.float32),
         pltpu.SemaphoreType.DMA((RING, F, 3)),
@@ -865,7 +933,7 @@ def _decode_quant(
                           sliding_window=sliding_window,
                           logit_softcap=logit_softcap,
                           packed=packed, levels=levels,
-                          interpret=interpret),
+                          fused=fused, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((R, H, Dp), q.dtype),
