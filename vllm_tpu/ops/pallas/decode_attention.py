@@ -149,22 +149,23 @@ def _kernel(
     D = q_ref.shape[-1]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
 
-    def dmas(slot, p, for_wait=False):
-        """K+V slab copies for superstep p (= iter * RB + r), each
-        gated on the block actually existing for its row — a short row
-        in a long batch otherwise streams up to F-1 garbage blocks per
-        superstep (measured 60% KV overfetch at the bench shape).
+    def dmas(slot, p, row0_, head0_, for_wait=False):
+        """K+V slab copies for superstep p (= iter * RB + r) of the
+        program owning (row0_, head0_), each gated on the block
+        actually existing for its row — a short row in a long batch
+        otherwise streams up to F-1 garbage blocks per superstep
+        (measured 60% KV overfetch at the bench shape).
         for_wait=True builds shape-identical copy objects with STATIC
         src addresses (a wait only needs the semaphore + byte count —
         skip the block-table load + address arithmetic)."""
         it = p // RB
         r = p % RB
-        nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
+        nblk_r = pl.cdiv(seq_lens_ref[row0_ + r], block_size)
         cps = []
         for f in range(F):
             blk = it * F + f
             bidx = 0 if for_wait else jnp.minimum(blk, max_blocks - 1)
-            bid = 0 if for_wait else bt_ref[row0 + r, bidx]
+            bid = 0 if for_wait else bt_ref[row0_ + r, bidx]
             sub = pl.ds(f * block_size, block_size)
             if fused:
                 cps.append((pltpu.make_async_copy(
@@ -173,29 +174,66 @@ def _kernel(
                     blk < nblk_r))
                 continue
             cps.append((pltpu.make_async_copy(
-                kv_hbm.at[bid, pl.ds(head0, HG)],
+                kv_hbm.at[bid, pl.ds(head0_, HG)],
                 k_buf.at[slot, :, sub, :], sems.at[slot, f, 0]),
                 blk < nblk_r))
             cps.append((pltpu.make_async_copy(
-                kv_hbm.at[bid, pl.ds(KH + head0, HG)],
+                kv_hbm.at[bid, pl.ds(KH + head0_, HG)],
                 v_buf.at[slot, :, sub, :], sems.at[slot, f, 1]),
                 blk < nblk_r))
         return cps
 
-    def start(slot, p):
-        for cp, cond in dmas(slot, p):
+    def start(slot, p, row0_=None, head0_=None):
+        row0_ = row0 if row0_ is None else row0_
+        head0_ = head0 if head0_ is None else head0_
+        for cp, cond in dmas(slot, p, row0_, head0_):
             @pl.when(cond)
             def _(cp=cp):
                 cp.start()
 
     def wait(slot, p):
-        for cp, cond in dmas(slot, p, for_wait=True):
+        for cp, cond in dmas(slot, p, row0, head0, for_wait=True):
             @pl.when(cond)
             def _(cp=cp):
                 cp.wait()
 
+    def first_for(row0_):
+        if sliding_window is None:
+            return 0
+        fs = [jnp.maximum(seq_lens_ref[row0_ + r] - sliding_window, 0)
+              // FS for r in range(RB)]
+        return functools.reduce(jnp.minimum, fs)
+
     total = nit_max * RB
     p0 = first * RB
+
+    # Cross-program prefetch (needs RB == RING for slot continuity):
+    # each program starts the NEXT program's first RING supersteps as
+    # its own ring winds down, so no program but the first ever stalls
+    # on a cold DMA ring (measured ~9 us/call of per-program warmup
+    # stalls at the bench shape: 8 sequential programs x first-DMA
+    # latency). Non-first programs skip their own warmup — by
+    # induction their first RING supersteps are already in flight
+    # (a program whose rows are all empty issues nothing, but then
+    # its successor's gated waits are no-ops too: empty rows never
+    # wait; the all-empty case is handled by the total==0 epilogue).
+    cross = RB == RING
+    n_tp = pl.num_programs(0)
+    n_hgp = pl.num_programs(1)
+    last_hg = hg == n_hgp - 1
+    next_row0 = jnp.minimum(jnp.where(last_hg, row0 + RB, row0),
+                            (n_tp - 1) * RB)
+    next_head0 = jnp.where(last_hg, 0, head0 + HG)
+    not_last = jnp.logical_not((t == n_tp - 1) & last_hg)
+    p0n = first_for(next_row0) * RB
+
+    def prefetch_next(k, q):
+        """Start next-program superstep p0n + q at slot k (== the slot
+        its wait will use: (p0n + q) % RING == q since p0n % RING == 0
+        when RB == RING)."""
+        @pl.when(not_last)
+        def _():
+            start(k, p0n + q, next_row0, next_head0)
 
     # Skipped slots must hold finite bits: masked probabilities are
     # exactly 0, but 0 x NaN (uninitialized VMEM) still poisons the
@@ -206,10 +244,18 @@ def _kernel(
         k_buf[...] = jnp.zeros_like(k_buf)
         v_buf[...] = jnp.zeros_like(v_buf)
 
-    for k in range(RING):
-        @pl.when(p0 + k < total)
-        def _(k=k):
-            start((p0 + k) % RING, p0 + k)
+    if cross:
+        @pl.when((t == 0) & (hg == 0))
+        def _():
+            for k in range(RING):
+                @pl.when(p0 + k < total)
+                def _(k=k):
+                    start((p0 + k) % RING, p0 + k)
+    else:
+        for k in range(RING):
+            @pl.when(p0 + k < total)
+            def _(k=k):
+                start((p0 + k) % RING, p0 + k)
 
     def body(it, carry):
         nc = list(carry)
@@ -223,17 +269,23 @@ def _kernel(
             @pl.when((it == last_blks[r] // F) & (seq_lens[r] > 0))
             def _(r=r, slot=slot_h):
                 sub = pl.ds((last_blks[r] % F) * block_size, block_size)
-                for h in range(HG):
-                    vrow = HG + h if fused else h
-                    ktile = k_buf[slot, h, sub, :]
-                    k_buf[slot, h, sub, :] = jnp.where(
-                        row_iota == offs[r],
-                        new_kv_ref[r, h, :][None, :], ktile)
-                    vbuf = k_buf if fused else v_buf
-                    vtile = vbuf[slot, vrow, sub, :]
-                    vbuf[slot, vrow, sub, :] = jnp.where(
-                        row_iota == offs[r],
-                        new_kv_ref[r, HG + h, :][None, :], vtile)
+                if fused:
+                    # One batched select over the whole [2HG, bs, Dp]
+                    # slab (the per-head loop was 2*HG small VPU ops).
+                    tile = k_buf[slot, :, sub, :]
+                    k_buf[slot, :, sub, :] = jnp.where(
+                        row_iota[None, :, :] == offs[r],
+                        new_kv_ref[r][:, None, :], tile)
+                else:
+                    for h in range(HG):
+                        ktile = k_buf[slot, h, sub, :]
+                        k_buf[slot, h, sub, :] = jnp.where(
+                            row_iota == offs[r],
+                            new_kv_ref[r, h, :][None, :], ktile)
+                        vtile = v_buf[slot, h, sub, :]
+                        v_buf[slot, h, sub, :] = jnp.where(
+                            row_iota == offs[r],
+                            new_kv_ref[r, HG + h, :][None, :], vtile)
                 # Stage the modified tiles and write back ASYNC —
                 # blocking here cost two DMA round trips per row per
                 # program (the staging copy decouples the ring slot,
@@ -310,8 +362,13 @@ def _kernel(
                 s = logit_softcap * jnp.tanh(s / logit_softcap)
             s = jnp.where(mask, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            # exp(-1e30 - m_new) == 0 exactly for any row that ever
+            # saw a valid column; rows that never do (seq 0 padding,
+            # pre-window supersteps) accumulate finite garbage that a
+            # later alpha = exp(-1e30 - m_real) = 0 wipes, or that the
+            # caller discards — the explicit zero-select was a full
+            # [rows, N] VPU pass per superstep.
             p_ = jnp.exp(s - m_new)
-            p_ = jnp.where(mask, p_, 0.0)
             alpha = jnp.exp(m - m_new)
             l_new = alpha * l + jnp.sum(p_, axis=1, keepdims=True)
             if fp8:
@@ -322,9 +379,18 @@ def _kernel(
                 preferred_element_type=jnp.float32)
             nc[r] = (m_new, l_new, acc_new)
 
-            @pl.when(p + RING < total)
-            def _(slot=slot_h, p=p):
-                start(slot, p + RING)
+            if cross:
+                @pl.when(p + RING < total)
+                def _(slot=slot_h, p=p):
+                    start(slot, p + RING)
+
+                @pl.when(p + RING >= total)
+                def _(slot=slot_h, p=p):
+                    prefetch_next(slot, p + RING - total)
+            else:
+                @pl.when(p + RING < total)
+                def _(slot=slot_h, p=p):
+                    start(slot, p + RING)
         return tuple(nc)
 
     row_head = jax.lax.broadcasted_iota(jnp.int32, (HG * G, 1), 0) // G
@@ -333,6 +399,13 @@ def _kernel(
          jnp.zeros((HG * G, 1), jnp.float32),
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
+    if cross:
+        # All-empty program (total == 0): the loop never ran, so keep
+        # the prefetch chain alive for the successor here.
+        @pl.when(total == 0)
+        def _():
+            for k in range(RING):
+                prefetch_next(k, k)
     for r in range(RB):
         # Drain this row's (conditional) write-back before returning
         # (static-address wait objects: sem + byte count suffice).
@@ -430,12 +503,12 @@ def _qkernel(
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SL), 1)
 
-    def dmas(slot, p, for_wait=False):
+    def dmas(slot, p, row0_, head0_, for_wait=False):
         # for_wait=True: static-address copy objects (wait needs only
         # the semaphore + byte count; skip bt_ref loads + addressing).
         it = p // RB
         r = p % RB
-        nblk_r = pl.cdiv(seq_lens_ref[row0 + r], block_size)
+        nblk_r = pl.cdiv(seq_lens_ref[row0_ + r], block_size)
         cps = []
         for f in range(F):
             blk = it * F + f
@@ -444,10 +517,10 @@ def _qkernel(
                 bid = 0
             else:
                 bidx = jnp.minimum(blk, max_blocks - 1)
-                bid = bt_ref[row0 + r, bidx]
+                bid = bt_ref[row0_ + r, bidx]
             if packed:
                 cps.append((pltpu.make_async_copy(
-                    kv_hbm.at[bid, pl.ds(head0, HG)],
+                    kv_hbm.at[bid, pl.ds(head0_, HG)],
                     data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
             elif fused:
                 # HG == KH: the whole [2KH, bs, Dp] K+V slab in ONE
@@ -457,30 +530,56 @@ def _qkernel(
                     data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
             else:
                 cps.append((pltpu.make_async_copy(
-                    kv_hbm.at[bid, pl.ds(head0, HG)],
+                    kv_hbm.at[bid, pl.ds(head0_, HG)],
                     data_buf.at[slot, f], sems.at[slot, f, 0]), cond))
                 cps.append((pltpu.make_async_copy(
-                    kv_hbm.at[bid, pl.ds(KH + head0, HG)],
+                    kv_hbm.at[bid, pl.ds(KH + head0_, HG)],
                     v_buf.at[slot, f], sems.at[slot, f, 1]), cond))
             cps.append((pltpu.make_async_copy(
                 sc_hbm.at[bid], s_buf.at[slot, f],
                 sems.at[slot, f, 2]), cond))
         return cps
 
-    def start(slot, p):
-        for cp, cond in dmas(slot, p):
+    def start(slot, p, row0_=None, head0_=None):
+        row0_ = row0 if row0_ is None else row0_
+        head0_ = head0 if head0_ is None else head0_
+        for cp, cond in dmas(slot, p, row0_, head0_):
             @pl.when(cond)
             def _(cp=cp):
                 cp.start()
 
     def wait(slot, p):
-        for cp, cond in dmas(slot, p, for_wait=True):
+        for cp, cond in dmas(slot, p, row0, head0, for_wait=True):
             @pl.when(cond)
             def _(cp=cp):
                 cp.wait()
 
+    def first_for(row0_):
+        if sliding_window is None:
+            return 0
+        fs = [jnp.maximum(seq_lens_ref[row0_ + r] - sliding_window, 0)
+              // FS for r in range(RB)]
+        return functools.reduce(jnp.minimum, fs)
+
     total = nit_max * RB
     p0 = first * RB
+
+    # Cross-program prefetch (see _kernel): kill the per-program DMA
+    # ring warmup stall. Requires RB == RING for slot continuity.
+    cross = RB == RING
+    n_tp = pl.num_programs(0)
+    n_hgp = pl.num_programs(1)
+    last_hg = hg == n_hgp - 1
+    next_row0 = jnp.minimum(jnp.where(last_hg, row0 + RB, row0),
+                            (n_tp - 1) * RB)
+    next_head0 = jnp.where(last_hg, 0, head0 + HG)
+    not_last = jnp.logical_not((t == n_tp - 1) & last_hg)
+    p0n = first_for(next_row0) * RB
+
+    def prefetch_next(k, q):
+        @pl.when(not_last)
+        def _():
+            start(k, p0n + q, next_row0, next_head0)
 
     # Finite-bits guarantee for skipped slots (see _kernel).
     @pl.when((t == 0) & (hg == 0))
@@ -490,10 +589,18 @@ def _qkernel(
             v_buf[...] = jnp.zeros_like(v_buf)
         s_buf[...] = jnp.zeros_like(s_buf)
 
-    for k in range(RING):
-        @pl.when(p0 + k < total)
-        def _(k=k):
-            start((p0 + k) % RING, p0 + k)
+    if cross:
+        @pl.when((t == 0) & (hg == 0))
+        def _():
+            for k in range(RING):
+                @pl.when(p0 + k < total)
+                def _(k=k):
+                    start((p0 + k) % RING, p0 + k)
+    else:
+        for k in range(RING):
+            @pl.when(p0 + k < total)
+            def _(k=k):
+                start((p0 + k) % RING, p0 + k)
 
     def _quant_plane(rowf):
         """Quantize one rotated [1, Dp] f32 row to nibble indices +
@@ -560,36 +667,57 @@ def _qkernel(
                 k_srow = s_buf[slot, fl, 0:1, :]
                 v_srow = s_buf[slot, fl, 1:2, :]
                 fp8 = qdtype == jnp.float8_e4m3fn and not packed
-                for h in range(HG):
-                    # fp8_pth stores scale lanes parity-split to match
-                    # the quad-byte decode's [evens; odds] emission
-                    # (kv_cache.parity_scale_lane).
-                    soff = (parity_scale_lane(offs[r], block_size)
-                            if fp8 else offs[r])
-                    lane = (head0 + h) * block_size + soff
-                    kf = new_kv_ref[r, h, :][None, :].astype(jnp.float32)
-                    vf = new_kv_ref[r, HG + h, :][None, :].astype(
-                        jnp.float32)
-                    if packed:
-                        k_i, k_sc = _quant_plane(kf)
-                        v_i, v_sc = _quant_plane(vf)
-                        byte = (k_i | (v_i << 4)).astype(jnp.uint8)
-                        tile = data_buf[slot, fl, h]
-                        data_buf[slot, fl, h] = jnp.where(
-                            row_iota == offs[r], byte, tile)
-                    else:
-                        kq, k_sc = _quant_row(kf)
-                        vq, v_sc = _quant_row(vf)
-                        vbuf = data_buf if fused else v_buf
-                        vrow = KH + h if fused else h
-                        ktile = data_buf[slot, fl, h]
-                        data_buf[slot, fl, h] = jnp.where(
-                            row_iota == offs[r], kq, ktile)
-                        vtile = vbuf[slot, fl, vrow]
-                        vbuf[slot, fl, vrow] = jnp.where(
-                            row_iota == offs[r], vq, vtile)
-                    k_srow = jnp.where(lane_iota == lane, k_sc, k_srow)
-                    v_srow = jnp.where(lane_iota == lane, v_sc, v_srow)
+                # fp8_pth stores scale lanes parity-split to match
+                # the quad-byte decode's [evens; odds] emission
+                # (kv_cache.parity_scale_lane).
+                soff = (parity_scale_lane(offs[r], block_size)
+                        if fp8 else offs[r])
+                if fused:
+                    # Batched inject: quantize all 2KH rows in one
+                    # pass and select into the whole [2KH, bs, Dp]
+                    # slab (the per-head loop was 2*HG small VPU ops
+                    # each — measured on the skeleton as a real share
+                    # of the per-call fixed cost).
+                    rows_f = new_kv_ref[r].astype(jnp.float32)
+                    qrows, srows = _quant_row(rows_f)  # [2KH, Dp]/[,1]
+                    tile = data_buf[slot, fl]
+                    data_buf[slot, fl] = jnp.where(
+                        row_iota[None, :, :] == offs[r],
+                        qrows[:, None, :], tile)
+                    for h in range(HG):
+                        lane = h * block_size + soff
+                        k_srow = jnp.where(lane_iota == lane,
+                                           srows[h:h + 1, 0:1], k_srow)
+                        v_srow = jnp.where(lane_iota == lane,
+                                           srows[KH + h:KH + h + 1,
+                                                 0:1], v_srow)
+                else:
+                    for h in range(HG):
+                        lane = (head0 + h) * block_size + soff
+                        kf = new_kv_ref[r, h, :][None, :].astype(
+                            jnp.float32)
+                        vf = new_kv_ref[r, HG + h, :][None, :].astype(
+                            jnp.float32)
+                        if packed:
+                            k_i, k_sc = _quant_plane(kf)
+                            v_i, v_sc = _quant_plane(vf)
+                            byte = (k_i | (v_i << 4)).astype(jnp.uint8)
+                            tile = data_buf[slot, fl, h]
+                            data_buf[slot, fl, h] = jnp.where(
+                                row_iota == offs[r], byte, tile)
+                        else:
+                            kq, k_sc = _quant_row(kf)
+                            vq, v_sc = _quant_row(vf)
+                            ktile = data_buf[slot, fl, h]
+                            data_buf[slot, fl, h] = jnp.where(
+                                row_iota == offs[r], kq, ktile)
+                            vtile = v_buf[slot, fl, h]
+                            v_buf[slot, fl, h] = jnp.where(
+                                row_iota == offs[r], vq, vtile)
+                        k_srow = jnp.where(lane_iota == lane, k_sc,
+                                           k_srow)
+                        v_srow = jnp.where(lane_iota == lane, v_sc,
+                                           v_srow)
                 s_buf[slot, fl, 0:1, :] = k_srow
                 s_buf[slot, fl, 1:2, :] = v_srow
                 # Stage + ASYNC write-back (see _kernel): the blocking
@@ -686,13 +814,20 @@ def _qkernel(
             s = jax.lax.dot_general(
                 q_all, k_all, (((1, ), (1, )), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = s * s_k * sm_scale  # dequant K on score columns
+            # dequant K on score columns; sm_scale folded into the
+            # [1, N] scale row (one fewer full-width VPU pass)
+            s = s * (s_k * sm_scale)
             if logit_softcap is not None:
                 s = logit_softcap * jnp.tanh(s / logit_softcap)
             s = jnp.where(mask, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            # exp(-1e30 - m_new) == 0 exactly for any row that ever
+            # saw a valid column; rows that never do (seq 0 padding,
+            # pre-window supersteps) accumulate finite garbage that a
+            # later alpha = exp(-1e30 - m_real) = 0 wipes, or that the
+            # caller discards — the explicit zero-select was a full
+            # [rows, N] VPU pass per superstep.
             p_ = jnp.exp(s - m_new)
-            p_ = jnp.where(mask, p_, 0.0)
             alpha = jnp.exp(m - m_new)
             l_new = alpha * l + jnp.sum(p_, axis=1, keepdims=True)
             acc_new = alpha * acc + jax.lax.dot_general(
@@ -712,6 +847,14 @@ def _qkernel(
          jnp.zeros((HG * G, 1), jnp.float32),
          jnp.zeros((HG * G, D), jnp.float32)) for _ in range(RB))
     final = jax.lax.fori_loop(first, nit_max, body, init)
+    if cross:
+        # All slots are consumed after the flash loop: issue the NEXT
+        # program's first RING supersteps here, in one batch — off the
+        # per-superstep critical path (the mid-loop variant measurably
+        # slowed this scalar-busier kernel), still ahead of the next
+        # program's first wait.
+        for k in range(RING):
+            prefetch_next(k, k)
     for r in range(RB):
         # Static-address wait objects (sem + byte count suffice).
         @pl.when(seq_lens[r] > 0)
