@@ -501,3 +501,82 @@ def test_unload_lora_roundtrip():
             if o.finished and o.request_id == rid2:
                 toks = o.outputs[0].token_ids
     assert len(toks) == 3
+
+
+def test_score_rerank_classify_endpoints():
+    """/score /v1/score /rerank /v1/rerank /classify over a tiny
+    cross-encoder (ref: entrypoints/pooling/{scoring,classify}/
+    api_router.py)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from vllm_tpu.models import bert
+
+    async def main():
+        from aiohttp.test_utils import TestClient, TestServer
+        cfg = EngineConfig(
+            model=ModelConfig(vocab_size=256, hidden_size=64,
+                              intermediate_size=128, num_layers=2,
+                              num_heads=4, num_kv_heads=4,
+                              max_model_len=64, dtype="float32",
+                              architecture="BertModel"),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=33),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4),
+        )
+        cfg.model.eos_token_ids = []
+        params = bert.random_params(cfg.model, seed=3)
+        rng = np.random.default_rng(0)
+        params["pooler"] = {
+            "weight": jnp.asarray(
+                rng.standard_normal((64, 64), np.float32) * 0.1),
+            "bias": jnp.zeros((64, ), jnp.float32),
+        }
+        params["classifier"] = {
+            "weight": jnp.asarray(
+                rng.standard_normal((64, 1), np.float32) * 0.1),
+            "bias": jnp.zeros((1, ), jnp.float32),
+        }
+        llm = AsyncLLM(cfg, params=params, tokenizer=None)
+        try:
+            app = OpenAIServer(llm, model_name="xenc").build_app()
+            async with TestClient(TestServer(app)) as client:
+                q = [5, 6, 7]
+                docs = [[10, 11, 12], [20, 21], [30]]
+                r = await client.post("/score", json={
+                    "text_1": [q] * 3, "text_2": docs})
+                assert r.status == 200
+                data = await r.json()
+                assert data["object"] == "list"
+                scores = [d["score"] for d in data["data"]]
+                assert len(scores) == 3
+                assert all(0.0 < s < 1.0 for s in scores)
+                # /v1/score returns the same numbers
+                r = await client.post("/v1/score", json={
+                    "text_1": [q] * 3, "text_2": docs})
+                v1 = [d["score"] for d in (await r.json())["data"]]
+                assert v1 == scores
+
+                # rerank sorts by those scores
+                r = await client.post("/v1/rerank", json={
+                    "query": q, "documents": docs, "top_n": 2})
+                res = (await r.json())["results"]
+                assert len(res) == 2
+                want = sorted(range(3), key=lambda i: -scores[i])[:2]
+                assert [x["index"] for x in res] == want
+                assert res[0]["relevance_score"] == max(scores)
+
+                # classify: single-label head -> 1 prob summing to 1
+                r = await client.post("/classify", json={
+                    "input": [q]})
+                cd = (await r.json())["data"]
+                assert cd[0]["num_classes"] == 1
+
+                # bad request
+                r = await client.post("/score", json={"text_1": [q]})
+                assert r.status == 400
+        finally:
+            llm.shutdown()
+
+    run(main())

@@ -299,5 +299,73 @@ class AsyncLLM:
             self._request_queues.pop(req_id, None)
             self._new_requests.put(("abort", [req_id]))
 
+    # -- scoring / reranking / classification (pooling family) -------
+
+    def is_cross_encoder(self) -> bool:
+        return "classifier" in self.engine.runner.params
+
+    async def score(self, text_1, text_2) -> list[float]:
+        """Pairwise relevance scores (ref analog: ServingScores,
+        vllm/entrypoints/pooling/scoring/serving.py). Pair requests
+        run concurrently through the engine's continuous batch."""
+        import asyncio as _aio
+
+        import numpy as np
+
+        from vllm_tpu.engine import scoring
+        from vllm_tpu.sample.params import PoolingParams
+        l1, l2 = scoring.broadcast_pairs(text_1, text_2)
+        if self.is_cross_encoder():
+            hf = self.engine.config.model.hf_config
+            tok = self.engine.tokenizer
+            pp = PoolingParams(pooling_type="cls", normalize=False)
+            outs = await _aio.gather(*[
+                self.embed(scoring.pair_ids(tok, hf, a, b), pp)
+                for a, b in zip(l1, l2)
+            ])
+            logits = scoring.apply_classifier(
+                self.engine.runner.params,
+                np.stack([o.embedding for o in outs]))
+            return scoring.relevance_scores(logits)
+        ea = await _aio.gather(*[self.embed(p) for p in l1])
+        eb = await _aio.gather(*[self.embed(p) for p in l2])
+        return [scoring.cosine(a.embedding, b.embedding)
+                for a, b in zip(ea, eb)]
+
+    async def rerank(self, query, documents,
+                     top_n: int = 0) -> list[dict]:
+        docs = documents if isinstance(documents, list) else [documents]
+        scores = await self.score([query] * len(docs), docs)
+        order = sorted(range(len(docs)), key=lambda i: -scores[i])
+        if top_n:
+            order = order[:top_n]
+        return [{"index": i, "relevance_score": scores[i]}
+                for i in order]
+
+    async def classify(self, prompts) -> list[dict]:
+        import asyncio as _aio
+
+        import numpy as np
+
+        from vllm_tpu.engine import scoring
+        from vllm_tpu.sample.params import PoolingParams
+        if isinstance(prompts, str) or (isinstance(prompts, list)
+                                        and prompts
+                                        and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        pp = PoolingParams(pooling_type="cls", normalize=False)
+        outs = await _aio.gather(*[self.embed(p, pp) for p in prompts])
+        probs = scoring.softmax_probs(scoring.apply_classifier(
+            self.engine.runner.params,
+            np.stack([o.embedding for o in outs])))
+        hf = self.engine.config.model.hf_config or {}
+        id2label = hf.get("id2label") or {}
+        return [{
+            "label": id2label.get(str(int(r.argmax())),
+                                  id2label.get(int(r.argmax()),
+                                               int(r.argmax()))),
+            "probs": [float(v) for v in r],
+        } for r in probs]
+
     async def abort(self, request_id: str) -> None:
         self._new_requests.put(("abort", [request_id]))

@@ -149,6 +149,75 @@ class LLM:
                     finals[out.request_id] = out
         return [finals[i] for i in ids]
 
+    # -- scoring / reranking / classification (pooling family) -------
+
+    def _is_cross_encoder(self) -> bool:
+        return "classifier" in self.engine.runner.params
+
+    def score(self, text_1, text_2) -> list[float]:
+        """Pairwise relevance scores (ref analog: LLM.score /
+        entrypoints/pooling/scoring/serving.py). text_1 x text_2
+        broadcast 1xN / Nx1 / NxN elementwise. Cross-encoder
+        checkpoints (params carry a ``classifier`` head) run each pair
+        through one joint forward; embedding checkpoints fall back to
+        cosine similarity."""
+        from vllm_tpu.engine import scoring
+        from vllm_tpu.sample.params import PoolingParams
+        l1, l2 = scoring.broadcast_pairs(text_1, text_2)
+        if self._is_cross_encoder():
+            import numpy as np
+            hf = self.engine.config.model.hf_config
+            tok = self.engine.tokenizer
+            pp = PoolingParams(pooling_type="cls", normalize=False)
+            outs = self.embed([scoring.pair_ids(tok, hf, a, b)
+                               for a, b in zip(l1, l2)], pp)
+            logits = scoring.apply_classifier(
+                self.engine.runner.params,
+                np.stack([o.embedding for o in outs]))
+            return scoring.relevance_scores(logits)
+        ea = self.embed(l1)
+        eb = self.embed(l2)
+        return [scoring.cosine(a.embedding, b.embedding)
+                for a, b in zip(ea, eb)]
+
+    def rerank(self, query, documents, top_n: int = 0) -> list[dict]:
+        """Rank documents by relevance to query (ref analog: /rerank).
+        Returns [{index, relevance_score}] sorted descending."""
+        docs = documents if isinstance(documents, list) else [documents]
+        scores = self.score([query] * len(docs), docs)
+        order = sorted(range(len(docs)), key=lambda i: -scores[i])
+        if top_n:
+            order = order[:top_n]
+        return [{"index": i, "relevance_score": scores[i]}
+                for i in order]
+
+    def classify(self, prompts) -> list[dict]:
+        """Sequence classification over the CLS head (ref analog:
+        entrypoints/pooling/classify). Returns per-input
+        {label, probs} with softmax probabilities."""
+        import numpy as np
+        from vllm_tpu.engine import scoring
+        from vllm_tpu.sample.params import PoolingParams
+        assert self._is_cross_encoder(), \
+            "classify requires a checkpoint with a classifier head"
+        if isinstance(prompts, str) or (isinstance(prompts, list)
+                                        and prompts
+                                        and isinstance(prompts[0], int)):
+            prompts = [prompts]
+        pp = PoolingParams(pooling_type="cls", normalize=False)
+        outs = self.embed(prompts, pp)
+        probs = scoring.softmax_probs(scoring.apply_classifier(
+            self.engine.runner.params,
+            np.stack([o.embedding for o in outs])))
+        hf = self.engine.config.model.hf_config or {}
+        id2label = hf.get("id2label") or {}
+        return [{
+            "label": id2label.get(str(int(r.argmax())),
+                                  id2label.get(int(r.argmax()),
+                                               int(r.argmax()))),
+            "probs": [float(v) for v in r],
+        } for r in probs]
+
     def chat(self, messages, sampling_params=None) -> list[RequestOutput]:
         tok = self.engine.tokenizer
         assert tok is not None

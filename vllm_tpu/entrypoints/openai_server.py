@@ -135,6 +135,14 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        # Score / rerank / classify (ref: entrypoints/pooling/
+        # {scoring,classify}/api_router.py).
+        app.router.add_post("/score", self.score)
+        app.router.add_post("/v1/score", self.score)
+        app.router.add_post("/rerank", self.rerank)
+        app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_post("/v2/rerank", self.rerank)
+        app.router.add_post("/classify", self.classify)
         app.router.add_post("/v1/audio/transcriptions",
                             self.transcriptions)
         app.router.add_post("/v1/audio/translations", self.transcriptions)
@@ -237,6 +245,86 @@ class OpenAIServer:
                 "prompt_tokens": total_tokens,
                 "total_tokens": total_tokens,
             },
+        })
+
+    async def score(self, request: web.Request) -> web.Response:
+        """Pairwise relevance scoring (ref analog: /score, /v1/score —
+        entrypoints/pooling/scoring/api_router.py:38-69; response
+        shape ScoreResponse, protocol.py:172-184)."""
+        import time as _t
+        import uuid as _uuid
+        body = await request.json()
+        t1, t2 = body.get("text_1"), body.get("text_2")
+        if t1 is None or t2 is None:
+            return _err("missing 'text_1'/'text_2'")
+        try:
+            scores = await self.llm.score(t1, t2)
+        except ValueError as e:
+            return _err(str(e))
+        return web.json_response({
+            "id": f"score-{_uuid.uuid4().hex[:16]}",
+            "object": "list",
+            "created": int(_t.time()),
+            "model": body.get("model", self.model_name),
+            "data": [{"index": i, "object": "score", "score": s}
+                     for i, s in enumerate(scores)],
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+        })
+
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Document reranking (ref analog: /rerank /v1/rerank
+        /v2/rerank — scoring/api_router.py:71-110; RerankResponse,
+        protocol.py:154-169)."""
+        import uuid as _uuid
+        body = await request.json()
+        query = body.get("query")
+        documents = body.get("documents")
+        if query is None or documents is None:
+            return _err("missing 'query'/'documents'")
+        docs = documents if isinstance(documents, list) else [documents]
+        try:
+            results = await self.llm.rerank(query, docs,
+                                            int(body.get("top_n") or 0))
+        except ValueError as e:
+            return _err(str(e))
+        return web.json_response({
+            "id": f"rerank-{_uuid.uuid4().hex[:16]}",
+            "model": body.get("model", self.model_name),
+            "usage": {"prompt_tokens": 0, "total_tokens": 0},
+            "results": [{
+                "index": r["index"],
+                "document": {"text": docs[r["index"]] if isinstance(
+                    docs[r["index"]], str) else None},
+                "relevance_score": r["relevance_score"],
+            } for r in results],
+        })
+
+    async def classify(self, request: web.Request) -> web.Response:
+        """Sequence classification (ref analog: entrypoints/pooling/
+        classify/api_router.py /classify)."""
+        import time as _t
+        import uuid as _uuid
+        body = await request.json()
+        inputs = body.get("input")
+        if inputs is None:
+            return _err("missing 'input'")
+        if not self.llm.is_cross_encoder():
+            return _err("model has no classifier head", 400)
+        try:
+            results = await self.llm.classify(inputs)
+        except ValueError as e:
+            return _err(str(e))
+        return web.json_response({
+            "id": f"classify-{_uuid.uuid4().hex[:16]}",
+            "object": "list",
+            "created": int(_t.time()),
+            "model": body.get("model", self.model_name),
+            "data": [{
+                "index": i,
+                "label": r["label"],
+                "probs": r["probs"],
+                "num_classes": len(r["probs"]),
+            } for i, r in enumerate(results)],
         })
 
     async def unload_lora(self, request: web.Request) -> web.Response:

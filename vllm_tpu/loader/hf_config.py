@@ -24,6 +24,11 @@ SUPPORTED_ARCHS = {
     "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
     "RobertaModel": "bert",  # roberta-class (pad-offset positions)
     "XLMRobertaModel": "bert",
+    # cross-encoder / classifier heads (/score /rerank /classify —
+    # ref: entrypoints/pooling/scoring):
+    "BertForSequenceClassification": "bert",
+    "RobertaForSequenceClassification": "bert",
+    "XLMRobertaForSequenceClassification": "bert",
     "WhisperForConditionalGeneration": "whisper",  # speech-to-text
     "Qwen3NextForCausalLM": "qwen3_next",  # GDN + gated-attn MoE hybrid
     "MambaForCausalLM": "mamba1",  # v1 selective scan (state caches)
@@ -38,6 +43,11 @@ SUPPORTED_ARCHS = {
     "Gemma3ForCausalLM": "gemma",  # + qk-norm, dual rope
     "GptOssForCausalLM": "gpt_oss",  # MoE + sinks + interleaved SWA
 }
+
+_ENCODER_ARCHS = (
+    "BertModel", "RobertaModel", "XLMRobertaModel",
+    "BertForSequenceClassification", "RobertaForSequenceClassification",
+    "XLMRobertaForSequenceClassification")
 
 # Fallback when config.json lacks "architectures" (model_type -> arch).
 _MODEL_TYPE_ARCHS = {
@@ -114,12 +124,12 @@ def model_config_from_hf(
         cfg.eos_token_ids = (  # type: ignore[attr-defined]
             [eos] if isinstance(eos, int) else list(eos or []))
         return cfg
-    if arch in ("BertModel", "RobertaModel", "XLMRobertaModel"):
+    if arch in _ENCODER_ARCHS:
         # Roberta-class positions are offset by pad_token_id + 1
         # (create_position_ids_from_input_ids); the offset also
         # shrinks the usable context below max_position_embeddings.
         pos_off = (hf.get("pad_token_id", 1) + 1
-                   if arch != "BertModel" else 0)
+                   if not arch.startswith("Bert") else 0)
         cfg = ModelConfig(
             model=model_path,
             architecture=arch,

@@ -106,7 +106,10 @@ def load_llama_params(
     if cfg.kv_lora_rank:
         return _load_deepseek_params(model_path, cfg)
     if cfg.architecture in ("BertModel", "RobertaModel",
-                            "XLMRobertaModel"):
+                            "XLMRobertaModel",
+                            "BertForSequenceClassification",
+                            "RobertaForSequenceClassification",
+                            "XLMRobertaForSequenceClassification"):
         return _load_bert_params(model_path, cfg)
     if cfg.architecture == "WhisperForConditionalGeneration":
         return _load_whisper_params(model_path, cfg)
@@ -982,8 +985,22 @@ def _load_bert_params(model_path: str, cfg: ModelConfig) -> dict:
                 layer.setdefault("out_ln", {})[wk] = to_jax(w)
             else:
                 logger.warning("unmapped weight %s", name)
-        elif name.startswith("pooler."):
-            pass  # CLS-tanh pooler: PoolingParams handles pooling
+        elif name.startswith("pooler.dense."):
+            # CLS-tanh pooler: unused for plain embedding requests
+            # (PoolingParams pools raw hidden states) but feeds the
+            # classifier head for cross-encoder scoring checkpoints
+            # (engine/scoring.py apply_classifier).
+            params.setdefault("pooler", {})[
+                name.rsplit(".", 1)[1]] = (
+                    to_jax(np.asarray(w).T)
+                    if name.endswith("weight") else to_jax(w))
+        elif name.startswith("classifier."):
+            # BertForSequenceClassification head -> /score /rerank
+            # /classify (ref: entrypoints/pooling/scoring).
+            params.setdefault("classifier", {})[
+                name.rsplit(".", 1)[1]] = (
+                    to_jax(np.asarray(w).T)
+                    if name.endswith("weight") else to_jax(w))
         else:
             logger.warning("unmapped weight %s", name)
     for i, parts in enumerate(qkv_parts):

@@ -80,7 +80,9 @@ def forward(
     # pad_token_id + 1 (HF create_position_ids_from_input_ids);
     # plain BERT starts at 0.
     off = 0
-    if cfg.architecture in ("RobertaModel", "XLMRobertaModel"):
+    if cfg.architecture in ("RobertaModel", "XLMRobertaModel",
+                            "RobertaForSequenceClassification",
+                            "XLMRobertaForSequenceClassification"):
         off = (cfg.hf_config or {}).get("pad_token_id", 1) + 1
     x = (params["embed_tokens"]["weight"][input_ids] +
          params["pos_embed"][positions + off] + params["tt_embed"][0])

@@ -21,6 +21,9 @@ _REGISTRY: dict[str, str] = {
     "BertModel": "vllm_tpu.models.bert",  # encoder-only embedder
     "RobertaModel": "vllm_tpu.models.bert",  # + position offset
     "XLMRobertaModel": "vllm_tpu.models.bert",
+    "BertForSequenceClassification": "vllm_tpu.models.bert",
+    "RobertaForSequenceClassification": "vllm_tpu.models.bert",
+    "XLMRobertaForSequenceClassification": "vllm_tpu.models.bert",
     "WhisperForConditionalGeneration": "vllm_tpu.models.whisper",  # STT
     "Qwen3NextForCausalLM": "vllm_tpu.models.qwen3_next",  # GDN hybrid
     "MambaForCausalLM": "vllm_tpu.models.mamba1",  # v1 selective scan

@@ -272,6 +272,19 @@ class TPUModelRunner:
             static_argnums=(3, ),  # horizon
             compiler_options=xla_opts,
         )
+        # Single-dispatch multi-step launch: ONE packed i32 upload
+        # (scalars + block tables), ONE executable that unpacks,
+        # selects the device carry, runs the horizon scan and advances
+        # the RNG steps — the previous path's ~10 tiny eager device
+        # ops per launch each cost a round trip through the remote
+        # tunnel (measured as most of the 0.85 ms/step host tail).
+        self._decode_launch_fn = jax.jit(
+            functools.partial(_decode_launch_impl, self.model, mc,
+                              self.block_size),
+            donate_argnums=(1, ),
+            static_argnums=(8, ),  # horizon
+            compiler_options=xla_opts,
+        )
 
     def _alloc_kv_caches(self) -> None:
         mc = self.config.model
@@ -1361,18 +1374,28 @@ class TPUModelRunner:
             pos[st.row] = st.num_computed_tokens
             active[st.row] = True
             req_ids.append(req_id)
-        # ONE packed host->device transfer for the per-launch scalars
-        # (the remote tunnel charges a round trip per small upload).
-        packed = jnp.asarray(
-            np.stack([cur, pos, active.astype(np.int32),
-                      use_carry.astype(np.int32)]))
-        cur_dev = packed[0]
-        if use_carry.any():
-            cur_dev = jnp.where(packed[3] > 0, self._ms_carry, cur_dev)
-        dec = self._build_decode_inputs(cur_dev, packed[1],
-                                        packed[2] > 0, advance_steps=h)
-        self.kv_caches, samples, final_tokens = self._decode_loop_fn(
-            self.params, self.kv_caches, dec, h)
+        # ONE packed host->device transfer (per-launch scalars + block
+        # tables) feeding ONE executable — the remote tunnel charges a
+        # round trip per upload and per eager device op, so the whole
+        # launch is a single dispatch (_decode_launch_impl).
+        mb = b.block_tables.shape[1]
+        packed = np.empty((R, 4 + mb), np.int32)
+        packed[:, 0] = cur
+        packed[:, 1] = pos
+        packed[:, 2] = active
+        packed[:, 3] = use_carry
+        # copy-by-assignment: pipelined launches mean the NEXT step's
+        # append_block_ids can mutate b.block_tables before the async
+        # upload drains.
+        packed[:, 4:] = b.block_tables
+        self._ensure_decode_cache()
+        carry = (self._ms_carry if self._ms_carry is not None else
+                 self._dec_zero)
+        (self.kv_caches, samples, final_tokens,
+         self._dec_steps_dev) = self._decode_launch_fn(
+             self.params, self.kv_caches, packed, carry,
+             self._dec_steps_dev, self._dec_sampling_dev,
+             self._dec_lora_dev, self._dec_mrope_dev, h)
         # Device-side feedback for the NEXT launch (multi-step carry)
         # and for single-step async placeholders (_step_impl feedback).
         self._ms_carry = final_tokens
@@ -1421,6 +1444,29 @@ class TPUModelRunner:
             result.spec_token_ids = spec_out
         return result
 
+    def _ensure_decode_cache(self) -> None:
+        """Device-resident decode metadata, re-uploaded only when the
+        persistent batch version changes (sampling params, LoRA slots,
+        mrope deltas, RNG step counters)."""
+        b = self.batch
+        if getattr(self, "_dec_cache_ver", None) == b.version:
+            return
+        self._dec_sampling_dev = SamplingMetadata(
+            temperature=jnp.asarray(b.temperature.copy()),
+            top_k=jnp.asarray(b.top_k.copy()),
+            top_p=jnp.asarray(b.top_p.copy()),
+            min_p=jnp.asarray(b.min_p.copy()),
+            seeds=jnp.asarray(b.seeds.copy()),
+            steps=None,
+        )
+        self._dec_steps_dev = jnp.asarray(b.sample_steps.copy())
+        self._dec_lora_dev = (jnp.asarray(b.lora_slots.copy())
+                              if "lora" in self.params else None)
+        self._dec_mrope_dev = (jnp.asarray(b.mrope_delta.copy())
+                               if self.is_mrope else None)
+        self._dec_zero = jnp.zeros((self.max_num_reqs, ), jnp.int32)
+        self._dec_cache_ver = b.version
+
     def _build_decode_inputs(self, cur_tokens, pos, active,
                              advance_steps: int = 0):
         """Decode-loop inputs with device-resident sampling metadata.
@@ -1432,21 +1478,7 @@ class TPUModelRunner:
         ``advance_steps`` per launch (the host mirror is kept in sync
         without re-upload)."""
         b = self.batch
-        if getattr(self, "_dec_cache_ver", None) != b.version:
-            self._dec_sampling_dev = SamplingMetadata(
-                temperature=jnp.asarray(b.temperature.copy()),
-                top_k=jnp.asarray(b.top_k.copy()),
-                top_p=jnp.asarray(b.top_p.copy()),
-                min_p=jnp.asarray(b.min_p.copy()),
-                seeds=jnp.asarray(b.seeds.copy()),
-                steps=None,
-            )
-            self._dec_steps_dev = jnp.asarray(b.sample_steps.copy())
-            self._dec_lora_dev = (jnp.asarray(b.lora_slots.copy())
-                                  if "lora" in self.params else None)
-            self._dec_mrope_dev = (jnp.asarray(b.mrope_delta.copy())
-                                   if self.is_mrope else None)
-            self._dec_cache_ver = b.version
+        self._ensure_decode_cache()
         steps = self._dec_steps_dev
         if advance_steps:
             # Advance only the rows this horizon actually decodes —
@@ -1480,6 +1512,30 @@ def _set_cache_row(cache: jax.Array, row: jax.Array,
                    data: jax.Array) -> jax.Array:
     """In-place (donated) per-row slab write (whisper cross-KV)."""
     return cache.at[row].set(data.astype(cache.dtype))
+
+
+def _decode_launch_impl(model, mc, block_size, params, kv_caches,
+                        packed, carry, steps, sampling, lora_idx,
+                        mrope_delta, horizon: int):
+    """Packed multi-step launch (see _decode_launch_fn): packed is
+    [R, 4 + max_blocks] i32 = (cur_token, position, active, use_carry,
+    block_tables...); carry is the previous horizon's device-side
+    final tokens; steps the device-resident RNG step counters."""
+    active = packed[:, 2] > 0
+    cur = jnp.where(packed[:, 3] > 0, carry, packed[:, 0])
+    dec = DecodeLoopInputs(
+        cur_tokens=cur,
+        positions=packed[:, 1],
+        block_tables=packed[:, 4:],
+        active=active,
+        sampling=sampling._replace(steps=steps),
+        lora_idx=lora_idx,
+        mrope_delta=mrope_delta,
+    )
+    kv_caches, samples, final_tokens = _decode_loop_impl(
+        model, mc, block_size, params, kv_caches, dec, horizon)
+    steps_next = steps + horizon * active.astype(jnp.int32)
+    return kv_caches, samples, final_tokens, steps_next
 
 
 def _decode_loop_impl(model, mc, block_size, params, kv_caches,
