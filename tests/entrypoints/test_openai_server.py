@@ -580,3 +580,77 @@ def test_score_rerank_classify_endpoints():
             llm.shutdown()
 
     run(main())
+
+
+def test_responses_api(tokenizer):
+    """/v1/responses create/get/cancel + background + conversation
+    chaining (ref: openai/responses/api_router.py:48-110)."""
+    async def t(client):
+        # synchronous create
+        r = await client.post("/v1/responses", json={
+            "model": "tiny",
+            "instructions": "be brief",
+            "input": "hello there",
+            "max_output_tokens": 8,
+            "temperature": 0.0,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "response"
+        assert data["status"] == "completed"
+        msg = data["output"][-1]
+        assert msg["type"] == "message" and msg["role"] == "assistant"
+        assert isinstance(msg["content"][0]["text"], str)
+        assert data["usage"]["input_tokens"] > 0
+        assert data["usage"]["output_tokens"] > 0
+        rid = data["id"]
+
+        # GET returns the stored record
+        r = await client.get(f"/v1/responses/{rid}")
+        assert (await r.json())["id"] == rid
+
+        # conversation chaining via previous_response_id
+        r = await client.post("/v1/responses", json={
+            "input": "and again",
+            "previous_response_id": rid,
+            "max_output_tokens": 4,
+            "temperature": 0.0,
+        })
+        assert (await r.json())["status"] == "completed"
+
+        # background create -> poll until completed
+        r = await client.post("/v1/responses", json={
+            "input": "bg run",
+            "background": True,
+            "max_output_tokens": 4,
+            "temperature": 0.0,
+        })
+        data = await r.json()
+        assert data["status"] in ("in_progress", "completed")
+        import asyncio as _aio
+        for _ in range(100):
+            got = await (await client.get(
+                f"/v1/responses/{data['id']}")).json()
+            if got["status"] == "completed":
+                break
+            await _aio.sleep(0.05)
+        assert got["status"] == "completed"
+
+        # cancel: long budget, cancel immediately
+        r = await client.post("/v1/responses", json={
+            "input": "long run",
+            "background": True,
+            "max_output_tokens": 512,
+        })
+        rid2 = (await r.json())["id"]
+        r = await client.post(f"/v1/responses/{rid2}/cancel")
+        got = await r.json()
+        assert got["status"] in ("cancelled", "completed")
+
+        # unknown id -> 404
+        assert (await client.get("/v1/responses/resp_nope")).status == 404
+        r = await client.post("/v1/responses", json={
+            "input": "x", "previous_response_id": "resp_nope"})
+        assert r.status == 404
+
+    with_client(t, tokenizer)

@@ -13,6 +13,7 @@ Streaming uses SSE ``data:`` frames ending with ``data: [DONE]``.
 
 from __future__ import annotations
 
+import asyncio
 import json
 import time
 import uuid
@@ -143,6 +144,13 @@ class OpenAIServer:
         app.router.add_post("/v1/rerank", self.rerank)
         app.router.add_post("/v2/rerank", self.rerank)
         app.router.add_post("/classify", self.classify)
+        # Responses API (ref: entrypoints/openai/responses/
+        # api_router.py:48-110 — create/get/cancel + background mode).
+        app.router.add_post("/v1/responses", self.responses_create)
+        app.router.add_get("/v1/responses/{response_id}",
+                           self.responses_get)
+        app.router.add_post("/v1/responses/{response_id}/cancel",
+                            self.responses_cancel)
         app.router.add_post("/v1/audio/transcriptions",
                             self.transcriptions)
         app.router.add_post("/v1/audio/translations", self.transcriptions)
@@ -517,6 +525,183 @@ class OpenAIServer:
                                        lora_name=lora, echo=echo)
         return await self._complete(req_id, prompt, params, chat=False,
                                     lora_name=lora, echo=echo)
+
+    # -- Responses API (ref: openai/responses/api_router.py:48-110,
+    # protocol.py ResponsesRequest:136 / ResponsesResponse:636) -------
+
+    def _responses_store(self) -> dict:
+        if not hasattr(self, "_responses"):
+            self._responses: dict[str, dict] = {}
+            self._response_tasks: dict[str, Any] = {}
+        return self._responses
+
+    def _render_response_input(self, body: dict) -> tuple:
+        """-> (prompt, messages) from instructions + input (+ the
+        previous response's conversation for previous_response_id)."""
+        messages: list[dict] = []
+        prev_id = body.get("previous_response_id")
+        if prev_id:
+            prev = self._responses_store().get(prev_id)
+            if prev is None:
+                raise KeyError(prev_id)
+            messages.extend(prev.get("_messages", []))
+        if body.get("instructions"):
+            messages.append({"role": "system",
+                             "content": body["instructions"]})
+        inp = body.get("input")
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+        else:
+            for item in inp or []:
+                content = item.get("content")
+                if isinstance(content, list):  # typed content parts
+                    content = "".join(
+                        p.get("text", "") for p in content
+                        if isinstance(p, dict))
+                messages.append({"role": item.get("role", "user"),
+                                 "content": content})
+        tok = self.llm.tokenizer
+        try:
+            prompt = tok.apply_chat_template(messages,
+                                             add_generation_prompt=True)
+        except Exception:
+            prompt = "".join(f"{m['role']}: {m['content']}\n"
+                             for m in messages) + "assistant:"
+        return prompt, messages
+
+    def _response_record(self, resp_id: str, body: dict,
+                         messages: list[dict]) -> dict:
+        import time as _t
+        return {
+            "id": resp_id,
+            "object": "response",
+            "created_at": int(_t.time()),
+            "status": "in_progress",
+            "background": bool(body.get("background")),
+            "model": body.get("model", self.model_name),
+            "instructions": body.get("instructions"),
+            "previous_response_id": body.get("previous_response_id"),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+            "max_output_tokens": body.get("max_output_tokens"),
+            "parallel_tool_calls": True,
+            "tool_choice": "auto",
+            "tools": [],
+            "truncation": "disabled",
+            "output": [],
+            "usage": None,
+            "error": None,
+            "incomplete_details": None,
+            "metadata": body.get("metadata"),
+            "_messages": messages,
+        }
+
+    async def _run_response(self, resp_id: str, prompt,
+                            params) -> None:
+        rec = self._responses_store()[resp_id]
+        try:
+            final = None
+            async for out in self.llm.generate(prompt, params, resp_id):
+                final = out
+            c = final.outputs[0]
+            text = c.text
+            msg: dict[str, Any] = {
+                "id": f"msg_{uuid.uuid4().hex[:24]}",
+                "type": "message",
+                "role": "assistant",
+                "status": "completed",
+                "content": [{"type": "output_text", "text": text,
+                             "annotations": []}],
+            }
+            if self.reasoning_parser is not None:
+                reasoning, stripped = self.reasoning_parser.split(text)
+                if reasoning:
+                    rec["output"].append({
+                        "id": f"rs_{uuid.uuid4().hex[:24]}",
+                        "type": "reasoning",
+                        "summary": [],
+                        "content": [{"type": "reasoning_text",
+                                     "text": reasoning}],
+                    })
+                    msg["content"][0]["text"] = stripped
+            rec["output"].append(msg)
+            n_in = len(final.prompt_token_ids or [])
+            n_out = len(c.token_ids or [])
+            rec["usage"] = {
+                "input_tokens": n_in,
+                "output_tokens": n_out,
+                "total_tokens": n_in + n_out,
+                "input_tokens_details": {"cached_tokens": 0},
+                "output_tokens_details": {"reasoning_tokens": 0},
+            }
+            rec["status"] = "completed"
+            rec["_messages"] = rec["_messages"] + [{
+                "role": "assistant",
+                "content": msg["content"][0]["text"],
+            }]
+        except asyncio.CancelledError:
+            rec["status"] = "cancelled"
+            raise
+        except Exception as e:  # surfaced via GET
+            rec["status"] = "failed"
+            rec["error"] = {"code": "server_error", "message": str(e)}
+        finally:
+            self._response_tasks.pop(resp_id, None)
+
+    @staticmethod
+    def _response_public(rec: dict) -> dict:
+        return {k: v for k, v in rec.items() if not k.startswith("_")}
+
+    async def responses_create(self,
+                               request: web.Request) -> web.Response:
+        body = await request.json()
+        if body.get("input") is None:
+            return _err("missing 'input'")
+        if self.llm.tokenizer is None:
+            return _err("server has no tokenizer", 400)
+        try:
+            prompt, messages = self._render_response_input(body)
+        except KeyError as e:
+            return _err(f"previous response not found: {e}", 404)
+        params = SamplingParams(
+            temperature=body.get("temperature", 1.0),
+            top_p=body.get("top_p", 1.0),
+            max_tokens=body.get("max_output_tokens") or 256,
+        )
+        resp_id = f"resp_{uuid.uuid4().hex[:24]}"
+        rec = self._response_record(resp_id, body, messages)
+        self._responses_store()[resp_id] = rec
+        task = asyncio.ensure_future(
+            self._run_response(resp_id, prompt, params))
+        self._response_tasks[resp_id] = task
+        if body.get("background"):
+            # queued/in_progress immediately; poll via GET.
+            return web.json_response(self._response_public(rec))
+        await asyncio.shield(task)
+        return web.json_response(self._response_public(rec))
+
+    async def responses_get(self, request: web.Request) -> web.Response:
+        rec = self._responses_store().get(
+            request.match_info["response_id"])
+        if rec is None:
+            return _err("response not found", 404)
+        return web.json_response(self._response_public(rec))
+
+    async def responses_cancel(self,
+                               request: web.Request) -> web.Response:
+        resp_id = request.match_info["response_id"]
+        rec = self._responses_store().get(resp_id)
+        if rec is None:
+            return _err("response not found", 404)
+        task = self._response_tasks.get(resp_id)
+        if task is not None and not task.done():
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+            rec["status"] = "cancelled"
+        return web.json_response(self._response_public(rec))
 
     async def chat_completions(self,
                                request: web.Request) -> web.StreamResponse:
