@@ -405,6 +405,21 @@ class KVTransferConfig:
 
 
 @dataclass
+class KVEventsConfig:
+    """KV cache event publishing (ref analog: vllm/config/kv_events.py
+    KVEventsConfig + vllm/distributed/kv_events.py): ZMQ PUB of
+    BlockStored/BlockRemoved/AllBlocksCleared batches consumed by
+    external prefix-aware routers."""
+
+    enable_kv_cache_events: bool = False
+    publisher: str = "zmq"
+    endpoint: str = "tcp://*:5557"
+    replay_endpoint: Optional[str] = None
+    buffer_steps: int = 10_000
+    topic: str = ""
+
+
+@dataclass
 class EngineConfig:
     """Everything the engine needs; analog of the reference VllmConfig
     (ref: vllm/config/vllm.py)."""
@@ -420,6 +435,7 @@ class EngineConfig:
         default_factory=ObservabilityConfig)
     kv_transfer: KVTransferConfig = field(
         default_factory=KVTransferConfig)
+    kv_events: KVEventsConfig = field(default_factory=KVEventsConfig)
     seed: int = 0
 
     def __post_init__(self) -> None:

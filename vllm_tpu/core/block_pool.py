@@ -166,6 +166,10 @@ class BlockPool:
         # cached block's content is about to be dropped (reallocation).
         # The block's device data is still intact at call time.
         self.on_evict = None
+        # KV event sink (engine/kv_events.py KVEventSink): BlockStored/
+        # BlockRemoved/AllBlocksCleared for external prefix-aware
+        # routers (ref: vllm/distributed/kv_events.py:50-245).
+        self.events = None
 
     # -- queries -----------------------------------------------------
     @property
@@ -204,6 +208,9 @@ class BlockPool:
                 self.stats.evictions += 1
                 if self.on_evict is not None:
                     self.on_evict(block.block_id, h)
+                if self.events is not None:
+                    from vllm_tpu.engine.kv_events import BlockRemoved
+                    self.events.emit(BlockRemoved(block_hashes=[h]))
             block.block_hash = None
 
     def touch(self, blocks: list[KVCacheBlock]) -> None:
@@ -236,11 +243,17 @@ class BlockPool:
         block_hashes: list[BlockHash],
         num_cached_blocks: int,
         num_full_blocks: int,
+        token_ids: Optional[list[int]] = None,
+        block_size: int = 0,
     ) -> None:
-        """Register hashes for blocks [num_cached, num_full) of a request."""
+        """Register hashes for blocks [num_cached, num_full) of a
+        request. ``token_ids``/``block_size`` (tokens covering the
+        newly cached span) feed the BlockStored event when a KV event
+        sink is attached."""
         if not self.enable_caching:
             return
         assert num_full_blocks <= len(block_hashes)
+        stored: list[BlockHash] = []
         for i in range(num_cached_blocks, num_full_blocks):
             block, h = blocks[i], block_hashes[i]
             if block.block_hash is not None:
@@ -249,6 +262,15 @@ class BlockPool:
                 continue  # another block already canonical for this content
             block.block_hash = h
             self._cache[h] = block
+            stored.append(h)
+        if stored and self.events is not None:
+            from vllm_tpu.engine.kv_events import BlockStored
+            parent = (block_hashes[num_cached_blocks - 1]
+                      if num_cached_blocks > 0 else None)
+            self.events.emit(BlockStored(
+                block_hashes=stored, parent_block_hash=parent,
+                token_ids=list(token_ids or []),
+                block_size=block_size))
 
     def reset_prefix_cache(self) -> bool:
         """Drop all cache entries; fails if any block is in use."""
@@ -258,6 +280,9 @@ class BlockPool:
         for b in self._free.values():
             b.block_hash = None
         self._cache.clear()
+        if self.events is not None:
+            from vllm_tpu.engine.kv_events import AllBlocksCleared
+            self.events.emit(AllBlocksCleared())
         return True
 
     @property

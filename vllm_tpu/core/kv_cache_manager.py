@@ -268,13 +268,20 @@ class KVCacheManager:
             hashes = self._update_block_hashes(request)
             num_cached = self.num_cached_blocks.get(request.request_id, 0)
             if num_full_after > num_cached:
+                bs = self.block_size
                 if self.cp == 1:
                     self.block_pool.cache_full_blocks(
-                        req_blocks, hashes, num_cached, num_full_after)
+                        req_blocks, hashes, num_cached, num_full_after,
+                        token_ids=request.all_token_ids[num_cached * bs:
+                                                    num_full_after * bs],
+                        block_size=bs)
                 else:
                     for i in range(num_cached, num_full_after):
                         self._pool_of_chunk(i).cache_full_blocks(
-                            [req_blocks[i]], [hashes[i]], 0, 1)
+                            [req_blocks[i]], [hashes[i]], 0, 1,
+                            token_ids=request.all_token_ids[i * bs:
+                                                        (i + 1) * bs],
+                            block_size=bs)
                 self.num_cached_blocks[
                     request.request_id] = num_full_after
         return KVCacheBlocks(new_blocks)

@@ -54,6 +54,8 @@ class NativeBlockPool:
         self.stats = PrefixCacheStats()
         self._h64_to_bytes: dict[int, BlockHash] = {}
         self.on_evict = None
+        # KV event sink (engine/kv_events.py; ref kv_events.py:50-245)
+        self.events = None
 
     def __del__(self) -> None:  # noqa: D105
         if getattr(self, "_p", None):
@@ -107,6 +109,9 @@ class NativeBlockPool:
                 h = self._h64_to_bytes.get(h64)
                 if self.on_evict is not None and h is not None:
                     self.on_evict(bid, h)
+                if self.events is not None and h is not None:
+                    from vllm_tpu.engine.kv_events import BlockRemoved
+                    self.events.emit(BlockRemoved(block_hashes=[h]))
             if n < 128:
                 return
 
@@ -130,7 +135,8 @@ class NativeBlockPool:
 
     # -- prefix caching ----------------------------------------------
     def cache_full_blocks(self, blocks, block_hashes, num_cached_blocks,
-                          num_full_blocks) -> None:
+                          num_full_blocks, token_ids=None,
+                          block_size: int = 0) -> None:
         if not self.enable_caching:
             return
         n = num_full_blocks
@@ -144,15 +150,28 @@ class NativeBlockPool:
             self._p, ids.ctypes.data_as(C.POINTER(C.c_int32)),
             h64.ctypes.data_as(C.POINTER(C.c_uint64)),
             num_cached_blocks, num_full_blocks)
+        stored = []
         for i in range(num_cached_blocks, num_full_blocks):
             if blocks[i].block_hash is None:
                 blocks[i].block_hash = block_hashes[i]
+                stored.append(block_hashes[i])
+        if stored and self.events is not None:
+            from vllm_tpu.engine.kv_events import BlockStored
+            parent = (block_hashes[num_cached_blocks - 1]
+                      if num_cached_blocks > 0 else None)
+            self.events.emit(BlockStored(
+                block_hashes=stored, parent_block_hash=parent,
+                token_ids=list(token_ids or []),
+                block_size=block_size))
 
     def reset_prefix_cache(self) -> bool:
         ok = bool(self._lib.bp_reset_prefix_cache(self._p))
         if ok:
             for b in self.blocks:
                 b.block_hash = None
+            if self.events is not None:
+                from vllm_tpu.engine.kv_events import AllBlocksCleared
+                self.events.emit(AllBlocksCleared())
         return ok
 
     @property

@@ -132,6 +132,22 @@ class LLMEngine:
             from vllm_tpu.engine.kv_connector import KVConnectorClient
             self.kv_client = KVConnectorClient(
                 kt.addr, timeout_ms=kt.fetch_timeout_ms)
+        # KV event publishing (ref: vllm/distributed/kv_events.py):
+        # the pool emits into a step-scoped sink; step() flushes one
+        # seq-numbered ZMQ batch.
+        self.kv_event_publisher = None
+        self._kv_event_sink = None
+        ke = config.kv_events
+        if ke.enable_kv_cache_events:
+            from vllm_tpu.engine.kv_events import (KVEventSink,
+                                                   ZmqEventPublisher)
+            self._kv_event_sink = KVEventSink()
+            for pool in self.scheduler.kv_cache_manager.pools:
+                pool.events = self._kv_event_sink
+            self.kv_event_publisher = ZmqEventPublisher(
+                endpoint=ke.endpoint,
+                replay_endpoint=ke.replay_endpoint,
+                topic=ke.topic, buffer_steps=ke.buffer_steps)
         self._req_counter = Counter()
         # Async scheduling: the one in-flight (sched_out, StepHandle,
         # t0) while the next step is being scheduled/prepared.
@@ -604,6 +620,7 @@ class LLMEngine:
         if to_abort:
             self.scheduler.finish_requests(to_abort,
                                            RequestStatus.FINISHED_STOPPED)
+        self._flush_kv_events()
         self.metrics.on_step(core_outputs, self.scheduler.make_stats(),
                              _time.monotonic() - t0)
         self.stat_logger.maybe_log()
@@ -667,6 +684,7 @@ class LLMEngine:
         if to_abort:
             self.scheduler.finish_requests(to_abort,
                                            RequestStatus.FINISHED_STOPPED)
+        self._flush_kv_events()
         self.metrics.on_step(core_outputs, self.scheduler.make_stats(),
                              _time.monotonic() - t0)
         self.stat_logger.maybe_log()
@@ -674,6 +692,10 @@ class LLMEngine:
 
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished_requests()
+
+    def _flush_kv_events(self) -> None:
+        if self.kv_event_publisher is not None:
+            self.kv_event_publisher.publish(self._kv_event_sink.drain())
 
     def step_dummy(self) -> None:
         """Execute the forward program with no real tokens (DP wave
