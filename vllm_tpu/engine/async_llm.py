@@ -28,14 +28,15 @@ logger = init_logger(__name__)
 class AsyncLLM:
 
     def __init__(self, config: EngineConfig, params=None, tokenizer=None,
-                 mesh=None, worker_addrs=None) -> None:
+                 mesh=None, worker_addrs=None, hb_bind=None) -> None:
         if worker_addrs:
             # Multi-host head: broadcast each step to the worker nodes
             # before executing it locally (engine/multihost.py).
             from vllm_tpu.engine.multihost import MultiHostEngine
             self.engine = MultiHostEngine(config, params=params,
                                           tokenizer=tokenizer, mesh=mesh,
-                                          worker_addrs=worker_addrs)
+                                          worker_addrs=worker_addrs,
+                                          hb_bind=hb_bind)
         else:
             self.engine = LLMEngine(config, params=params,
                                     tokenizer=tokenizer, mesh=mesh)

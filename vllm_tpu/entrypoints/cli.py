@@ -102,7 +102,9 @@ def cmd_serve(args) -> None:
                 raise SystemExit("worker nodes need --worker-bind-addr")
             mesh = make_mesh(config.parallel)
             run_worker(config, None, config.cache.num_gpu_blocks, mesh,
-                       args.worker_bind_addr)
+                       args.worker_bind_addr,
+                       hb_addr=getattr(args, "hb_addr", None),
+                       rank=args.node_rank - 1)
             return
     if getattr(args, "kv_role", None) == "prefill":
         # Dedicated prefill node: compute prompt KV on demand and ship
@@ -124,7 +126,8 @@ def cmd_serve(args) -> None:
     if config.parallel.world_size > 1:
         mesh = make_mesh(config.parallel)
     async_llm = AsyncLLM(config, mesh=mesh,
-                         worker_addrs=args.worker_addrs)
+                         worker_addrs=args.worker_addrs,
+                         hb_bind=getattr(args, "hb_bind", None))
     # Register static adapters before warmup so the warmed programs
     # already carry the LoRA stacks (adding one later recompiles).
     for spec in args.lora_modules or []:
@@ -276,6 +279,13 @@ def main(argv=None) -> None:
         help="head only: one ZMQ PULL address per worker node, in "
         "node-rank order, where SchedulerOutputs are pushed")
     serve_p.add_argument(
+        "--hb-bind", default=None, metavar="tcp://*:P",
+        help="head: bind address for worker heartbeats (enables the "
+        "worker-death sentinel, engine/multihost.py WorkerSentinel)")
+    parser.add_argument(
+        "--hb-addr", default=None, metavar="tcp://H:P",
+        help="worker: the head's heartbeat address")
+    parser.add_argument(
         "--worker-bind-addr", default=None, metavar="tcp://H:P",
         help="worker only: address this node binds for the head's "
         "step stream")

@@ -43,6 +43,11 @@ _VARS: dict[str, tuple[Callable[[str], Any], Any]] = {
     "VLLM_TPU_PROFILE_DIR": (str, "/tmp/vllm_tpu_profile"),
     # Engine-protocol socket override (entrypoints).
     "VLLM_TPU_ENGINE_ADDR": (str, None),
+    # Multi-host fault tolerance (ref analog: engine_core_sentinel
+    # timeouts, vllm envs.py VLLM_ENGINE_READY_TIMEOUT_S).
+    "VLLM_TPU_MH_HEARTBEAT_S": (float, 1.0),
+    "VLLM_TPU_MH_WORKER_TIMEOUT_S": (float, 10.0),
+    "VLLM_TPU_MH_HEAD_TIMEOUT_S": (float, 60.0),
     # bench.py knobs.
     "VLLM_TPU_BENCH_MODEL": (str, "8b"),
     "VLLM_TPU_BENCH_QUANT": (str, None),

@@ -317,15 +317,10 @@ def _kernel(
             # old per-head unroll was small-dot-overhead-bound). The
             # split-plane cache layout makes K_all/V_all plain
             # reshapes of the streamed slabs.
+            # Column geometry hoisted out of the loops.
             fp8 = k_buf.dtype == jnp.float8_e4m3fn
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, HG * FS), 1)
-            col_head = col // FS
-            tok = col % FS
-            if fp8:
-                # quad-byte decode emits [evens; odds] per head slab.
-                tok = parity_token_map(tok, FS // 2)
-            kv_pos = it * FS + tok
-            mask = (col_head == row_head) & (kv_pos < seq_lens[r])
+            kv_pos = it * FS + tok0
+            mask = head_match & (kv_pos < seq_lens[r])
             if sliding_window is not None:
                 # decode query position is seq_len - 1
                 mask &= kv_pos > seq_lens[r] - 1 - sliding_window
@@ -394,6 +389,13 @@ def _kernel(
         return tuple(nc)
 
     row_head = jax.lax.broadcasted_iota(jnp.int32, (HG * G, 1), 0) // G
+    _col = jax.lax.broadcasted_iota(jnp.int32, (1, HG * FS), 1)
+    _tok = _col % FS
+    if kv_hbm.dtype == jnp.float8_e4m3fn:
+        # quad-byte decode emits [evens; odds] per head slab.
+        _tok = parity_token_map(_tok, FS // 2)
+    tok0 = _tok  # [1, HG*FS] kv offset at it == 0
+    head_match = (_col // FS) == row_head
     init = tuple(
         (jnp.full((HG * G, 1), -1e30, jnp.float32),
          jnp.zeros((HG * G, 1), jnp.float32),
@@ -746,16 +748,11 @@ def _qkernel(
             # (head, token) order within each block; fp8 columns run
             # (block, head, [even tokens; odd tokens]) to match the
             # quad-byte decode's emission order).
+            # Column geometry hoisted out of the loops (invariant
+            # across rows and, but for the `it` shift, supersteps).
             fp8 = qdtype == jnp.float8_e4m3fn and not packed
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-            f_idx = col // (HG * block_size)
-            rem = col % (HG * block_size)
-            col_head = rem // block_size
-            tok = rem % block_size
-            if fp8:
-                tok = parity_token_map(tok, block_size // 2)
-            kv_pos = (it * F + f_idx) * block_size + tok
-            mask = (col_head == row_head) & (kv_pos < seq_lens[r])
+            kv_pos = it * FS + tok0
+            mask = head_match & (kv_pos < seq_lens[r])
             if sliding_window is not None:
                 mask &= kv_pos > seq_lens[r] - 1 - sliding_window
             m, l, acc = nc[r]
@@ -842,6 +839,14 @@ def _qkernel(
         return tuple(nc)
 
     row_head = jax.lax.broadcasted_iota(jnp.int32, (HG * G, 1), 0) // G
+    _col = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    _f_idx = _col // (HG * block_size)
+    _rem = _col % (HG * block_size)
+    _tok = _rem % block_size
+    if qdtype == jnp.float8_e4m3fn and not packed:
+        _tok = parity_token_map(_tok, block_size // 2)
+    tok0 = _f_idx * block_size + _tok  # [1, N] kv offset at it == 0
+    head_match = (_rem // block_size) == row_head  # [HG*G, N]
     init = tuple(
         (jnp.full((HG * G, 1), -1e30, jnp.float32),
          jnp.zeros((HG * G, 1), jnp.float32),
