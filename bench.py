@@ -86,7 +86,7 @@ def main() -> None:
     # regardless of horizon length — decode 128 amortizes it to
     # ~0.27 ms/step. On local hardware the launch tail is ~1-2 ms and
     # horizon 64 behaves identically.
-    decode_len = int(os.environ.get("VLLM_TPU_BENCH_DECODE", "192"))
+    decode_len = int(os.environ.get("VLLM_TPU_BENCH_DECODE", "128"))
 
     # Default = the BASELINE.md north-star shape: 7-8B-class INT4
     # group-128 decode tokens/s per chip.
@@ -98,9 +98,12 @@ def main() -> None:
                          intermediate_size=14336, num_layers=32,
                          num_heads=32, num_kv_heads=8,
                          max_model_len=1024, dtype="bfloat16")
-        # Sized for the long-decode round too: 32 x (128 prompt + 576
-        # decode) tokens = 704 blocks; fp8 KV keeps this under 1.8 GB.
-        num_blocks = 769
+        # Sized for the long-decode round too: 32 x (128 prompt + 384
+        # decode) tokens = 512 blocks; fp8 KV keeps this under 1.3 GB.
+        # (decode 192 was measured WORSE than 128: the extra context
+        # grows attention KV reads faster than the launch tail
+        # amortizes — 4,389 vs 4,634 tok/s.)
+        num_blocks = 545
     else:
         mc = ModelConfig(vocab_size=32000, hidden_size=2048,
                          intermediate_size=5632, num_layers=22,

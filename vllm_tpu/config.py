@@ -289,7 +289,7 @@ QuantMethod = Literal[
     # FP8 checkpoints with per-tensor/channel weight scales (ref fp8.py)
     "fp8_ckpt",
     # online (quantize-at-load) shorthands
-    "fp8", "int8", "w8a8_int8", "int4",
+    "fp8", "int8", "w8a8_int8", "int4", "w4a8",
     # OCP microscaling (block-32 E8M0 shared scales; quant/mxfp.py)
     "mxfp4", "mxfp8", None,
 ]

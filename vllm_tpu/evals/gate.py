@@ -29,6 +29,9 @@ DEFAULT_BUDGETS = {
     "w8a8_int8": 0.05,
     "mxfp8": 0.03,
     "int4": 0.10,      # W4A16 g128
+    "w4a8": 0.12,      # QQQ-class W4A8 (int4 weights + int8 per-token
+    #                  activations; the delta over int4 is the
+    #                  activation-quant cost, measured ~+1% distilled)
     "mxfp4": 0.25,
     "nf4": 0.12,       # bnb-class NF4 codebook (block-64 absmax)
     "int3": 0.40,      # W3A16 g64 (ref inc bits=3 tier)

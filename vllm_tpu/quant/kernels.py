@@ -67,9 +67,13 @@ def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
     zbias = leaf.get("zbias")
     if zbias is None:
         zbias = -8.0 * scales.astype(jnp.float32)
-    if qw.ndim == 4:  # tile-major prepack (pallas_w4a16.prepack_tiled)
-        from vllm_tpu.quant.pallas_w4a16 import unpack_tiled
-        qw = unpack_tiled(qw)
+    if qw.ndim == 4:  # tile-major prepack
+        if "a8" in leaf:  # W4A8 straight-split (pallas_w4a8)
+            from vllm_tpu.quant.pallas_w4a8 import unpack_w4a8
+            qw = unpack_w4a8(qw)
+        else:  # W4A16 quad-row interleave (pallas_w4a16)
+            from vllm_tpu.quant.pallas_w4a16 import unpack_tiled
+            qw = unpack_tiled(qw)
     bits = leaf["bits"].shape[0] if "bits" in leaf else None
     if bits == 2:
         q = unpack_w2_jnp(qw).astype(jnp.float32)
@@ -90,6 +94,17 @@ def dequant_weight_xla(leaf: dict, compute_dtype=jnp.bfloat16) -> jax.Array:
 def quantized_matmul_xla(x: jax.Array, leaf: dict) -> jax.Array:
     if "perm" in leaf:
         x = x[..., leaf["perm"]]
+    if "a8" in leaf:
+        # W4A8 semantics off-TPU: emulate the per-token int8
+        # activation quantization so CPU evals (accuracy gate) measure
+        # the format's real error (integer dots are exact in f32 at
+        # these magnitudes, so this matches the Pallas kernel).
+        xf = x.astype(jnp.float32)
+        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        inv = jnp.where(xs > 0, 1.0 / jnp.where(xs > 0, xs, 1.0), 0.0)
+        xq = jnp.clip(jnp.round(xf * inv), -127.0, 127.0)
+        w = dequant_weight_xla(leaf, jnp.float32)
+        return ((xq @ w) * xs).astype(x.dtype)
     w = dequant_weight_xla(leaf, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 
@@ -123,6 +138,17 @@ def quantized_matmul(x: jax.Array, leaf: dict) -> jax.Array:
     if (attention_backend() == "pallas" and leaf["qweight"].dtype
             == jnp.uint8 and "bits" not in leaf
             and leaf["scales"].shape[0] * 128 == x_k):
+        if "a8" in leaf:
+            # QQQ-class W4A8: int8 activations on the int8 MXU path
+            # (quant/pallas_w4a8.py; ref cutlass_w4a8/).
+            from vllm_tpu.quant.pallas_w4a8 import w4a8_matmul
+            if "perm" in leaf:
+                x = x[..., leaf["perm"]]
+            orig_shape = x.shape
+            x2 = x.reshape(-1, orig_shape[-1])
+            out = w4a8_matmul(x2, leaf["qweight"], leaf["scales"],
+                              leaf.get("zbias"))
+            return out.reshape(*orig_shape[:-1], out.shape[-1])
         from vllm_tpu.quant.pallas_w4a16 import w4a16_matmul
         if "perm" in leaf:
             # desc_act: the loader already sorted qweight rows by
@@ -177,8 +203,14 @@ def prepare_weights(params):
                 bn = pick_bn(qw.shape[1], 32)
                 if qw.shape[1] % bn == 0:
                     node = dict(node)
+                    if "a8" in node:  # W4A8 straight-split layout
+                        from vllm_tpu.quant.pallas_w4a8 import \
+                            prepack_w4a8
+                        pack = prepack_w4a8
+                    else:
+                        pack = prepack_tiled
                     node["qweight"] = jax.jit(
-                        prepack_tiled, static_argnums=1)(qw, bn)
+                        pack, static_argnums=1)(qw, bn)
                     # bf16 scale stream: scales/zbias are ~19% of the
                     # decode weight bytes at f32; bf16 halves that for
                     # ~0.4% relative scale error (small next to the

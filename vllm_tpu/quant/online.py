@@ -138,12 +138,16 @@ def quantize_params_online(params: dict, method: str) -> dict:
             if not isinstance(leaf, dict) or "weight" not in leaf:
                 continue
             w = np.asarray(leaf.pop("weight"), np.float32)
-            if method == "int4":
+            if method in ("int4", "w4a8"):
                 from vllm_tpu.quant.loader import make_device_leaf
                 from vllm_tpu.quant.ref import quantize_groupwise
                 q, s, z = quantize_groupwise(w, 4, 128, sym=True)
                 for k2, v2 in make_device_leaf(q, s, z, None, 4).items():
                     leaf[k2] = jnp.asarray(v2)
+                if method == "w4a8":
+                    # QQQ-class: same int4-g128 weights, int8 per-token
+                    # activations on the int8 MXU (quant/pallas_w4a8).
+                    leaf["a8"] = jnp.zeros((0, ), jnp.int8)
             elif method == "int8":
                 q, s = _quant_weight_int8(w)
                 leaf["qweight"] = jnp.asarray(q)
