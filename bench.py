@@ -24,8 +24,8 @@ def _host_quantized_params(mc, method: str) -> dict:
     rng = np.random.default_rng(0)
     H, KH, D, E, I = (mc.num_heads, mc.num_kv_heads, mc.head_dim,
                       mc.hidden_size, mc.intermediate_size)
-    bits = 4 if method == "int4" else 8
-    gsize = 128 if method == "int4" else E
+    bits = 8 if method == "int8" else 4
+    gsize = E if method == "int8" else 128
 
     def qleaf(K, N):
         # Perf bench: random *packed* bytes directly — bit-identical in
@@ -35,9 +35,14 @@ def _host_quantized_params(mc, method: str) -> dict:
         s_ = (rng.random((K // 128, N), dtype=np.float32) + 0.5) * 0.004
         if bits == 4:
             packed = rng.integers(0, 256, (K // 2, N), dtype=np.uint8)
-            return {"qweight": jnp.asarray(packed),
+            leaf = {"qweight": jnp.asarray(packed),
                     "scales": jnp.asarray(s_),
                     "zbias": jnp.asarray(-8.0 * s_)}
+            if method == "w4a8":
+                # QQQ-class: same int4-g128 weights + int8 per-token
+                # activations on the int8 MXU (quant/pallas_w4a8.py).
+                leaf["a8"] = jnp.zeros((0, ), jnp.int8)
+            return leaf
         q = rng.integers(-127, 128, (K, N), dtype=np.int8)
         return {"qweight": jnp.asarray(q), "scales": jnp.asarray(s_),
                 "zbias": jnp.asarray(np.zeros_like(s_))}
@@ -136,7 +141,7 @@ def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
     quant = os.environ.get("VLLM_TPU_BENCH_QUANT",
                            "int4" if size == "8b" else None)
-    if quant in ("int4", "int8"):
+    if quant in ("int4", "int8", "w4a8"):
         # Host-side generate+quantize, layer by layer: dense bf16 7B
         # would not fit HBM; only the quantized leaves reach the device.
         params = _host_quantized_params(cfg.model, quant)

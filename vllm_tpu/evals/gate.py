@@ -34,9 +34,15 @@ DEFAULT_BUDGETS = {
     #                  activation-quant cost, measured ~+1% distilled)
     "mxfp4": 0.25,
     "nf4": 0.12,       # bnb-class NF4 codebook (block-64 absmax)
-    "int3": 0.40,      # W3A16 g64 (ref inc bits=3 tier)
-    "int2": 4.00,      # W2A16 g64 — research tier; plain RTN 2-bit
-    #                  is lossy (the ref pairs it with INC error comp)
+    "int3": 0.40,      # W3A16 g64 plain RTN (ref inc bits=3 tier)
+    "int2": 4.00,      # W2A16 g64 plain RTN — decorative without EC
+    # INC tier: GPTQ-class error-compensated rounding over a short
+    # calibration pass (quant/error_comp.py). Measured on the
+    # distilled ckpt with DISJOINT calibration: int2 -3.7%, int3
+    # -5.6% (vs RTN +258% / +26%) — budgets leave margin for
+    # less-friendly weight distributions.
+    "int2_ec": 0.30,
+    "int3_ec": 0.15,
 }
 
 
@@ -70,7 +76,17 @@ def quant_ppl_report(
             "layers": [dict(la) for la in copy.deepcopy(params["layers"])],
             **{k: v for k, v in params.items() if k != "layers"},
         }
-        qp = quantize_params_online(qp, fmt)
+        if fmt.endswith("_ec"):
+            # Error-compensated tier: calibrate on a corpus span
+            # DISJOINT from the eval tokens (quant/error_comp.py).
+            calib = eval_token_ids(vocab_size=cfg.vocab_size,
+                                   max_tokens=100_000)
+            calib = [t for t in calib][len(token_ids):
+                                       len(token_ids) + 768]
+            qp = quantize_params_online(qp, fmt[:-3], cfg=cfg,
+                                        calib_ids=calib)
+        else:
+            qp = quantize_params_online(qp, fmt)
         report[fmt] = compute_ppl_from_params(qp, cfg, token_ids,
                                               block_size=block_size)
         del qp

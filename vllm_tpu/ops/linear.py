@@ -20,11 +20,39 @@ import jax
 import jax.numpy as jnp
 
 
+# Calibration capture (quant/error_comp.py): when set, every dense
+# linear reports its input activations — used to build per-leaf
+# Hessians for GPTQ-class error-compensated quantization. Only fires
+# on EAGER forwards (the calibration pass runs unjitted).
+_capture_sink = None
+
+
+class capture_linear_inputs:
+    """Context manager: sink(leaf, x) per dense linear apply."""
+
+    def __init__(self, sink) -> None:
+        self._sink = sink
+
+    def __enter__(self):
+        global _capture_sink
+        self._prev = _capture_sink
+        _capture_sink = self._sink
+        return self
+
+    def __exit__(self, *exc):
+        global _capture_sink
+        _capture_sink = self._prev
+        return False
+
+
 def linear(leaf: dict, x: jax.Array) -> jax.Array:
     if "qweight" in leaf:
         from vllm_tpu.quant.kernels import quantized_matmul
         out = quantized_matmul(x, leaf)
     else:
+        if _capture_sink is not None and not isinstance(
+                x, jax.core.Tracer):
+            _capture_sink(leaf, x)
         out = _dense_matmul(x, leaf["weight"])
     if "bias" in leaf:
         out = out + leaf["bias"]

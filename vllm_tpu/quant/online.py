@@ -52,7 +52,7 @@ def _quant_weight_fp8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _quant_weight_low_bit(w: np.ndarray, bits: int,
-                          group: int = 64) -> dict:
+                          group: int = 64, hessian=None) -> dict:
     """Asymmetric {2,3}-bit group quant, densely packed.
 
     Ref analog: the reference's INC low-bit WNA16 path
@@ -67,12 +67,18 @@ def _quant_weight_low_bit(w: np.ndarray, bits: int,
     K, N = w.shape
     assert K % group == 0 and K % 8 == 0
     L = (1 << bits) - 1
-    wg = w.reshape(K // group, group, N)
-    mn = wg.min(axis=1)
-    mx = wg.max(axis=1)
-    scale = np.where(mx > mn, (mx - mn) / L, 1.0).astype(np.float32)
-    q = np.clip(np.rint((wg - mn[:, None]) / scale[:, None]), 0,
-                L).astype(np.uint8).reshape(K, N)
+    if hessian is not None:
+        # INC tier: GPTQ-class error-compensated rounding + MSE clip
+        # (quant/error_comp.py) — what makes 2/3-bit usable.
+        from vllm_tpu.quant.error_comp import quantize_groupwise_ec
+        q, scale, mn = quantize_groupwise_ec(w, bits, group, hessian)
+    else:
+        wg = w.reshape(K // group, group, N)
+        mn = wg.min(axis=1)
+        mx = wg.max(axis=1)
+        scale = np.where(mx > mn, (mx - mn) / L, 1.0).astype(np.float32)
+        q = np.clip(np.rint((wg - mn[:, None]) / scale[:, None]), 0,
+                    L).astype(np.uint8).reshape(K, N)
     if bits == 2:
         q4 = q.reshape(K // 4, 4, N)
         packed = (q4[:, 0] | (q4[:, 1] << 2) | (q4[:, 2] << 4)
@@ -129,15 +135,27 @@ def _quant_weight_nf4(w: np.ndarray, block: int = 64) -> dict:
     }
 
 
-def quantize_params_online(params: dict, method: str) -> dict:
-    """Replace dense linear leaves with quantized ones (in place)."""
+def quantize_params_online(params: dict, method: str, cfg=None,
+                           calib_ids=None) -> dict:
+    """Replace dense linear leaves with quantized ones (in place).
+
+    ``cfg`` + ``calib_ids`` enable calibration-aware (GPTQ-class)
+    error compensation for the 2/3-bit tiers: a dense forward over the
+    calibration tokens builds per-leaf Hessians first
+    (quant/error_comp.py; ref analog: the INC bits {2,3} family)."""
+    hessians = {}
+    if calib_ids is not None and method in ("int2", "int3"):
+        assert cfg is not None, "calibrated quant needs the ModelConfig"
+        from vllm_tpu.quant.error_comp import collect_hessians
+        hessians = collect_hessians(params, cfg, list(calib_ids))
     n = 0
     for layer in params["layers"]:
         for name in _LINEAR_LEAVES:
             leaf = layer.get(name)
             if not isinstance(leaf, dict) or "weight" not in leaf:
                 continue
-            w = np.asarray(leaf.pop("weight"), np.float32)
+            w_arr = leaf.pop("weight")
+            w = np.asarray(w_arr, np.float32)
             if method in ("int4", "w4a8"):
                 from vllm_tpu.quant.loader import make_device_leaf
                 from vllm_tpu.quant.ref import quantize_groupwise
@@ -170,7 +188,9 @@ def quantize_params_online(params: dict, method: str) -> dict:
                                 isinstance(v2, np.ndarray) else v2)
             elif method in ("int2", "int3"):
                 bits = int(method[-1])
-                for k2, v2 in _quant_weight_low_bit(w, bits).items():
+                h = hessians.get(id(w_arr))
+                for k2, v2 in _quant_weight_low_bit(
+                        w, bits, hessian=h).items():
                     leaf[k2] = v2
             elif method in ("mxfp4", "mxfp8"):
                 from vllm_tpu.quant.mxfp import (quantize_mxfp4,

@@ -111,9 +111,15 @@ def pick_gsup(G: int, bn: int, bt: int, n_n: int = 1) -> int:
       +2.7% on long-pipeline shapes (gate_up/down/lm_head) but -9% on
       short ones (qkv/o: 4 steps) — the r4 "gsup=8 neutral-to-worse"
       negative only holds when it shortens the pipeline below ~8."""
+    # VMEM budget accounts for the f32 accumulator + double-buffered
+    # output blocks (bt=256/bn=4096 at gsup=8 blew the default 16 MiB
+    # scoped limit); weight/x blocks are double-buffered by the
+    # pipeline.
+    fixed = bt * bn * 4 + 2 * bt * bn * 2  # acc + out (x2 buffers)
+    budget_w = max(2 << 20, (12 << 20) - fixed)
     best = 1
     for g in (8, 4, 2, 1):
-        if G % g == 0 and g * (BROWS * bn + bt * BK * 2) <= (4 << 20):
+        if G % g == 0 and 2 * g * (BROWS * bn + bt * BK * 2) <= budget_w:
             if best == 1:
                 best = g  # largest VMEM-feasible (fallback)
             if n_n * (G // g) >= 8:

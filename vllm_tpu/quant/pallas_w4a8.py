@@ -126,7 +126,9 @@ def w4a8_matmul(
     inv = jnp.where(xs > 0, 1.0 / jnp.where(xs > 0, xs, 1.0), 0.0)
     xq = jnp.clip(jnp.round(xf * inv), -127.0, 127.0).astype(jnp.int8)
 
-    bt = pick_bt(T)
+    # int8 VMEM tiles are (32, 128): the token-tile sublane count must
+    # be >= 32 (bt=8/16 fails Mosaic with "Bad lhs type").
+    bt = max(32, pick_bt(T))
     if qweight.ndim == 2:  # unpacked leaf: tile on the fly (slow path)
         qweight = prepack_w4a8(qweight, pick_bn(qweight.shape[1], bt))
     n_n, G2, _, bn = qweight.shape
