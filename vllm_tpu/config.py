@@ -76,6 +76,10 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # DeepSeek-V3.2 sparse attention (DSA): lightning-indexer geometry
+    # {"n_heads", "head_dim", "topk"}; None == dense MLA (ref:
+    # vllm/models/deepseek_v32/attention.py DeepseekV32Indexer:38).
+    sparse_index: dict[str, Any] | None = None
     # Mamba2/SSD mixer geometry (ref: mamba_mixer2.py; 0 layers = no
     # SSM). For hybrid models, layer_types marks which layers are
     # attention vs mamba.

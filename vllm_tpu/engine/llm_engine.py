@@ -80,6 +80,13 @@ class LLMEngine:
         if params is None:
             params = self._load_params()
 
+        if (mc.sparse_index is not None
+                and config.cache.cache_dtype not in ("auto", "bfloat16",
+                                                     "float32")):
+            raise NotImplementedError(
+                "DSA sparse attention (DeepSeek-V3.2) currently "
+                "requires an unquantized latent cache (the sparse "
+                "gather path reads raw latent rows)")
         num_blocks = self._determine_num_kv_blocks()
         cp = config.parallel.context_parallel_size
         if cp > 1:

@@ -21,6 +21,7 @@ SUPPORTED_ARCHS = {
     "MixtralForCausalLM": "mixtral",
     "DeepseekV2ForCausalLM": "deepseek",  # MLA + grouped-routing MoE
     "DeepseekV3ForCausalLM": "deepseek",
+    "DeepseekV32ForCausalLM": "deepseek",  # + DSA sparse attention
     "BertModel": "bert",  # encoder-only embedder (/v1/embeddings)
     "RobertaModel": "bert",  # roberta-class (pad-offset positions)
     "XLMRobertaModel": "bert",
@@ -66,6 +67,7 @@ _MODEL_TYPE_ARCHS = {
     "bamba": "BambaForCausalLM",
     "deepseek_v2": "DeepseekV2ForCausalLM",
     "deepseek_v3": "DeepseekV3ForCausalLM",
+    "deepseek_v32": "DeepseekV32ForCausalLM",
     "gemma": "GemmaForCausalLM",
     "gemma2": "Gemma2ForCausalLM",
     "gemma3_text": "Gemma3ForCausalLM",
@@ -349,7 +351,15 @@ def model_config_from_hf(
         cfg.first_k_dense_replace = hf.get("first_k_dense_replace", 0)
         cfg.topk_method = hf.get(
             "topk_method",
-            "noaux_tc" if arch == "DeepseekV3ForCausalLM" else "greedy")
+            "noaux_tc" if arch in ("DeepseekV3ForCausalLM",
+                                   "DeepseekV32ForCausalLM")
+            else "greedy")
+        if hf.get("index_topk"):  # DeepSeek-V3.2 lightning indexer
+            cfg.sparse_index = {
+                "n_heads": hf.get("index_n_heads", 64),
+                "head_dim": hf.get("index_head_dim", 128),
+                "topk": hf["index_topk"],
+            }
         cfg.n_group = hf.get("n_group", 1) or 1
         cfg.topk_group = hf.get("topk_group", 1) or 1
         cfg.routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)

@@ -387,7 +387,21 @@ def _load_deepseek_params(model_path: str, cfg: ModelConfig) -> dict:
                 layer[norms[tail]] = to_jax(w)
                 continue
             mod, _, kind = tail.rpartition(".")
-            if mod in attn_linears:
+            if tail.startswith("self_attn.indexer."):
+                # DeepSeek-V3.2 lightning indexer (ref:
+                # models/deepseek_v32/attention.py wq_b /
+                # wk_weights_proj / k_norm).
+                sub = tail[len("self_attn.indexer."):]
+                idx = layer.setdefault("indexer", {})
+                smod, _, skind = sub.rpartition(".")
+                if smod in ("wq_b", "wk_weights_proj"):
+                    idx.setdefault(smod, {})[skind] = to_jax(
+                        w.T if skind == "weight" else w)
+                elif smod == "k_norm":
+                    idx.setdefault("k_norm", {})[skind] = to_jax(w)
+                else:
+                    logger.warning("unmapped weight %s", name)
+            elif mod in attn_linears:
                 leaf = layer.setdefault(attn_linears[mod], {})
                 leaf["weight" if kind == "weight" else "bias"] = to_jax(
                     w.T if kind == "weight" else w)

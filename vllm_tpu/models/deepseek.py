@@ -108,6 +108,30 @@ def mla_attention(
     v_vec = jnp.pad(c_kv, ((0, 0), (0, dr)))[:, None, :]
     sm_scale = float((dn + dr)**-0.5)
 
+    if cfg.sparse_index is not None and "indexer" in layer:
+        # DSA path: write latent + indexer-K rows, select top-k per
+        # query, attend over the selection only.
+        latent, index_cache = kv_cache
+        if "q_a_proj" in layer:
+            q_c_idx = q_c
+        else:  # indexer requires the q_lora bottleneck (ref asserts)
+            raise NotImplementedError("DSA requires q_lora_rank")
+        k_i, qi_pack = _indexer_scores(cfg, layer, x, q_c_idx, cos, sin)
+        latent = write_kv_xla(latent, k_vec, v_vec, meta.slot_mapping)
+        di = index_cache.shape[-1]
+        index_cache = index_cache.reshape(-1, di).at[
+            meta.slot_mapping].set(k_i.astype(index_cache.dtype)
+                                   ).reshape(index_cache.shape)
+        if q_blk == 1:
+            ctx_c = _sparse_mla_decode(cfg, q_eff, qi_pack, latent,
+                                       index_cache, meta, sm_scale)
+        else:
+            ctx_c = _sparse_mla_prefill(cfg, q_eff, qi_pack, latent,
+                                        index_cache, meta, sm_scale)
+        attn = jnp.einsum("thc,chv->thv", ctx_c, w_vc)
+        return (linear(layer["o_proj"], attn.reshape(T, H * dv)),
+                (latent, index_cache))
+
     if q_blk == 1:
         ctx, kv_cache = fused_decode_attention(
             q_eff, k_vec, v_vec, kv_cache, meta.block_tables,
@@ -121,6 +145,163 @@ def mla_attention(
     # ctx [T, H, D]: value payload is the first c dims; up-project.
     attn = jnp.einsum("thc,chv->thv", ctx[..., :c], w_vc)
     return linear(layer["o_proj"], attn.reshape(T, H * dv)), kv_cache
+
+
+# -- DeepSeek-V3.2 sparse attention (DSA) -------------------------------
+#
+# Ref: vllm/models/deepseek_v32/attention.py (DeepseekV32Indexer:38 —
+# lightning indexer: per-token top-k selection over the context) +
+# model_executor/layers/sparse_attn_indexer.py and the sparse MLA
+# backends (v1/attention/backends/mla/flashattn_mla_sparse.py).
+#
+# TPU formulation: the indexer score is the DSA paper's
+#     I[t, s] = sum_h w[t, h] * relu(q_i[t, h] . k_i[s])
+# computed in bf16/f32 (the reference quantizes q/k to fp8 for its
+# CUDA kernel; the math is the same with q_scale folded away). Each
+# layer carries a second paged cache holding the indexer K rows under
+# the SAME block tables/slot mapping as the latent cache, and decode
+# gathers only the selected top-k latent rows — the long-context win:
+# topk * (d_i + D) bytes per query instead of ctx * D. Prefill applies
+# the selection as a mask over the dense score matrix (same FLOPs as
+# dense at prefill; the sparse payoff is decode-side).
+
+
+def _gather_paged(cache: jax.Array, block_tables: jax.Array,
+                  idx: jax.Array) -> jax.Array:
+    """cache [B, bs, D], idx [R, K] token positions -> [R, K, D]
+    (rows gathered through each request's block table)."""
+    bs = cache.shape[1]
+    bids = jnp.take_along_axis(block_tables, idx // bs, axis=1)  # [R,K]
+    flat = cache.reshape(-1, cache.shape[-1])
+    return flat[bids * bs + idx % bs]
+
+
+def _indexer_scores(cfg: ModelConfig, layer: dict, x: jax.Array,
+                    q_c: jax.Array, cos: jax.Array,
+                    sin: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """-> (k_rows [T, d_i] to cache, per-query (q_i [T, Hi, d_i],
+    w [T, Hi]) packed as a tuple). Scores against any key set are then
+    sum_h w * relu(q_i . k)."""
+    si = cfg.sparse_index
+    Hi, di = si["n_heads"], si["head_dim"]
+    dr = cfg.qk_rope_head_dim
+    idx = layer["indexer"]
+    T = x.shape[0]
+    q = linear(idx["wq_b"], q_c).reshape(T, Hi, di)
+    q_pe, q_nope = q[..., :dr], q[..., dr:]
+    kw = linear(idx["wk_weights_proj"], x)  # [T, di + Hi]
+    k = kw[:, :di]
+    wts = kw[:, di:]
+    # ref k_norm is a biased LayerNorm (eps 1e-6)
+    kf = k.astype(jnp.float32)
+    mu = kf.mean(-1, keepdims=True)
+    var = kf.var(-1, keepdims=True)
+    k = ((kf - mu) * jax.lax.rsqrt(var + 1e-6) *
+         idx["k_norm"]["weight"].astype(jnp.float32) +
+         idx["k_norm"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    k_pe, k_nope = k[:, :dr], k[:, dr:]
+    q_pe = apply_rope_interleaved(q_pe, cos, sin)
+    k_pe = apply_rope_interleaved(k_pe[:, None, :], cos, sin)[:, 0]
+    q_i = jnp.concatenate([q_pe, q_nope], axis=-1)
+    k_i = jnp.concatenate([k_pe, k_nope], axis=-1)
+    w = (wts.astype(jnp.float32) * (di**-0.5) * (Hi**-0.5))
+    return k_i, (q_i, w)
+
+
+def _topk_indices(scores: jax.Array, valid: jax.Array,
+                  topk: int) -> tuple[jax.Array, jax.Array]:
+    """scores [T, S] f32 + validity mask -> (idx [T, K], sel_valid
+    [T, K]). K is static; short contexts pad with invalid slots."""
+    masked = jnp.where(valid, scores, -jnp.inf)
+    _, idx = jax.lax.top_k(masked, topk)
+    sel_valid = jnp.take_along_axis(valid, idx, axis=1)
+    return idx.astype(jnp.int32), sel_valid
+
+
+def _sparse_mla_decode(cfg: ModelConfig, q_eff: jax.Array,
+                       qi_pack, latent_cache: jax.Array,
+                       index_cache: jax.Array, meta: AttentionMetadata,
+                       sm_scale: float) -> jax.Array:
+    """Decode rows [R]: score the whole context through the index-K
+    cache, select top-k, gather ONLY those latent rows, run absorbed
+    MQA over them."""
+    si = cfg.sparse_index
+    topk = si["topk"]
+    q_i, w = qi_pack  # [R, Hi, d_i], [R, Hi]
+    R = q_i.shape[0]
+    bs = index_cache.shape[1]
+    max_blocks = meta.block_tables.shape[1]
+    S = max_blocks * bs
+    # Dense gather of the index-K prefix (small: d_i bytes/token).
+    kI = _gather_paged(index_cache, meta.block_tables,
+                       jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32),
+                                        (R, S)))  # [R, S, d_i]
+    logits = jnp.einsum("rhd,rsd->rhs", q_i.astype(jnp.float32),
+                        kI.astype(jnp.float32))
+    scores = jnp.einsum("rh,rhs->rs", w, jax.nn.relu(logits))
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = pos < meta.seq_lens[:, None]
+    idx, sel_valid = _topk_indices(scores, valid, topk)
+    k_sel = _gather_paged(latent_cache[:, 0], meta.block_tables,
+                          idx)  # [R, K, Dp]
+    D = q_eff.shape[-1]
+    s = jnp.einsum("rhd,rkd->rhk", q_eff.astype(jnp.float32),
+                   k_sel[..., :D].astype(jnp.float32)) * sm_scale
+    s = jnp.where(sel_valid[:, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    c = cfg.kv_lora_rank
+    ctx = jnp.einsum("rhk,rkc->rhc", p,
+                     k_sel[..., :c].astype(jnp.float32))
+    return ctx.astype(q_eff.dtype)  # [R, H, c]
+
+
+def _sparse_mla_prefill(cfg: ModelConfig, q_eff: jax.Array,
+                        qi_pack, latent_cache: jax.Array,
+                        index_cache: jax.Array,
+                        meta: AttentionMetadata,
+                        sm_scale: float) -> jax.Array:
+    """Ragged prefill: per query position, select top-k over its
+    causal prefix (through the index cache, which already holds this
+    chunk's rows) and attend under that mask."""
+    si = cfg.sparse_index
+    topk = si["topk"]
+    q_i, w = qi_pack  # [T, Hi, d_i]
+    T = q_i.shape[0]
+    bs = index_cache.shape[1]
+    nreq = meta.seq_lens.shape[0]
+    S = meta.block_tables.shape[1] * bs
+    qsl = meta.query_start_loc
+    tok = jnp.arange(T, dtype=jnp.int32)
+    seg = jnp.searchsorted(qsl, tok, side="right") - 1  # request of tok
+    seg = jnp.clip(seg, 0, nreq - 1)  # padding tokens -> last request
+    # absolute position of each query token in its request
+    qpos = tok - qsl[seg] + (meta.seq_lens[seg] -
+                             (qsl[seg + 1] - qsl[seg]))
+    kI = _gather_paged(index_cache, meta.block_tables[seg],
+                       jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32),
+                                        (T, S)))  # [T, S, d_i]
+    logits = jnp.einsum("thd,tsd->ths", q_i.astype(jnp.float32),
+                        kI.astype(jnp.float32))
+    scores = jnp.einsum("th,ths->ts", w, jax.nn.relu(logits))
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    causal = pos <= qpos[:, None]
+    idx, sel_valid = _topk_indices(scores, causal, topk)
+    # selection mask over the dense score matrix
+    sel = jnp.zeros((T, S), bool)
+    sel = sel.at[jnp.arange(T)[:, None], idx].set(sel_valid)
+    k_all = _gather_paged(latent_cache[:, 0], meta.block_tables[seg],
+                          jnp.broadcast_to(
+                              jnp.arange(S, dtype=jnp.int32),
+                              (T, S)))  # [T, S, Dp]
+    D = q_eff.shape[-1]
+    s = jnp.einsum("thd,tsd->ths", q_eff.astype(jnp.float32),
+                   k_all[..., :D].astype(jnp.float32)) * sm_scale
+    s = jnp.where((causal & sel)[:, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    c = cfg.kv_lora_rank
+    ctx = jnp.einsum("thk,tkc->thc", p,
+                     k_all[..., :c].astype(jnp.float32))
+    return ctx.astype(q_eff.dtype)
 
 
 def _route(cfg: ModelConfig, router: dict, x: jax.Array):
@@ -197,6 +378,26 @@ def forward(
     return x, new_caches
 
 
+def make_caches(cfg: ModelConfig, num_blocks: int, block_size: int,
+                max_num_reqs: int, cache_cfg, kv_sharding=None) -> list:
+    """Per-layer caches: the MLA latent cache, plus (DSA models) the
+    indexer-K cache under the same block tables (ref analog:
+    DeepseekV32IndexerCache, models/deepseek_v32/attention.py)."""
+    from vllm_tpu.ops.kv_cache import make_kv_cache
+    caches = []
+    for _ in range(cfg.num_layers):
+        lat = make_kv_cache(num_blocks, block_size, cfg.num_kv_heads,
+                            cfg.head_dim, cache_cfg.cache_dtype,
+                            cfg.dtype, sharding=kv_sharding)
+        if cfg.sparse_index is None:
+            caches.append(lat)
+        else:
+            di = cfg.sparse_index["head_dim"]
+            caches.append((lat, jnp.zeros(
+                (num_blocks, block_size, di), jnp.dtype(cfg.dtype))))
+    return caches
+
+
 # -- initialization -----------------------------------------------------
 
 
@@ -236,6 +437,15 @@ def random_params(cfg: ModelConfig, seed: int = 0) -> dict:
                                               H * (dn + dr)))}
         else:
             layer["q_proj"] = {"weight": w((E, H * (dn + dr)))}
+        if cfg.sparse_index is not None:
+            Hi = cfg.sparse_index["n_heads"]
+            di = cfg.sparse_index["head_dim"]
+            layer["indexer"] = {
+                "wq_b": {"weight": w((cfg.q_lora_rank, Hi * di))},
+                "wk_weights_proj": {"weight": w((E, di + Hi))},
+                "k_norm": {"weight": jnp.ones((di, ), dtype),
+                           "bias": jnp.zeros((di, ), dtype)},
+            }
         if NE > 0 and i >= cfg.first_k_dense_replace:
             layer["router"] = {"weight": w((E, NE), scale=0.1)}
             if cfg.topk_method == "noaux_tc":

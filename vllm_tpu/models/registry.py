@@ -18,6 +18,7 @@ _REGISTRY: dict[str, str] = {
     "MixtralForCausalLM": "vllm_tpu.models.mixtral",
     "DeepseekV2ForCausalLM": "vllm_tpu.models.deepseek",  # MLA + MoE
     "DeepseekV3ForCausalLM": "vllm_tpu.models.deepseek",
+    "DeepseekV32ForCausalLM": "vllm_tpu.models.deepseek",
     "BertModel": "vllm_tpu.models.bert",  # encoder-only embedder
     "RobertaModel": "vllm_tpu.models.bert",  # + position offset
     "XLMRobertaModel": "vllm_tpu.models.bert",
