@@ -74,7 +74,7 @@ def test_event_stream_reconstructs_pool_state():
     sub.connect(f"tcp://127.0.0.1:{pub_port}")
     sub.setsockopt(zmq.SUBSCRIBE, b"")
     import time
-    time.sleep(0.2)  # PUB/SUB join
+    time.sleep(1.0)  # PUB/SUB join (generous: suite runs under load)
 
     rng = np.random.default_rng(0)
     shared = [int(x) for x in rng.integers(10, 500, 40)]
@@ -96,11 +96,12 @@ def test_event_stream_reconstructs_pool_state():
     # Drain the SUB stream.
     state: set = set()
     seqs = []
+    poller = zmq.Poller()
+    poller.register(sub, zmq.POLLIN)
     while True:
-        try:
-            topic, seq, payload = sub.recv_multipart(flags=zmq.NOBLOCK)
-        except zmq.Again:
+        if not dict(poller.poll(timeout=500)):
             break
+        topic, seq, payload = sub.recv_multipart()
         seqs.append(int.from_bytes(seq, "big"))
         for ev in EventBatch.unpack(payload).events:
             _apply(state, ev)
@@ -116,10 +117,9 @@ def test_event_stream_reconstructs_pool_state():
         while eng.has_unfinished_requests():
             eng.step()
     while True:
-        try:
-            _t, seq, payload = sub.recv_multipart(flags=zmq.NOBLOCK)
-        except zmq.Again:
+        if not dict(poller.poll(timeout=500)):
             break
+        _t, seq, payload = sub.recv_multipart()
         seqs.append(int.from_bytes(seq, "big"))
         for ev in EventBatch.unpack(payload).events:
             _apply(state, ev)

@@ -187,8 +187,19 @@ class LLMEngine:
         from vllm_tpu.loader.safetensors_loader import load_llama_params
         mc, qc = self.config.model, self.config.quant
         logger.info("loading weights from %s", mc.model)
-        if qc.enabled and qc.method in ("int4", "int8", "w8a8_int8",
-                                        "fp8", "mxfp4", "mxfp8"):
+        if str(mc.model).endswith(".gguf"):
+            # llama.cpp checkpoints (ref analog: gguf quantization
+            # path): block-quant tensors dequantize at load; online
+            # re-quantization applies below when requested.
+            from vllm_tpu.loader.gguf_loader import load_gguf_params
+            params = load_gguf_params(mc.model, mc)
+            if qc.enabled and qc.method:
+                from vllm_tpu.quant.online import quantize_params_online
+                params = quantize_params_online(params, qc.method)
+            return params
+        if qc.enabled and qc.method in ("int4", "w4a8", "int8",
+                                        "w8a8_int8", "fp8", "mxfp4",
+                                        "mxfp8"):
             # Online quantization: dense load, then transform
             # (ref analog: online/base.py quantize-at-load).
             from vllm_tpu.quant.online import quantize_params_online

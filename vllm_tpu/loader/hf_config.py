@@ -86,6 +86,12 @@ def model_config_from_hf(
     max_model_len: int | None = None,
     dtype: str = "bfloat16",
 ) -> ModelConfig:
+    if str(model_path).endswith(".gguf"):
+        # Self-describing llama.cpp checkpoint (loader/gguf_loader.py).
+        from vllm_tpu.loader.gguf_loader import model_config_from_gguf
+        return model_config_from_gguf(model_path,
+                                      max_model_len=max_model_len,
+                                      dtype=dtype)
     hf = load_hf_config_dict(model_path)
     arch = (hf.get("architectures") or [None])[0]
     if arch is None:  # some save paths omit architectures
