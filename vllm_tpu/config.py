@@ -294,6 +294,8 @@ QuantMethod = Literal[
     "fp8_ckpt",
     # online (quantize-at-load) shorthands
     "fp8", "int8", "w8a8_int8", "int4", "w4a8",
+    # pre-quantized bitsandbytes NF4 checkpoints (quant/loader.py)
+    "bnb4",
     # OCP microscaling (block-32 E8M0 shared scales; quant/mxfp.py)
     "mxfp4", "mxfp8", None,
 ]

@@ -40,6 +40,17 @@ def detect_quant_config(model_path: str,
         )
     if fmt == "compressed-tensors":
         return _parse_compressed_tensors(qcfg)
+    if fmt == "bitsandbytes":
+        # Pre-quantized bnb checkpoints (ref:
+        # model_loader/bitsandbytes_loader.py). 4-bit NF4 maps onto
+        # the NF4 codebook leaf; int8 (LLM.int8) is not wired.
+        if qcfg.get("load_in_8bit"):
+            raise ValueError("bitsandbytes 8-bit checkpoints are not "
+                             "supported (use an int8 online quant)")
+        if qcfg.get("bnb_4bit_quant_type", "nf4") != "nf4":
+            raise ValueError("bitsandbytes fp4 checkpoints are not "
+                             "supported (nf4 only)")
+        return QuantizationConfig(method="bnb4", bits=4, raw=qcfg)
     if fmt == "fp8" and qcfg:
         # Checkpoint FP8 (scales serialized; ref: quantization/fp8.py).
         # Bare "fp8" via method_hint stays the online shorthand below.

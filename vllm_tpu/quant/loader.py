@@ -130,9 +130,121 @@ def _concat_leaves(parts: list[dict]) -> dict:
     return out
 
 
+def _bnb4_leaf(tensors: dict, dtype) -> dict:
+    """One bitsandbytes NF4 module -> our NF4 codebook leaf (ref:
+    model_loader/bitsandbytes_loader.py semantics).
+
+    bnb stores the weight flattened row-major [out, in], codes packed
+    (first << 4) | second, per-64-block absmax over that flat order —
+    with in % 64 == 0 each block lies along the in (K) axis of one
+    output row, which is exactly our per-column K-group layout after a
+    transpose. Double-quantized checkpoints carry uint8 absmax +
+    nested_{absmax,quant_map} + an offset in the serialized
+    quant_state."""
+    import json
+
+    import jax.numpy as jnp
+    packed = np.asarray(tensors["weight"]).reshape(-1)
+    qs_raw = tensors.get("quant_state.bitsandbytes__nf4")
+    state = (json.loads(bytes(np.asarray(qs_raw).tobytes()))
+             if qs_raw is not None else {})
+    out, in_ = state.get("shape") or tensors["__shape__"]
+    block = int(state.get("blocksize", 64))
+    assert in_ % block == 0, "bnb block straddles rows (in % 64 != 0)"
+    absmax = np.asarray(tensors["absmax"])
+    if absmax.dtype == np.uint8:  # double quant
+        nam = np.asarray(tensors["nested_absmax"], np.float32)
+        nqm = np.asarray(tensors["nested_quant_map"], np.float32)
+        nbs = int(state.get("nested_blocksize", 256))
+        off = float(state.get("nested_offset", 0.0))
+        deq = nqm[absmax.reshape(-1)]
+        deq = deq * np.repeat(nam, nbs)[:deq.size] + off
+        absmax = deq
+    absmax = absmax.astype(np.float32).reshape(out, in_ // block)
+    quant_map = np.asarray(tensors["quant_map"], np.float32)
+    hi, lo = packed >> 4, packed & 0xF
+    flat = np.empty(packed.size * 2, np.uint8)
+    flat[0::2] = hi
+    flat[1::2] = lo
+    q = flat.reshape(out, in_).T  # [K, N]
+    K, N = q.shape
+    q2 = q.reshape(K // 2, 2, N)
+    return {
+        "qweight": jnp.asarray((q2[:, 0] | (q2[:, 1] << 4)).astype(
+            np.uint8)),
+        "scales": jnp.asarray(absmax.T.copy()),
+        "codebook": jnp.asarray(quant_map),
+    }
+
+
+def _fuse_nf4(leaves: list[dict]) -> dict:
+    import jax.numpy as jnp
+    return {
+        "qweight": jnp.concatenate([l["qweight"] for l in leaves],
+                                   axis=1),
+        "scales": jnp.concatenate([l["scales"] for l in leaves],
+                                  axis=1),
+        "codebook": leaves[0]["codebook"],
+    }
+
+
+def load_bnb4_params(model_path: str, cfg: ModelConfig) -> dict:
+    """Pre-quantized bitsandbytes NF4 llama checkpoint -> param pytree
+    with NF4 codebook leaves (served by the nf4 dequant path)."""
+    import jax.numpy as jnp
+    from vllm_tpu.loader.safetensors_loader import _iter_safetensors
+    dtype = jnp.dtype(cfg.dtype)
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"layers": layers}
+    staging: dict[str, dict[str, np.ndarray]] = {}
+    for name, w in _iter_safetensors(model_path):
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = {
+                "weight": jnp.asarray(w).astype(dtype)}
+            continue
+        if name == "model.norm.weight":
+            params["norm"] = jnp.asarray(w).astype(dtype)
+            continue
+        if name == "lm_head.weight":
+            if not cfg.tie_word_embeddings:
+                params["lm_head"] = {
+                    "weight": jnp.asarray(np.asarray(w).T).astype(dtype)}
+            continue
+        if ".weight" in name and name.startswith("model.layers."):
+            mod, _, sub = name.partition(".weight")
+            sub = sub.lstrip(".")
+            staging.setdefault(mod, {})[sub or "weight"] = w
+            continue
+        logger.warning("unmapped bnb weight %s", name)
+    fused: dict[tuple[int, str], dict] = {}
+    for mod, tensors in staging.items():
+        rest = mod[len("model.layers."):]
+        li_s, _, tail = rest.partition(".")
+        li = int(li_s)
+        if tail.endswith(("input_layernorm", "post_attention_layernorm")):
+            layers[li][tail.rsplit(".", 1)[-1]] = jnp.asarray(
+                tensors["weight"]).astype(dtype)
+            continue
+        leaf = _bnb4_leaf(tensors, dtype)
+        short = tail.rsplit(".", 1)[-1]
+        fused[(li, short)] = leaf
+    for li in range(cfg.num_layers):
+        lay = layers[li]
+        lay["qkv_proj"] = _fuse_nf4([fused[(li, "q_proj")],
+                                     fused[(li, "k_proj")],
+                                     fused[(li, "v_proj")]])
+        lay["o_proj"] = fused[(li, "o_proj")]
+        lay["gate_up_proj"] = _fuse_nf4([fused[(li, "gate_proj")],
+                                         fused[(li, "up_proj")]])
+        lay["down_proj"] = fused[(li, "down_proj")]
+    return params
+
+
 def load_quantized_llama_params(model_path: str, cfg: ModelConfig,
                                 quant: QuantizationConfig) -> dict:
     import jax.numpy as jnp
+    if quant.method == "bnb4":
+        return load_bnb4_params(model_path, cfg)
 
     dtype = jnp.dtype(cfg.dtype)
     layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
