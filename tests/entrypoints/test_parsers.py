@@ -210,3 +210,88 @@ def test_server_chat_tool_calls():
             assert last["delta"]["tool_calls"][0]["function"]["name"] == "f"
 
     asyncio.run(main())
+
+
+# -- round 5: streaming edge cases (the places thin parsers rot — ref
+# tool_parsers' streaming tests: partial JSON, multi-tool interleave,
+# marker split across chunk boundaries) -------------------------------
+
+def _stream_chars(parser, text):
+    """Feed text one char at a time; return the streamed prose."""
+    sent = 0
+    out = []
+    for i in range(1, len(text) + 1):
+        delta, sent = parser.stream_new_text(text[:i], sent)
+        out.append(delta)
+    return "".join(out), sent
+
+
+def test_stream_never_leaks_marker_split_across_chunks():
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("hermes")
+    text = ('I will call a tool now <tool_call>{"name": "f", '
+            '"arguments": {"x": 1}}</tool_call> done')
+    prose, sent = _stream_chars(p, text)
+    assert "<tool_call>" not in prose
+    assert prose.startswith("I will call a tool now")
+    # the held-back payload surfaces structured in the final parse
+    parsed = p.extract(text)
+    assert parsed.tools_called
+    assert parsed.tool_calls[0].name == "f"
+
+
+def test_stream_partial_marker_prefix_held_back():
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("hermes")
+    # tail "<tool" could still grow into the marker: must be held
+    delta, sent = p.stream_new_text("hello <tool", 0)
+    assert delta == "hello "
+    # ...but a tail that can't be a marker prefix flushes
+    delta2, sent2 = p.stream_new_text("hello <tooting", sent)
+    assert (("hello " + delta2).strip().startswith("hello <tooting"[:6])
+            and "<tool_call>" not in delta2)
+    assert sent2 == len("hello <tooting")
+
+
+def test_multi_tool_interleave_with_prose():
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("hermes")
+    text = ('first <tool_call>{"name": "a", "arguments": {}}'
+            '</tool_call> middle <tool_call>{"name": "b", '
+            '"arguments": {"k": "v"}}</tool_call> last')
+    parsed = p.extract(text)
+    assert [c.name for c in parsed.tool_calls] == ["a", "b"]
+    assert "first" in (parsed.content or "")
+    assert "middle" in (parsed.content or "")
+    assert "last" in (parsed.content or "")
+
+
+def test_truncated_generation_unclosed_tool_call():
+    """max_tokens hit mid-payload: no crash, no half-JSON prose leak."""
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("hermes")
+    text = 'ok <tool_call>{"name": "f", "arguments": {"x": 1'
+    parsed = p.extract(text)
+    assert not parsed.tools_called  # unclosed block is not a call
+    prose, _ = _stream_chars(p, text)
+    assert "{" not in prose  # payload never streamed as prose
+
+
+def test_llama3_json_parallel_calls_and_trailing_junk():
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("llama3_json")
+    parsed = p.extract('{"name": "a", "parameters": {"x": 1}}; '
+                       '{"name": "b", "parameters": {}}')
+    assert [c.name for c in parsed.tool_calls] == ["a", "b"]
+    # plain prose stays prose
+    assert not p.extract("just words").tools_called
+
+
+def test_pythonic_multiple_calls_stream_holdback():
+    from vllm_tpu.parsers.tools import get_tool_parser
+    p = get_tool_parser("pythonic")
+    text = '[f(x=1), g(y="s")]'
+    parsed = p.extract(text)
+    assert [c.name for c in parsed.tool_calls] == ["f", "g"]
+    prose, _ = _stream_chars(p, text)
+    assert prose == "" or "[" not in prose
