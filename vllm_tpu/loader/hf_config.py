@@ -16,6 +16,11 @@ SUPPORTED_ARCHS = {
     "LlamaForCausalLM": "llama",
     "Qwen2ForCausalLM": "llama",  # llama + attention_bias
     "MistralForCausalLM": "llama",  # llama + sliding_window
+    "Phi3ForCausalLM": "llama",  # fused qkv/gate_up + longrope
+    "Glm4ForCausalLM": "glm4",  # sandwich norms + partial ileave rope
+    "GlmForCausalLM": "glm4",  # glm-edge family (no sandwich norms)
+    "CohereForCausalLM": "cohere",  # command-r: parallel block + LN
+    "Cohere2ForCausalLM": "cohere",  # + interleaved sliding windows
     "TinyLlamaForCausalLM": "llama",
     "Qwen3ForCausalLM": "llama",  # + qk-norm (handled in model)
     "MixtralForCausalLM": "mixtral",
@@ -68,6 +73,11 @@ _MODEL_TYPE_ARCHS = {
     "deepseek_v2": "DeepseekV2ForCausalLM",
     "deepseek_v3": "DeepseekV3ForCausalLM",
     "deepseek_v32": "DeepseekV32ForCausalLM",
+    "phi3": "Phi3ForCausalLM",
+    "glm4": "Glm4ForCausalLM",
+    "glm": "GlmForCausalLM",
+    "cohere": "CohereForCausalLM",
+    "cohere2": "Cohere2ForCausalLM",
     "gemma": "GemmaForCausalLM",
     "gemma2": "Gemma2ForCausalLM",
     "gemma3_text": "Gemma3ForCausalLM",
@@ -302,6 +312,25 @@ def model_config_from_hf(
         cfg.mamba_n_groups = hf.get("mamba_n_groups", 1)
     if arch in ("Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM"):
         cfg.norm_topk_prob = hf.get("norm_topk_prob", False)
+    if arch in ("Glm4ForCausalLM", "GlmForCausalLM"):
+        cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
+    if arch in ("CohereForCausalLM", "Cohere2ForCausalLM"):
+        # LayerNorm eps rides the rms field; logit_scale + qk-norm and
+        # per-layer sliding pattern come from hf_config at runtime.
+        cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
+        cfg.tie_word_embeddings = True  # command-r always ties
+        if arch == "Cohere2ForCausalLM" and hf.get("sliding_window"):
+            lt = hf.get("layer_types")
+            if lt:
+                cfg.layer_types = tuple(lt)
+            else:
+                pat = int(hf.get("sliding_window_pattern", 4))
+                cfg.layer_types = tuple(
+                    "full_attention" if (i + 1) % pat == 0
+                    else "sliding_attention"
+                    for i in range(hf["num_hidden_layers"]))
+            cfg.interleaved_sliding_window = hf["sliding_window"]
+            cfg.sliding_window = None
     if arch == "Qwen3NextForCausalLM":  # GDN hybrid
         cfg.norm_topk_prob = hf.get("norm_topk_prob", True)
         cfg.layer_types = tuple(hf["layer_types"])

@@ -159,10 +159,14 @@ def load_llama_params(
                 layer["pre_feedforward_layernorm"] = to_jax(w)
             elif tail == "post_feedforward_layernorm.weight":
                 layer["post_feedforward_layernorm"] = to_jax(w)
-            elif tail == "self_attn.q_norm.weight":  # Qwen3 qk-norm
+            elif tail == "self_attn.q_norm.weight":  # Qwen3/Cohere
                 layer["q_norm"] = to_jax(w)
             elif tail == "self_attn.k_norm.weight":
                 layer["k_norm"] = to_jax(w)
+            elif tail == "post_self_attn_layernorm.weight":  # GLM-4
+                layer["post_self_attn_layernorm"] = to_jax(w)
+            elif tail == "post_mlp_layernorm.weight":
+                layer["post_mlp_layernorm"] = to_jax(w)
             else:
                 mod, _, kind = tail.rpartition(".")  # kind: weight|bias
                 if mod in _DIRECT:
@@ -1205,7 +1209,12 @@ def _validate(params: dict, cfg: ModelConfig) -> None:
     assert "norm" in params, "missing final norm"
     if not cfg.tie_word_embeddings:
         assert "lm_head" in params, "missing lm_head"
+    required = ["input_layernorm", "qkv_proj", "o_proj",
+                "gate_up_proj", "down_proj"]
+    if cfg.architecture not in ("CohereForCausalLM",
+                                "Cohere2ForCausalLM"):
+        # Cohere's parallel block has ONE norm per layer.
+        required.append("post_attention_layernorm")
     for i, layer in enumerate(params["layers"]):
-        for k in ("input_layernorm", "qkv_proj", "o_proj",
-                  "post_attention_layernorm", "gate_up_proj", "down_proj"):
+        for k in required:
             assert k in layer, f"layer {i} missing {k}"

@@ -13,6 +13,11 @@ _REGISTRY: dict[str, str] = {
     "LlamaForCausalLM": "vllm_tpu.models.llama",
     "Qwen2ForCausalLM": "vllm_tpu.models.llama",
     "MistralForCausalLM": "vllm_tpu.models.llama",
+    "Phi3ForCausalLM": "vllm_tpu.models.llama",  # fused proj + longrope
+    "Glm4ForCausalLM": "vllm_tpu.models.glm4",
+    "GlmForCausalLM": "vllm_tpu.models.glm4",
+    "CohereForCausalLM": "vllm_tpu.models.cohere",
+    "Cohere2ForCausalLM": "vllm_tpu.models.cohere",
     "TinyLlamaForCausalLM": "vllm_tpu.models.llama",
     "Qwen3ForCausalLM": "vllm_tpu.models.llama",  # + per-head qk-norm
     "MixtralForCausalLM": "vllm_tpu.models.mixtral",

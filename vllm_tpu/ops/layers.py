@@ -59,6 +59,15 @@ def rope_inv_freq(cfg: ModelConfig) -> jax.Array:
         base = cfg.rope_theta * mult**(d / (d - 2))
         inv_freq = 1.0 / (base**(jnp.arange(0, d, 2, dtype=jnp.float32) /
                                  d))
+    elif rope_type in ("longrope", "su"):
+        # Phi-3 LongRoPE (ref: rotary_embedding/ phi3 long rope +
+        # HF _compute_longrope_parameters): per-dim rescale factors,
+        # short set inside the original window, long set beyond.
+        orig = (rs.get("original_max_position_embeddings")
+                or cfg.max_model_len)
+        fac = (rs["short_factor"] if cfg.max_model_len <= orig
+               else rs["long_factor"])
+        inv_freq = inv_freq / jnp.asarray(fac, jnp.float32)
     elif rope_type in (None, "default"):
         pass
     else:
@@ -97,10 +106,21 @@ def _yarn_inv_freq(inv_freq: jax.Array, d: int, cfg: ModelConfig,
 
 def yarn_attention_factor(cfg: ModelConfig) -> float:
     """cos/sin magnitude scale for yarn (HF attention_scaling; deepseek
-    uses the mscale/mscale_all_dim ratio)."""
+    uses the mscale/mscale_all_dim ratio) and longrope (sqrt-log
+    extension factor)."""
     import math
     rs = cfg.rope_scaling or {}
-    if rs.get("rope_type", rs.get("type")) != "yarn":
+    rt = rs.get("rope_type", rs.get("type"))
+    if rt in ("longrope", "su"):
+        if rs.get("attention_factor") is not None:
+            return float(rs["attention_factor"])
+        orig = (rs.get("original_max_position_embeddings")
+                or cfg.max_model_len)
+        ext = (cfg.hf_config or {}).get("max_position_embeddings",
+                                        cfg.max_model_len) / orig
+        return (1.0 if ext <= 1.0 else
+                math.sqrt(1.0 + math.log(ext) / math.log(orig)))
+    if rt != "yarn":
         return 1.0
     if rs.get("attention_factor") is not None:
         return float(rs["attention_factor"])
