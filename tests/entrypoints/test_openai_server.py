@@ -654,3 +654,46 @@ def test_responses_api(tokenizer):
         assert r.status == 404
 
     with_client(t, tokenizer)
+
+
+def test_responses_streaming(tokenizer):
+    """stream=true: SSE event sequence per the reference
+    (response.created ... output_text.delta* ... response.completed)
+    and the stored record matches the streamed text."""
+    async def t(client):
+        r = await client.post("/v1/responses", json={
+            "input": "stream me",
+            "max_output_tokens": 6,
+            "temperature": 0.0,
+            "stream": True,
+        })
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await r.read()).decode()
+        events = []
+        for block in raw.strip().split("\n\n"):
+            lines = dict(l.split(": ", 1) for l in block.split("\n"))
+            import json as _json
+            events.append((lines["event"], _json.loads(lines["data"])))
+        kinds = [k for k, _ in events]
+        assert kinds[0] == "response.created"
+        assert kinds[1] == "response.output_item.added"
+        assert kinds[2] == "response.content_part.added"
+        assert "response.output_text.delta" in kinds
+        assert kinds[-2] == "response.output_item.done"
+        assert kinds[-1] == "response.completed"
+        deltas = "".join(d["delta"] for k, d in events
+                         if k == "response.output_text.delta")
+        done = next(d for k, d in events
+                    if k == "response.output_text.done")
+        assert deltas == done["text"] and deltas
+        # sequence numbers monotonically increase
+        seqs = [d["sequence_number"] for _, d in events]
+        assert seqs == sorted(seqs) == list(range(len(seqs)))
+        # the stored record is retrievable and completed
+        rid = events[-1][1]["response"]["id"]
+        got = await (await client.get(f"/v1/responses/{rid}")).json()
+        assert got["status"] == "completed"
+        assert got["output"][-1]["content"][0]["text"] == deltas
+
+    with_client(t, tokenizer)

@@ -653,7 +653,7 @@ class OpenAIServer:
         return {k: v for k, v in rec.items() if not k.startswith("_")}
 
     async def responses_create(self,
-                               request: web.Request) -> web.Response:
+                               request: web.Request) -> web.StreamResponse:
         body = await request.json()
         if body.get("input") is None:
             return _err("missing 'input'")
@@ -671,6 +671,9 @@ class OpenAIServer:
         resp_id = f"resp_{uuid.uuid4().hex[:24]}"
         rec = self._response_record(resp_id, body, messages)
         self._responses_store()[resp_id] = rec
+        if body.get("stream"):
+            return await self._stream_response(request, rec, prompt,
+                                               params)
         task = asyncio.ensure_future(
             self._run_response(resp_id, prompt, params))
         self._response_tasks[resp_id] = task
@@ -679,6 +682,85 @@ class OpenAIServer:
             return web.json_response(self._response_public(rec))
         await asyncio.shield(task)
         return web.json_response(self._response_public(rec))
+
+    async def _stream_response(self, request, rec: dict, prompt,
+                               params) -> web.StreamResponse:
+        """SSE event stream (ref: responses/api_router.py
+        _convert_stream_to_sse_events — ``event: <type>`` +
+        ``data: <json>`` frames; the reference event sequence
+        created -> output_item.added -> content_part.added ->
+        output_text.delta* -> output_text.done -> content_part.done ->
+        output_item.done -> completed)."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        seq = 0
+
+        async def emit(etype: str, data: dict) -> None:
+            nonlocal seq
+            data = dict(data, type=etype, sequence_number=seq)
+            seq += 1
+            await resp.write(
+                f"event: {etype}\ndata: {json.dumps(data)}\n\n".encode())
+
+        msg_id = f"msg_{uuid.uuid4().hex[:24]}"
+        await emit("response.created",
+                   {"response": self._response_public(rec)})
+        await emit("response.output_item.added", {
+            "output_index": 0,
+            "item": {"id": msg_id, "type": "message",
+                     "role": "assistant", "status": "in_progress",
+                     "content": []},
+        })
+        await emit("response.content_part.added", {
+            "item_id": msg_id, "output_index": 0, "content_index": 0,
+            "part": {"type": "output_text", "text": "",
+                     "annotations": []},
+        })
+        text = ""
+        final = None
+        try:
+            async for out in self.llm.generate(prompt, params,
+                                               rec["id"]):
+                final = out
+                full = out.outputs[0].text or ""
+                if len(full) > len(text):
+                    await emit("response.output_text.delta", {
+                        "item_id": msg_id, "output_index": 0,
+                        "content_index": 0, "delta": full[len(text):],
+                    })
+                    text = full
+        except asyncio.CancelledError:
+            rec["status"] = "cancelled"
+            raise
+        await emit("response.output_text.done", {
+            "item_id": msg_id, "output_index": 0, "content_index": 0,
+            "text": text,
+        })
+        msg = {"id": msg_id, "type": "message", "role": "assistant",
+               "status": "completed",
+               "content": [{"type": "output_text", "text": text,
+                            "annotations": []}]}
+        await emit("response.output_item.done",
+                   {"output_index": 0, "item": msg})
+        rec["output"].append(msg)
+        rec["status"] = "completed"
+        if final is not None:
+            n_in = len(final.prompt_token_ids or [])
+            n_out = len(final.outputs[0].token_ids or [])
+            rec["usage"] = {
+                "input_tokens": n_in, "output_tokens": n_out,
+                "total_tokens": n_in + n_out,
+                "input_tokens_details": {"cached_tokens": 0},
+                "output_tokens_details": {"reasoning_tokens": 0},
+            }
+        rec["_messages"] = rec["_messages"] + [
+            {"role": "assistant", "content": text}]
+        await emit("response.completed",
+                   {"response": self._response_public(rec)})
+        await resp.write_eof()
+        return resp
 
     async def responses_get(self, request: web.Request) -> web.Response:
         rec = self._responses_store().get(
