@@ -127,3 +127,80 @@ def test_fs_tier_e2e_greedy_identical(tmp_path):
     assert engine.scheduler.num_swap_ins > 0
     assert pool.promotions > 0, "fs tier never promoted"
     assert out == ref
+
+
+# -- round 5: shared object-store tier (cross-engine prefix reuse) ----
+
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_object_tier_roundtrip_and_degradation():
+    from vllm_tpu.core.kv_offload import ObjectKVServer, ObjectKVTier
+    port = _free_port()
+    srv = ObjectKVServer(f"tcp://127.0.0.1:{port}", max_bytes=1 << 30)
+    try:
+        tier = ObjectKVTier(f"tcp://127.0.0.1:{port}")
+        d = _entry(0)
+        s = _entry(1, (2, 8, 128))
+        tier.put(b"h0", d, s)
+        tier.flush()
+        got = tier.get(b"h0")
+        np.testing.assert_array_equal(got[0], d)
+        np.testing.assert_array_equal(got[1], s)
+        assert b"h0" in tier and b"nope" not in tier
+        assert tier.get(b"nope") is None
+    finally:
+        srv.close()
+    # store gone: the tier degrades to misses, never stalls
+    t2 = ObjectKVTier(f"tcp://127.0.0.1:{port}", timeout_ms=100)
+    assert t2.get(b"h0") is None
+    assert b"h0" not in t2
+    t2.put(b"hX", _entry(2), None)
+    t2.flush()
+    assert t2.write_errors >= 1
+
+
+def test_object_tier_cross_engine_prefix_reuse():
+    """Engine A's evictions land in the shared store; a FRESH engine B
+    (never saw the prompt) gets prefix hits through it and produces
+    identical greedy output — the cluster-wide KV reuse the obj tier
+    exists for (ref: kv_offload/tiering obj + lmcache-class
+    connectors)."""
+    from vllm_tpu.core.kv_offload import ObjectKVServer
+    port = _free_port()
+    srv = ObjectKVServer(f"tcp://127.0.0.1:{port}", max_bytes=1 << 30)
+    try:
+        prompt_a = [(i * 7 + 1) % 250 for i in range(64)]
+        prompt_b = [(i * 11 + 3) % 250 for i in range(140)]
+        params = llama.random_params(_cfg().model, seed=3)
+        ref = _gen(LLMEngine(_cfg(), params=params, tokenizer=None),
+                   prompt_a)
+
+        def obj_cfg():
+            c = _cfg(num_blocks=11, ram_bytes=2 * (2 * 2) * 16 * 128 * 4)
+            c.cache.kv_object_store_addr = f"tcp://127.0.0.1:{port}"
+            return c
+
+        eng_a = LLMEngine(obj_cfg(), params=params, tokenizer=None)
+        assert _gen(eng_a, prompt_a) == ref
+        # Two eviction waves: the first pushes prompt_a's blocks into
+        # the RAM tier (tail-first), the second cycles the RAM tier so
+        # the prefix HEAD block also demotes to the shared store (the
+        # store must hold a contiguous prefix for engine B to hit).
+        _gen(eng_a, prompt_b[:130])
+        _gen(eng_a, [(i * 13 + 5) % 250 for i in range(140)][:130])
+        eng_a.scheduler.host_kv_pool.tier.flush()
+
+        # Fresh engine B: prefix must come through the shared store.
+        eng_b = LLMEngine(obj_cfg(), params=params, tokenizer=None)
+        out_b = _gen(eng_b, prompt_a)
+        assert out_b == ref
+        assert eng_b.scheduler.num_swap_ins > 0, (
+            "engine B never pulled blocks from the shared store")
+        assert eng_b.scheduler.host_kv_pool.tier.hits > 0
+    finally:
+        srv.close()

@@ -182,6 +182,13 @@ class CacheConfig:
     # reach through RAM into disk. Requires host_swap_bytes > 0.
     offload_dir: str | None = None
     offload_dir_bytes: int = 16 * 2**30
+    # Shared object-store tier (ref analog: the obj backend under
+    # vllm/v1/kv_offload/tiering/ + lmcache-class shared storage):
+    # evictions publish to a content-addressed blob service
+    # (core/kv_offload.ObjectKVServer) so MULTIPLE engines share
+    # prefix KV. Mutually exclusive with offload_dir; requires
+    # host_swap_bytes > 0.
+    kv_object_store_addr: str | None = None
 
     @property
     def is_quantized(self) -> bool:

@@ -266,3 +266,211 @@ class TieredHostKVPool(HostKVPool):
 
     def __contains__(self, h: BlockHash) -> bool:
         return super().__contains__(h) or h in self.tier
+
+
+class ObjectKVServer:
+    """Standalone content-addressed KV blob store (ref analog: the
+    obj backend under vllm/v1/kv_offload/tiering/ + the lmcache-class
+    shared-storage connectors): a ZMQ REP service holding immutable
+    per-block-hash blobs so MULTIPLE engines share prefix KV —
+    engine A's evictions become engine B's prefix hits.
+
+    Wire (multipart): [op, hash, payload?]
+        PUT  h npz  -> b"ok"
+        GET  h      -> npz | b""               (miss)
+        HAS  h      -> b"1" | b"0"
+        STAT        -> json {blocks, bytes, hits, stores}
+    Blobs are LRU-bounded by ``max_bytes`` (in memory; an on-disk
+    object root is the FileKVTier below a server-local pool)."""
+
+    def __init__(self, bind: str, max_bytes: int = 4 * 2**30) -> None:
+        import threading
+
+        import zmq
+        self.max_bytes = max_bytes
+        self._blobs: dict[bytes, bytes] = {}
+        self._bytes = 0
+        self.hits = 0
+        self.stores = 0
+        self._ctx = zmq.Context.instance()
+        self._sock = self._ctx.socket(zmq.REP)
+        self._sock.bind(bind)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self) -> None:
+        import json as _json
+
+        import zmq
+        poller = zmq.Poller()
+        poller.register(self._sock, zmq.POLLIN)
+        while not self._stop.is_set():
+            if not dict(poller.poll(timeout=100)):
+                continue
+            try:
+                frames = self._sock.recv_multipart()
+                op = frames[0]
+                if op == b"PUT":
+                    h, blob = frames[1], frames[2]
+                    if h not in self._blobs:
+                        self._blobs[h] = blob
+                        self._bytes += len(blob)
+                        self.stores += 1
+                        while (self._bytes > self.max_bytes
+                               and len(self._blobs) > 1):
+                            old, ob = next(iter(self._blobs.items()))
+                            if old == h:
+                                break
+                            self._blobs.pop(old)
+                            self._bytes -= len(ob)
+                    self._sock.send(b"ok")
+                elif op == b"GET":
+                    blob = self._blobs.get(frames[1])
+                    if blob is not None:
+                        self.hits += 1
+                        # refresh LRU
+                        self._blobs[frames[1]] = self._blobs.pop(
+                            frames[1])
+                    self._sock.send(blob or b"")
+                elif op == b"HAS":
+                    self._sock.send(
+                        b"1" if frames[1] in self._blobs else b"0")
+                elif op == b"STAT":
+                    self._sock.send(_json.dumps({
+                        "blocks": len(self._blobs),
+                        "bytes": self._bytes,
+                        "hits": self.hits,
+                        "stores": self.stores,
+                    }).encode())
+                else:
+                    self._sock.send(b"")
+            except Exception:
+                if self._stop.is_set():
+                    return
+                logger.exception("object-store request failed")
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self._sock.close(0)
+
+
+class ObjectKVTier:
+    """Client tier speaking to an ObjectKVServer — the FileKVTier
+    interface with put/get re-pointed at the shared store (put stays
+    async write-behind; get/contains are REQ round trips with a
+    timeout, so a dead store degrades to misses instead of stalling
+    the serving loop)."""
+
+    def __init__(self, addr: str, timeout_ms: int = 200) -> None:
+        import io
+        import queue
+        import threading
+
+        import zmq
+        self.addr = addr
+        self.timeout_ms = timeout_ms
+        self._ctx = zmq.Context.instance()
+        self._lock = threading.Lock()  # REQ sockets are not reentrant
+        self._sock = self._new_sock()
+        self._inflight: dict[BlockHash, tuple] = {}
+        self._known: set[BlockHash] = set()
+        self._q: "queue.Queue" = queue.Queue()
+        self.stores = 0
+        self.hits = 0
+        self.write_errors = 0
+        self._io = io
+        self._writer = threading.Thread(target=self._write_loop,
+                                        daemon=True)
+        self._writer.start()
+
+    def _new_sock(self):
+        import zmq
+        s = self._ctx.socket(zmq.REQ)
+        s.setsockopt(zmq.LINGER, 0)
+        s.setsockopt(zmq.RCVTIMEO, self.timeout_ms)
+        s.setsockopt(zmq.SNDTIMEO, self.timeout_ms)
+        s.connect(self.addr)
+        return s
+
+    def _rpc(self, *frames) -> Optional[bytes]:
+        import zmq
+        with self._lock:
+            try:
+                self._sock.send_multipart(list(frames))
+                return self._sock.recv()
+            except zmq.Again:
+                # REQ is now poisoned (strict alternation): rebuild.
+                self._sock.close(0)
+                self._sock = self._new_sock()
+                return None
+
+    @staticmethod
+    def _pack(entry: tuple) -> bytes:
+        import io
+        data, scales = entry
+        buf = io.BytesIO()
+        arrays = {"data": data}
+        if scales is not None:
+            arrays["scales"] = scales
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    @staticmethod
+    def _unpack(blob: bytes) -> tuple:
+        import io
+        with np.load(io.BytesIO(blob)) as z:
+            return (z["data"], z["scales"] if "scales" in z else None)
+
+    def _write_loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            h, entry = item
+            ok = self._rpc(b"PUT", h, self._pack(entry))
+            if ok is None:
+                self.write_errors += 1
+            else:
+                self._known.add(h)
+            with self._lock:
+                pass
+            self._inflight.pop(h, None)
+            self._q.task_done()
+
+    def put(self, h: BlockHash, data: np.ndarray,
+            scales: Optional[np.ndarray]) -> None:
+        if h in self._known or h in self._inflight:
+            return
+        self._inflight[h] = (data, scales)
+        self.stores += 1
+        self._q.put((h, (data, scales)))
+
+    def get(self, h: BlockHash) -> Optional[tuple]:
+        entry = self._inflight.get(h)
+        if entry is not None:
+            self.hits += 1
+            return entry
+        blob = self._rpc(b"GET", h)
+        if not blob:
+            return None
+        self.hits += 1
+        self._known.add(h)
+        try:
+            return self._unpack(blob)
+        except Exception:
+            return None
+
+    def __contains__(self, h: BlockHash) -> bool:
+        if h in self._known or h in self._inflight:
+            return True
+        return self._rpc(b"HAS", h) == b"1"
+
+    def flush(self) -> None:
+        self._q.join()
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self._known) + len(self._inflight)

@@ -164,8 +164,13 @@ class Scheduler:
                 and config.parallel.pipeline_parallel_size == 1
                 and config.parallel.context_parallel_size == 1):
             from vllm_tpu.core.kv_offload import (FileKVTier, HostKVPool,
+                                                  ObjectKVTier,
                                                   TieredHostKVPool)
-            if config.cache.offload_dir:
+            if config.cache.kv_object_store_addr:
+                self.host_kv_pool = TieredHostKVPool(
+                    config.cache.host_swap_bytes,
+                    ObjectKVTier(config.cache.kv_object_store_addr))
+            elif config.cache.offload_dir:
                 self.host_kv_pool = TieredHostKVPool(
                     config.cache.host_swap_bytes,
                     FileKVTier(config.cache.offload_dir,
