@@ -125,7 +125,9 @@ def main() -> None:
                           cache_dtype=kv_dtype,
                           enable_prefix_caching=False),
         scheduler=SchedulerConfig(
-            max_num_batched_tokens=2048, max_num_seqs=num_reqs,
+            max_num_batched_tokens=int(os.environ.get(
+                "VLLM_TPU_BENCH_MAX_TOKENS", "2048")),
+            max_num_seqs=num_reqs,
             # Async + pipelined multi-step exists (tests/engine/
             # test_ms_pipeline.py) and wins when decode length exceeds
             # the horizon; this bench decodes exactly one 64-step
