@@ -697,3 +697,28 @@ def test_responses_streaming(tokenizer):
         assert got["output"][-1]["content"][0]["text"] == deltas
 
     with_client(t, tokenizer)
+
+
+def test_cohere_chat_v2(tokenizer):
+    """POST /cohere/v2/chat (ref: entrypoints/cohere/api_router.py)."""
+    async def t(client):
+        r = await client.post("/cohere/v2/chat", json={
+            "model": "tiny",
+            "messages": [
+                {"role": "system", "content": "be brief"},
+                {"role": "user",
+                 "content": [{"type": "text", "text": "hello"}]},
+            ],
+            "max_tokens": 5,
+            "temperature": 0.0,
+        })
+        assert r.status == 200
+        data = await r.json()
+        assert data["finish_reason"] in ("COMPLETE", "MAX_TOKENS")
+        part = data["message"]["content"][0]
+        assert part["type"] == "text" and isinstance(part["text"], str)
+        assert data["usage"]["billed_units"]["output_tokens"] == 5
+        r = await client.post("/cohere/v2/chat", json={"model": "x"})
+        assert r.status == 400
+
+    with_client(t, tokenizer)

@@ -146,6 +146,9 @@ class OpenAIServer:
         app.router.add_post("/classify", self.classify)
         # Responses API (ref: entrypoints/openai/responses/
         # api_router.py:48-110 — create/get/cancel + background mode).
+        # Cohere Chat v2 (ref: entrypoints/cohere/api_router.py —
+        # POST /cohere/v2/chat).
+        app.router.add_post("/cohere/v2/chat", self.cohere_chat_v2)
         app.router.add_post("/v1/responses", self.responses_create)
         app.router.add_get("/v1/responses/{response_id}",
                            self.responses_get)
@@ -525,6 +528,61 @@ class OpenAIServer:
                                        lora_name=lora, echo=echo)
         return await self._complete(req_id, prompt, params, chat=False,
                                     lora_name=lora, echo=echo)
+
+    async def cohere_chat_v2(self, request: web.Request) -> web.Response:
+        """Cohere Chat v2 (ref: entrypoints/cohere/protocol.py
+        CohereChatV2Request:128 / serving.py response assembly).
+        Non-streaming; message content parts of type text."""
+        body = await request.json()
+        messages = body.get("messages")
+        if not messages:
+            return _err("missing 'messages'")
+        if self.llm.tokenizer is None:
+            return _err("server has no tokenizer", 400)
+        norm = []
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                content = "".join(p.get("text", "") for p in content
+                                  if isinstance(p, dict))
+            norm.append({"role": (m.get("role") or "user").lower(),
+                         "content": content or ""})
+        tok = self.llm.tokenizer
+        try:
+            prompt = tok.apply_chat_template(norm,
+                                             add_generation_prompt=True)
+        except Exception:
+            prompt = "".join(f"{m['role']}: {m['content']}\n"
+                             for m in norm) + "assistant:"
+        params = SamplingParams(
+            temperature=body.get("temperature", 0.3),
+            max_tokens=body.get("max_tokens") or 256,
+            stop=body.get("stop_sequences") or None,
+        )
+        req_id = f"chat_{uuid.uuid4().hex[:24]}"
+        final = None
+        async for out in self.llm.generate(prompt, params, req_id):
+            final = out
+        c = final.outputs[0]
+        finish = {"stop": "STOP_SEQUENCE", "length": "MAX_TOKENS",
+                  "eos": "COMPLETE"}.get(c.finish_reason or "eos",
+                                         "COMPLETE")
+        n_in = len(final.prompt_token_ids or [])
+        n_out = len(c.token_ids or [])
+        return web.json_response({
+            "id": req_id,
+            "finish_reason": finish,
+            "message": {
+                "role": "assistant",
+                "content": [{"type": "text", "text": c.text or ""}],
+            },
+            "usage": {
+                "billed_units": {"input_tokens": n_in,
+                                 "output_tokens": n_out},
+                "tokens": {"input_tokens": n_in,
+                           "output_tokens": n_out},
+            },
+        })
 
     # -- Responses API (ref: openai/responses/api_router.py:48-110,
     # protocol.py ResponsesRequest:136 / ResponsesResponse:636) -------
