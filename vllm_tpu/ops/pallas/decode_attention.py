@@ -758,12 +758,13 @@ def _qkernel(
             m, l, acc = nc[r]
             q_all = q_ref[r]  # [HG*G, Dp]
             lane0 = head0 * block_size
-            s_k = jnp.concatenate(
-                [s_buf[slot_h, f, 0:1, pl.ds(lane0, HG * block_size)]
-                 for f in range(F)], axis=1)  # [1, N]
-            s_v = jnp.concatenate(
-                [s_buf[slot_h, f, 1:2, pl.ds(lane0, HG * block_size)]
-                 for f in range(F)], axis=1)
+            # One [2, N] concat covers both scale rows (half the
+            # per-superstep slice count of separate K/V concats).
+            s_kv = jnp.concatenate(
+                [s_buf[slot_h, f, 0:2, pl.ds(lane0, HG * block_size)]
+                 for f in range(F)], axis=1)  # [2, N]
+            s_k = s_kv[0:1]
+            s_v = s_kv[1:2]
             if packed:
                 byte = data_buf[slot_h].reshape(N, D).astype(jnp.int32)
                 k_i = byte & 0xF
