@@ -57,3 +57,32 @@ def test_w4a16_hardware_matches_xla(T, K, N, sym):
     # a wrong row-interleave assumption fails by orders of magnitude.
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
     assert np.square(got - ref).mean() < 1e-4 * np.square(ref).mean()
+
+
+@requires_tpu
+@pytest.mark.parametrize("T,K,N,sym", [(32, 512, 256, True),
+                                       (256, 1024, 512, False)])
+def test_w4a8_tpu_matches_reference(T, K, N, sym):
+    """Compiled W4A8 kernel (int8 MXU dots + straight-split nibble
+    expansion) vs the explicit int8-activation reference — validates
+    the Mosaic u8->i8 bitcast layout and the int32 accumulate path the
+    interpret branch cannot."""
+    from vllm_tpu.quant.pallas_w4a8 import w4a8_matmul
+    rng = np.random.default_rng(7)
+    leaf = make_leaf(rng, K, N, 4, sym)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.bfloat16)
+    got = np.asarray(
+        w4a8_matmul(x, leaf["qweight"], leaf["scales"],
+                    None if sym else leaf["zbias"]), np.float32)
+    xf = np.asarray(x, np.float32)
+    xs = np.abs(xf).max(axis=1, keepdims=True) / 127.0
+    inv = np.where(xs > 0, 1.0 / np.where(xs > 0, xs, 1.0), 0.0)
+    xq = np.clip(np.round(xf * inv), -127, 127)
+    from vllm_tpu.quant.kernels import dequant_weight_xla
+    ref_leaf = dict(leaf)
+    if sym:
+        ref_leaf.pop("zbias", None)
+    w = np.asarray(dequant_weight_xla(ref_leaf, jnp.float32))
+    want = (xq @ w) * xs
+    denom = np.abs(want).max() or 1.0
+    assert np.abs(got - want).max() / denom < 2e-2  # bf16 out rounding

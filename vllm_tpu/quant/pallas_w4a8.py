@@ -82,9 +82,14 @@ def _kernel(xq_ref, qw_ref, s_ref, zb_ref, out_ref, acc_ref, *,
     for j in range(gsup):
         w = _decode_group_i8(qw_ref[0, j], interpret)
         xg = xq[:, j * BK:(j + 1) * BK]
+        # precision pinned to DEFAULT: a global
+        # jax_default_matmul_precision=highest (parity tests) would
+        # otherwise force a precision Mosaic rejects for int8 operands
+        # ("Bad lhs type") — integer dots are exact regardless.
         y = jax.lax.dot_general(
             xg, w, (((1, ), (0, )), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
+            preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT).astype(jnp.float32)
         xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
                        keepdims=True).astype(jnp.float32)
         s = s_ref[0, j:j + 1].astype(jnp.float32)  # [1, bn]
