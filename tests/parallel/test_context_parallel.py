@@ -321,3 +321,51 @@ def test_cp4_sharded_q_prefill(cpu_devices):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_rep),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cp2_mla_matches_single_device(cpu_devices):
+    """MLA (DeepSeek) under context parallelism: the latent cache is an
+    ordinary paged cache (KH=1), so cp sharding + striped-q prefill +
+    decode gather-merge apply unchanged (r4 carve-out lifted)."""
+    from vllm_tpu.models import deepseek
+
+    def mla_cfg(cp: int) -> EngineConfig:
+        return EngineConfig(
+            model=ModelConfig(
+                vocab_size=256, hidden_size=64, intermediate_size=96,
+                num_layers=2, num_heads=4, num_kv_heads=1, head_dim=48,
+                max_model_len=128, dtype="float32",
+                architecture="DeepseekV2ForCausalLM",
+                q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=24,
+                qk_rope_head_dim=16, v_head_dim=24,
+            ),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4),
+            parallel=ParallelConfig(context_parallel_size=cp),
+        )
+
+    params = deepseek.random_params(mla_cfg(1).model, seed=7)
+    ref = run_long_generate(mla_cfg(1), params, mesh=None)
+    cfg = mla_cfg(2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
+def test_cp2_tq4_codebook_kv_matches_single_device(cpu_devices):
+    """TurboQuant codebook KV (tq4) under context parallelism: the
+    replicated codebook leaf now rides the cp shard_maps alongside the
+    sharded (data, scales) planes (_cache_parts), so quantized writes
+    and lookups are rank-local and bit-identical to single-device
+    (the last r4 cp carve-out)."""
+
+    def tq_cfg(cp: int) -> EngineConfig:
+        cfg = make_cfg(cp)
+        cfg.cache.cache_dtype = "tq4"
+        return cfg
+
+    params = llama.random_params(tq_cfg(1).model, seed=11)
+    ref = run_long_generate(tq_cfg(1), params, mesh=None)
+    cfg = tq_cfg(2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref

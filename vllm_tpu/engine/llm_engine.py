@@ -93,16 +93,16 @@ class LLMEngine:
             # Context parallelism: per-device sizing stays what the
             # memory probe computed; the *global* pool is cp x that,
             # GSPMD-sharded over the cp axis (parallel/context.py).
-            if mc.mamba_num_heads or getattr(mc, "kv_lora_rank", None):
+            if mc.mamba_num_heads:
                 raise NotImplementedError(
                     "context_parallel_size > 1 supports paged-KV "
-                    "attention models (MLA/SSM caches are not "
+                    "attention models (SSM state caches are not "
                     "cp-sharded yet)")
-            if config.cache.cache_dtype in ("tq4", "tq3"):
+            if mc.sparse_index is not None:
                 raise NotImplementedError(
-                    "TurboQuant codebook KV under context parallelism "
-                    "is not wired yet (the cp shard_map drops the "
-                    "codebook leaf)")
+                    "DSA sparse attention under context parallelism "
+                    "is not wired yet (the indexer-K cache is not "
+                    "cp-sharded)")
             num_blocks = num_blocks * cp
         # Guard: every request must be able to fit (a request needing
         # more blocks than the pool stalls the scheduler forever).

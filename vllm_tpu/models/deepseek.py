@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from vllm_tpu.config import ModelConfig
 from vllm_tpu.models.llama import _mlp, compute_logits  # noqa: F401
 from vllm_tpu.ops.dispatch import (fused_decode_attention,
-                                   ragged_paged_attention)
+                                   ragged_paged_attention, write_kv)
 from vllm_tpu.ops.kv_cache import write_kv_xla
 from vllm_tpu.ops.layers import (apply_rope_interleaved, rms_norm,
                                  rope_cos_sin_dim, silu_and_mul)
@@ -137,8 +137,11 @@ def mla_attention(
             q_eff, k_vec, v_vec, kv_cache, meta.block_tables,
             meta.seq_lens, sm_scale=sm_scale)
     else:
-        kv_cache = write_kv_xla(kv_cache, k_vec, v_vec,
-                                meta.slot_mapping)
+        # dispatch.write_kv: under context parallelism each rank
+        # scatters only its owned latent slots (the MLA latent cache
+        # is an ordinary paged cache with KH=1, so the whole cp
+        # machinery applies unchanged).
+        kv_cache = write_kv(kv_cache, k_vec, v_vec, meta.slot_mapping)
         ctx = ragged_paged_attention(q_eff, kv_cache, meta.block_tables,
                                      meta.query_start_loc, meta.seq_lens,
                                      sm_scale=sm_scale, q_blk=q_blk)

@@ -98,12 +98,18 @@ def _local_slots(slot_mapping: jax.Array, rank: jax.Array,
 
 
 def _cache_parts(kv_cache, cp: int):
-    """Split a cache into (data, scales, quant) — plain caches ride a
-    cp-shardable dummy scales plane so one shard_map signature covers
-    both."""
+    """Split a cache into (data, scales, codebook, quant) — plain
+    caches ride cp-shardable dummy scales + a dummy codebook so one
+    shard_map signature covers every mode; tq codebook caches carry
+    the REPLICATED level table through (it was silently dropped
+    before — the r4 tq-under-cp carve-out)."""
     if isinstance(kv_cache, QuantKV):
-        return kv_cache.data, kv_cache.scales, True
-    return kv_cache, jnp.zeros((cp, 1), jnp.float32), False
+        cb = (kv_cache.codebook if kv_cache.codebook is not None else
+              jnp.zeros((1, ), jnp.float32))
+        return (kv_cache.data, kv_cache.scales, cb,
+                kv_cache.codebook is not None, True)
+    return (kv_cache, jnp.zeros((cp, 1), jnp.float32),
+            jnp.zeros((1, ), jnp.float32), False, False)
 
 
 def cp_write_kv(kv_cache, k: jax.Array, v: jax.Array,
@@ -112,12 +118,13 @@ def cp_write_kv(kv_cache, k: jax.Array, v: jax.Array,
     owns, drops the rest."""
     mesh = get_current_mesh()
     cp = mesh.shape[AXIS_CP]
-    data, scales, quant = _cache_parts(kv_cache, cp)
+    data, scales, cb, has_cb, quant = _cache_parts(kv_cache, cp)
 
-    def local_fn(data, scales, k, v, slots):
+    def local_fn(data, scales, cb, k, v, slots):
         r = jax.lax.axis_index(AXIS_CP)
         blocks_local, _, bs, _ = data.shape
-        cache = QuantKV(data, scales) if quant else data
+        cache = (QuantKV(data, scales, cb if has_cb else None)
+                 if quant else data)
         ls = _local_slots(slots, r, blocks_local, bs)
         cache = write_kv_xla(cache, k, v, ls, oob="drop")
         if quant:
@@ -126,10 +133,11 @@ def cp_write_kv(kv_cache, k: jax.Array, v: jax.Array,
 
     fn = jax.shard_map(
         local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
-        in_specs=(P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        in_specs=(P(AXIS_CP), P(AXIS_CP), P(), P(), P(), P()),
         out_specs=(P(AXIS_CP), P(AXIS_CP)))
-    data, scales = fn(data, scales, k, v, slot_mapping)
-    return QuantKV(data, scales) if quant else data
+    data, scales = fn(data, scales, cb, k, v, slot_mapping)
+    return (QuantKV(data, scales, kv_cache.codebook)
+            if quant else data)
 
 
 def _merge_partials(acc_o: jax.Array, acc_l: jax.Array, out: jax.Array,
@@ -199,15 +207,16 @@ def cp_prefill_attention_sharded_q(
     cp = mesh.shape[AXIS_CP]
     T, H, D = q.shape
     assert T % cp == 0, (T, cp)
-    data, scales, quant = _cache_parts(kv_cache, cp)
+    data, scales, cb, has_cb, quant = _cache_parts(kv_cache, cp)
     use_pallas, interpret = _pallas_mode()
     perm = [(i, (i + 1) % cp) for i in range(cp)]
 
-    def local_fn(q_local, data, scales, tables, qsl, seq_lens):
+    def local_fn(q_local, data, scales, cb, tables, qsl, seq_lens):
         r = jax.lax.axis_index(AXIS_CP)
         tl = q_local.shape[0]
         blocks_local = data.shape[0]
-        cache = QuantKV(data, scales) if quant else data
+        cache = (QuantKV(data, scales, cb if has_cb else None)
+                 if quant else data)
         lt = local_block_tables(tables, r, cp, blocks_local)
         acc_o = jnp.zeros(q_local.shape, jnp.float32)
         acc_l = jnp.full(q_local.shape[:2], -jnp.inf, jnp.float32)
@@ -241,11 +250,13 @@ def cp_prefill_attention_sharded_q(
 
     fn = jax.shard_map(
         local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
-        in_specs=(P(AXIS_CP), P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        in_specs=(P(AXIS_CP), P(AXIS_CP), P(AXIS_CP), P(), P(), P(),
+                  P()),
         # Pallas results carry no VMA metadata; the per-rank stripes
         # are genuinely cp-varying, so the check adds nothing here.
         out_specs=P(AXIS_CP), check_vma=False)
-    return fn(q, data, scales, block_tables, query_start_loc, seq_lens)
+    return fn(q, data, scales, cb, block_tables, query_start_loc,
+              seq_lens)
 
 
 def cp_ragged_attention(
@@ -271,13 +282,14 @@ def cp_ragged_attention(
                                         ragged_paged_attention_xla)
     mesh = get_current_mesh()
     cp = mesh.shape[AXIS_CP]
-    data, scales, quant = _cache_parts(kv_cache, cp)
+    data, scales, cb, has_cb, quant = _cache_parts(kv_cache, cp)
     use_pallas, interpret = _pallas_mode()
 
-    def local_fn(q, data, scales, tables, qsl, seq_lens):
+    def local_fn(q, data, scales, cb, tables, qsl, seq_lens):
         r = jax.lax.axis_index(AXIS_CP)
         blocks_local = data.shape[0]
-        cache = QuantKV(data, scales) if quant else data
+        cache = (QuantKV(data, scales, cb if has_cb else None)
+                 if quant else data)
         lt = local_block_tables(tables, r, cp, blocks_local)
         if use_pallas:
             from vllm_tpu.ops.pallas.ragged_attention import (
@@ -299,12 +311,13 @@ def cp_ragged_attention(
 
     fn = jax.shard_map(
         local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
-        in_specs=(P(), P(AXIS_CP), P(AXIS_CP), P(), P(), P()),
+        in_specs=(P(), P(AXIS_CP), P(AXIS_CP), P(), P(), P(), P()),
         # The merged output is replicated over cp by construction
         # (identical all-gathered partials on every rank); the VMA
         # checker can't prove that, so it is disabled.
         out_specs=P(), check_vma=False)
-    return fn(q, data, scales, block_tables, query_start_loc, seq_lens)
+    return fn(q, data, scales, cb, block_tables, query_start_loc,
+              seq_lens)
 
 
 def cp_fused_decode_attention(
@@ -328,14 +341,15 @@ def cp_fused_decode_attention(
                                         ragged_paged_attention_xla)
     mesh = get_current_mesh()
     cp = mesh.shape[AXIS_CP]
-    data, scales, quant = _cache_parts(kv_cache, cp)
+    data, scales, cb, has_cb, quant = _cache_parts(kv_cache, cp)
     R = q.shape[0]
     use_pallas, interpret = _pallas_mode()
 
-    def local_fn(q, k, v, data, scales, tables, seq_lens):
+    def local_fn(q, k, v, data, scales, cb, tables, seq_lens):
         r = jax.lax.axis_index(AXIS_CP)
         blocks_local, _, bs, _ = data.shape
-        cache = QuantKV(data, scales) if quant else data
+        cache = (QuantKV(data, scales, cb if has_cb else None)
+                 if quant else data)
         pos = jnp.maximum(seq_lens - 1, 0)
         gblk = jnp.take_along_axis(tables, (pos // bs)[:, None],
                                    axis=1)[:, 0]
@@ -368,8 +382,10 @@ def cp_fused_decode_attention(
 
     fn = jax.shard_map(
         local_fn, mesh=mesh, axis_names=frozenset({AXIS_CP}),
-        in_specs=(P(), P(), P(), P(AXIS_CP), P(AXIS_CP), P(), P()),
+        in_specs=(P(), P(), P(), P(AXIS_CP), P(AXIS_CP), P(), P(),
+                  P()),
         out_specs=(P(), P(AXIS_CP), P(AXIS_CP)), check_vma=False)
-    out, data, scales = fn(q, new_k, new_v, data, scales, block_tables,
-                           seq_lens)
-    return out, (QuantKV(data, scales) if quant else data)
+    out, data, scales = fn(q, new_k, new_v, data, scales, cb,
+                           block_tables, seq_lens)
+    return out, (QuantKV(data, scales, kv_cache.codebook)
+                 if quant else data)
