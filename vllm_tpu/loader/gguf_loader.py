@@ -4,10 +4,11 @@ Ref analog: the reference's gguf quantization path
 (vllm/model_executor/layers/quantization/gguf.py + --model *.gguf
 support in the loader). TPU-native treatment: the file's block-quant
 tensors (Q4_0/Q4_1/Q8_0) dequantize at load into dense bf16 leaves —
-their block-32 fp16-scale layout does not match the g128 layout the
-fused Pallas kernels stream, so serving quantization is re-applied
-online (``--quantization int4/w4a8/...``) when wanted. K-quants
-(Q*_K) are not parsed (raise with a clear message).
+their block/superblock fp16-scale layouts do not match the g128 layout
+the fused Pallas kernels stream, so serving quantization is re-applied
+online (``--quantization int4/w4a8/...``) when wanted. Supported
+codecs: Q4_0/Q4_1/Q8_0 block-32 and the K-quant superblock family
+(Q2_K/Q3_K/Q4_K/Q5_K/Q6_K, 256-element superblocks).
 
 Format (GGUF v2/v3, little-endian):
     magic 'GGUF' | version u32 | n_tensors u64 | n_kv u64
@@ -49,8 +50,10 @@ _SCALARS = {
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q8_0 = 8
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
 GGML_BF16 = 30
 _NAMES = {0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 8: "Q8_0",
+          10: "Q2_K", 11: "Q3_K", 12: "Q4_K", 13: "Q5_K", 14: "Q6_K",
           30: "BF16"}
 
 
@@ -104,15 +107,158 @@ def _dequant(raw: bytes, ggml_type: int, n: int) -> np.ndarray:
                                                  ("qs", "i1", 32)]), count=nb)
         return (rec["qs"].astype(np.float32) *
                 rec["d"].astype(np.float32)[:, None]).reshape(-1)
+    if ggml_type in _KDEQUANT:
+        return _KDEQUANT[ggml_type](raw, n // 256)
     raise NotImplementedError(
         f"gguf tensor type {_NAMES.get(ggml_type, ggml_type)} not "
-        "supported (K-quants need the llama.cpp superblock codecs; "
-        "re-export as Q4_0/Q8_0/F16)")
+        "supported")
 
+
+# ---------------------------------------------------------------------------
+# K-quants: 256-element superblocks (llama.cpp "k-quants"). All layouts are
+# from the public GGUF/ggml spec; vectorized numpy re-derivations, validated
+# against scalar spec transcriptions in tests/loader/test_gguf_kquants.py.
+# ---------------------------------------------------------------------------
+
+
+def _f32(h: np.ndarray) -> np.ndarray:
+    return h.astype(np.float32)
+
+
+def _scale_min_k4(s: np.ndarray):
+    """Unpack the 12-byte packed (scale, min) pairs used by Q4_K/Q5_K.
+
+    s: uint8 [nb, 12] -> (sc [nb, 8], mn [nb, 8]) float32, each 6-bit.
+    Pairs 0-3 live in the low 6 bits of bytes 0-3 / 4-7; pairs 4-7 pack
+    their low nibble into bytes 8-11 and their top 2 bits into the high
+    bits of bytes 0-7.
+    """
+    nb = s.shape[0]
+    sc = np.empty((nb, 8), np.float32)
+    mn = np.empty((nb, 8), np.float32)
+    for j in range(4):
+        sc[:, j] = s[:, j] & 63
+        mn[:, j] = s[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (s[:, j + 4] & 0xF) | ((s[:, j - 4] >> 6) << 4)
+        mn[:, j] = (s[:, j + 4] >> 4) | ((s[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_q2_k(raw: bytes, nb: int) -> np.ndarray:
+    """Q2_K: 16 groups of 16; per group 4-bit scale + 4-bit min in one
+    byte; w = d*sc*q - dmin*m, q 2-bit. 84 B/superblock."""
+    rec = np.frombuffer(raw, np.dtype([("scales", "u1", 16),
+                                       ("qs", "u1", 64), ("d", "<f2"),
+                                       ("dmin", "<f2")]), count=nb)
+    # element (n, j, h, l): q = (qs[32n + 16h + l] >> 2j) & 3,
+    # group index = 8n + 2j + h
+    qs = rec["qs"].reshape(nb, 2, 1, 2, 16)
+    shifts = (2 * np.arange(4)).reshape(1, 1, 4, 1, 1)
+    q = ((qs >> shifts) & 3).astype(np.float32)        # [nb,2,4,2,16]
+    sc = rec["scales"].reshape(nb, 2, 4, 2)
+    d = _f32(rec["d"]).reshape(nb, 1, 1, 1)
+    dmin = _f32(rec["dmin"]).reshape(nb, 1, 1, 1)
+    dl = d * (sc & 0xF)
+    ml = dmin * (sc >> 4)
+    return (dl[..., None] * q - ml[..., None]).reshape(-1)
+
+
+def _dequant_q3_k(raw: bytes, nb: int) -> np.ndarray:
+    """Q3_K: 16 groups of 16, 6-bit signed scales (12 packed bytes),
+    w = d*(sc-32)*q, q = 2-bit low + 1 high bit from hmask (clear bit
+    means subtract 4). 110 B/superblock."""
+    rec = np.frombuffer(raw, np.dtype([("hmask", "u1", 32),
+                                       ("qs", "u1", 64),
+                                       ("scales", "u1", 12),
+                                       ("d", "<f2")]), count=nb)
+    sb = rec["scales"].astype(np.uint8)                # [nb, 12]
+    sc = np.empty((nb, 16), np.int32)
+    for i in range(4):
+        sc[:, i] = (sb[:, i] & 0xF) | (((sb[:, 8 + i] >> 0) & 3) << 4)
+        sc[:, 4 + i] = (sb[:, 4 + i] & 0xF) | (((sb[:, 8 + i] >> 2) & 3) << 4)
+        sc[:, 8 + i] = (sb[:, i] >> 4) | (((sb[:, 8 + i] >> 4) & 3) << 4)
+        sc[:, 12 + i] = (sb[:, 4 + i] >> 4) | (((sb[:, 8 + i] >> 6) & 3) << 4)
+    qs = rec["qs"].reshape(nb, 2, 1, 2, 16)
+    shifts = (2 * np.arange(4)).reshape(1, 1, 4, 1, 1)
+    q = ((qs >> shifts) & 3).astype(np.float32)        # [nb,n,j,h,16]
+    hm = rec["hmask"].reshape(nb, 1, 1, 2, 16)
+    bit = (4 * np.arange(2).reshape(2, 1) +
+           np.arange(4).reshape(1, 4)).reshape(1, 2, 4, 1, 1)
+    hbit = ((hm >> bit) & 1).astype(np.float32)
+    qv = q - 4.0 * (1.0 - hbit)
+    scv = (sc.reshape(nb, 2, 4, 2) - 32).astype(np.float32)
+    d = _f32(rec["d"]).reshape(nb, 1, 1, 1, 1)
+    return (d * scv[..., None] * qv).reshape(-1)
+
+
+def _dequant_q4_k(raw: bytes, nb: int) -> np.ndarray:
+    """Q4_K: 8 groups of 32, 6-bit scale/min pairs; w = d*sc*q - dmin*m,
+    q 4-bit. 144 B/superblock."""
+    rec = np.frombuffer(raw, np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                                       ("scales", "u1", 12),
+                                       ("qs", "u1", 128)]), count=nb)
+    sc, mn = _scale_min_k4(rec["scales"])
+    qs = rec["qs"].reshape(nb, 4, 32)
+    lo = qs & 0xF
+    hi = qs >> 4
+    # group 2j <- low nibbles of span j, group 2j+1 <- high nibbles
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32).astype(np.float32)
+    d = _f32(rec["d"])[:, None, None]
+    dmin = _f32(rec["dmin"])[:, None, None]
+    return (d * sc[:, :, None] * q -
+            dmin * mn[:, :, None]).reshape(-1)
+
+
+def _dequant_q5_k(raw: bytes, nb: int) -> np.ndarray:
+    """Q5_K: Q4_K + one high bit per element from qh. 176 B/superblock."""
+    rec = np.frombuffer(raw, np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                                       ("scales", "u1", 12),
+                                       ("qh", "u1", 32),
+                                       ("qs", "u1", 128)]), count=nb)
+    sc, mn = _scale_min_k4(rec["scales"])
+    qs = rec["qs"].reshape(nb, 4, 32)
+    qh = rec["qh"][:, None, :]                         # [nb, 1, 32]
+    jj = np.arange(4)[None, :, None]
+    lo = (qs & 0xF) + (((qh >> (2 * jj)) & 1) << 4)
+    hi = (qs >> 4) + (((qh >> (2 * jj + 1)) & 1) << 4)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32).astype(np.float32)
+    d = _f32(rec["d"])[:, None, None]
+    dmin = _f32(rec["dmin"])[:, None, None]
+    return (d * sc[:, :, None] * q -
+            dmin * mn[:, :, None]).reshape(-1)
+
+
+def _dequant_q6_k(raw: bytes, nb: int) -> np.ndarray:
+    """Q6_K: 16 groups of 16, int8 scales; w = d*sc*(q-32), q = 4 low
+    bits (ql) + 2 high bits (qh). 210 B/superblock."""
+    rec = np.frombuffer(raw, np.dtype([("ql", "u1", 128),
+                                       ("qh", "u1", 64),
+                                       ("scales", "i1", 16),
+                                       ("d", "<f2")]), count=nb)
+    ql = rec["ql"].reshape(nb, 2, 2, 32)               # [nb, half, l/l+32, 32]
+    qh = rec["qh"].reshape(nb, 2, 32)
+    q1 = (ql[:, :, 0] & 0xF) | (((qh >> 0) & 3) << 4)
+    q2 = (ql[:, :, 1] & 0xF) | (((qh >> 2) & 3) << 4)
+    q3 = (ql[:, :, 0] >> 4) | (((qh >> 4) & 3) << 4)
+    q4 = (ql[:, :, 1] >> 4) | (((qh >> 6) & 3) << 4)
+    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32) - 32.0
+    sc = rec["scales"].reshape(nb, 2, 4, 2).astype(np.float32)
+    d = _f32(rec["d"]).reshape(nb, 1, 1, 1, 1)
+    return (d * sc[..., None] *
+            q.reshape(nb, 2, 4, 2, 16)).reshape(-1)
+
+
+_KDEQUANT = {GGML_Q2_K: _dequant_q2_k, GGML_Q3_K: _dequant_q3_k,
+             GGML_Q4_K: _dequant_q4_k, GGML_Q5_K: _dequant_q5_k,
+             GGML_Q6_K: _dequant_q6_k}
 
 _TYPE_BYTES = {GGML_F32: (1, 4), GGML_F16: (1, 2), GGML_BF16: (1, 2),
                GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
-               GGML_Q8_0: (32, 34)}
+               GGML_Q8_0: (32, 34),
+               GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110),
+               GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176),
+               GGML_Q6_K: (256, 210)}
 
 
 def parse_gguf(path: str):
