@@ -369,3 +369,72 @@ def test_cp2_tq4_codebook_kv_matches_single_device(cpu_devices):
     cfg = tq_cfg(2)
     got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
     assert got == ref
+
+
+def test_cp2_hybrid_ssm_matches_single_device(cpu_devices):
+    """Hybrid SSM+attention (bamba-class) under context parallelism:
+    the per-request SSM state is O(1) in context length and stays
+    replicated over cp (the recurrent mixers are pure lax under
+    GSPMD-auto), while the attention layers' paged KV — the part that
+    grows with context — shards over the cp axis exactly as in pure
+    attention models (the last-but-one r4 cp carve-out; ref analog:
+    DCP x hybrid-cache models)."""
+    from vllm_tpu.models import bamba
+
+    def hybrid_cfg(cp: int) -> EngineConfig:
+        return EngineConfig(
+            model=ModelConfig(
+                vocab_size=256, hidden_size=64, intermediate_size=96,
+                num_layers=3, num_heads=4, num_kv_heads=2, head_dim=16,
+                max_model_len=128, dtype="float32",
+                architecture="BambaForCausalLM",
+                layer_types=("mamba", "attention", "mamba"),
+                mamba_num_heads=8, mamba_d_inner=128, mamba_d_state=16,
+                mamba_n_groups=2, mamba_d_conv=4,
+                partial_rotary_factor=0.5,
+            ),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4),
+            parallel=ParallelConfig(context_parallel_size=cp),
+        )
+
+    params = bamba.random_params(hybrid_cfg(1).model, seed=13)
+    ref = run_long_generate(hybrid_cfg(1), params, mesh=None)
+    cfg = hybrid_cfg(2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
+
+
+def test_cp2_dsa_sparse_mla_matches_single_device(cpu_devices):
+    """DSA sparse attention (DeepSeek-V3.2) under context parallelism:
+    BOTH paged caches — the MLA latent cache and the indexer-K cache —
+    shard their block axis over cp (models/deepseek.py make_caches);
+    the lightning-indexer score + top-k gather path is pure XLA under
+    GSPMD-auto, so the sharded scatters/gathers partition automatically
+    (the final r4 cp carve-out). Greedy decode must match single-device
+    exactly, including selections that cross cp-rank block boundaries."""
+    from vllm_tpu.models import deepseek
+
+    def dsa_cfg(cp: int) -> EngineConfig:
+        return EngineConfig(
+            model=ModelConfig(
+                vocab_size=128, hidden_size=64, intermediate_size=96,
+                num_layers=2, num_heads=4, num_kv_heads=1, head_dim=48,
+                max_model_len=128, dtype="float32",
+                architecture="DeepseekV32ForCausalLM",
+                q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=24,
+                qk_rope_head_dim=16, v_head_dim=24,
+                sparse_index={"n_heads": 2, "head_dim": 32, "topk": 16},
+            ),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4),
+            parallel=ParallelConfig(context_parallel_size=cp),
+        )
+
+    params = deepseek.random_params(dsa_cfg(1).model, seed=21)
+    ref = run_long_generate(dsa_cfg(1), params, mesh=None)
+    cfg = dsa_cfg(2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref

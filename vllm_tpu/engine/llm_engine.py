@@ -93,16 +93,16 @@ class LLMEngine:
             # Context parallelism: per-device sizing stays what the
             # memory probe computed; the *global* pool is cp x that,
             # GSPMD-sharded over the cp axis (parallel/context.py).
-            if mc.mamba_num_heads:
-                raise NotImplementedError(
-                    "context_parallel_size > 1 supports paged-KV "
-                    "attention models (SSM state caches are not "
-                    "cp-sharded yet)")
-            if mc.sparse_index is not None:
-                raise NotImplementedError(
-                    "DSA sparse attention under context parallelism "
-                    "is not wired yet (the indexer-K cache is not "
-                    "cp-sharded)")
+            # SSM/GDN state caches are per-request and O(1) in context
+            # length — they stay REPLICATED over cp (the recurrent ops
+            # are pure lax under GSPMD-auto, so sharded-token inputs
+            # partition correctly); only the paged attention KV — the
+            # part that actually grows with context — shards over the
+            # cp axis. Hybrid models therefore pass through: attention
+            # layers get the cp pool, mamba/GDN layers replicate.
+            # DSA models shard BOTH paged caches (latent + indexer-K)
+            # over cp (models/deepseek.py make_caches); the sparse
+            # score/gather path is pure XLA under GSPMD-auto.
             num_blocks = num_blocks * cp
         # Guard: every request must be able to fit (a request needing
         # more blocks than the pool stalls the scheduler forever).

@@ -396,8 +396,21 @@ def make_caches(cfg: ModelConfig, num_blocks: int, block_size: int,
             caches.append(lat)
         else:
             di = cfg.sparse_index["head_dim"]
-            caches.append((lat, jnp.zeros(
-                (num_blocks, block_size, di), jnp.dtype(cfg.dtype))))
+            idx = jnp.zeros((num_blocks, block_size, di),
+                            jnp.dtype(cfg.dtype))
+            if kv_sharding is not None:
+                # Shard the indexer-K block axis over cp exactly like
+                # the latent cache (the pool is cp x per-device blocks;
+                # the DSA score/gather path is pure XLA under
+                # GSPMD-auto, so sharded scatters/gathers partition
+                # automatically).
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                data_sh = kv_sharding[0]
+                idx = jax.device_put(
+                    idx, NamedSharding(data_sh.mesh,
+                                       P(data_sh.spec[0], None, None)))
+            caches.append((lat, idx))
     return caches
 
 
