@@ -438,3 +438,37 @@ def test_cp2_dsa_sparse_mla_matches_single_device(cpu_devices):
     cfg = dsa_cfg(2)
     got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
     assert got == ref
+
+
+def test_cp2_gdn_hybrid_matches_single_device(cpu_devices):
+    """Qwen3-Next GDN hybrid (linear_attention + full_attention) under
+    context parallelism: same treatment as the bamba hybrid — the GDN
+    conv/delta state is per-request and replicated over cp, the
+    full-attention layers' paged KV shards. Covers the MoE FFN under
+    cp as well (qwen3_next layers are MoE)."""
+    from vllm_tpu.models import qwen3_next
+
+    def gdn_cfg(cp: int) -> EngineConfig:
+        return EngineConfig(
+            model=ModelConfig(
+                vocab_size=256, hidden_size=64, intermediate_size=96,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                max_model_len=128, dtype="float32",
+                architecture="Qwen3NextForCausalLM",
+                num_experts=4, num_experts_per_tok=2,
+                moe_intermediate_size=32,
+                gdn=dict(num_v_heads=4, num_k_heads=2, head_k_dim=16,
+                         head_v_dim=16, conv_kernel=4),
+                layer_types=("linear_attention", "full_attention"),
+            ),
+            cache=CacheConfig(block_size=16, num_gpu_blocks=17),
+            scheduler=SchedulerConfig(max_num_batched_tokens=256,
+                                      max_num_seqs=4),
+            parallel=ParallelConfig(context_parallel_size=cp),
+        )
+
+    params = qwen3_next.random_params(gdn_cfg(1).model, seed=17)
+    ref = run_long_generate(gdn_cfg(1), params, mesh=None)
+    cfg = gdn_cfg(2)
+    got = run_long_generate(cfg, params, mesh=make_mesh(cfg.parallel))
+    assert got == ref
