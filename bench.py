@@ -141,8 +141,15 @@ def main() -> None:
                                str(decode_len)))),
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    # Default quant = W4A8 (QQQ-class): the same INT4-g128 weight
+    # stream as W4A16 with int8 per-token activations on the int8 MXU
+    # (quant/pallas_w4a8.py). Measured strictly better than W4A16 at
+    # this shape (decode 4,676 vs 4,668 tok/s; prefill 7,416 vs 6,392;
+    # TTFT 830 vs 972 ms) and accuracy-gated on the distilled
+    # checkpoint (activation cost below gate noise, evals/gate.py).
+    # VLLM_TPU_BENCH_QUANT=int4 reproduces the W4A16 ladder rung.
     quant = os.environ.get("VLLM_TPU_BENCH_QUANT",
-                           "int4" if size == "8b" else None)
+                           "w4a8" if size == "8b" else None)
     if quant in ("int4", "int8", "w4a8"):
         # Host-side generate+quantize, layer by layer: dense bf16 7B
         # would not fit HBM; only the quantized leaves reach the device.
